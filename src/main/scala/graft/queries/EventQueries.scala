@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Batch analogs of the reference's stream combinators over the `events`
+  * table — event-time windows, sessionization, dedup, control-gating, the
+  * order-dependent EMA family, histogram binning, JSON decode.
+  *
+  * Reference citations:
+  *  - windowed aggregation driver: flink/StreamJob.scala:286-315
+  *  - control-gating: flink/StreamJob.scala:179-227
+  *  - dedup ($dedupeId): operator/SBFDeduplicationFilter.scala:85-108
+  *  - EMA (α=0.7 default): model/aggregate/ExponentialMovingAverage.scala:25-31
+  *  - Histogram magnitude bins: model/aggregate/Histogram.scala:40-75
+  *  - JSON decode: serde/Codec.scala:41-89
+  *
+  * Time parity: `events.ts` is TIMESTAMP(NANOS) parquet. Spark (nanosAsLong)
+  * and DuckDB both see µs after flooring — see [[Q.events]].
+  */
+object EventQueries {
+
+  private def valC: Column = cents(col("value"))
+
+  /** Tumbling 1-hour event-time window per event type (epoch-aligned, same as
+    * DuckDB date_trunc). */
+  def tumblingHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(valC).as("val_c"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("cnt"), col("val_c"))
+      .orderBy("win_start_s", "event_type")
+
+  val tumblingHourlySql: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) win_start_s,
+      |       event_type, count(*) cnt,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) val_c
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sliding 1-hour window, 15-minute slide: each event lands in 4 windows. */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"), sum(valC).as("val_c"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("cnt"), col("val_c"))
+      .orderBy("win_start_s")
+
+  val slidingWindowSql: String =
+    """SELECT (epoch_us(ts)//900000000)*900 - g*900 AS win_start_s,
+      |       count(*) cnt, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) val_c
+      |FROM events, (SELECT unnest(generate_series(0, 3)) g)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Session windows per user, 30-minute gap. Spark `session_window` merges
+    * events whose gap is < 30min; session end = last event + gap. The oracle
+    * reproduces that with gaps-and-islands (new session when diff ≥ gap). */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(valC).as("val_c"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("val_c"))
+      .orderBy("user_id", "start_us")
+
+  val sessionWindowsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, epoch_us(ts) ts_us, CAST(round(value*100) AS BIGINT) v,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+      |              THEN 1 ELSE 0 END brk
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts_us, v,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess
+      |  FROM o)
+      |SELECT user_id, min(ts_us) start_us, max(ts_us) + 1800000000 end_us,
+      |       count(*) n_events, CAST(sum(v) AS BIGINT) val_c
+      |FROM m GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin
+
+  /** Exact dedup on the ($dedupeId-style) key (user_id, event_type, value):
+    * keep the first (min event_id) occurrence, count duplicates. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), valC.as("val_c"), col("event_id"))
+      .groupBy("user_id", "event_type", "val_c")
+      .agg(min("event_id").as("first_event_id"), count(lit(1)).as("occurrences"))
+      .orderBy("user_id", "event_type", "val_c")
+
+  val dedupExactSql: String =
+    """SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) val_c,
+      |       min(event_id) first_event_id, count(*) occurrences
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Control-gating: `signup` activates a user, `error` deactivates; data
+    * events (click/view/purchase) pass only while the latest prior control is
+    * active (reference filterByControlSource, StreamJob.scala:179-227). */
+  def controlGate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val state = when(col("event_type") === "signup", lit(1))
+      .when(col("event_type") === "error", lit(0))
+    events(s, dir)
+      .withColumn("gate", last(state, ignoreNulls = true).over(w))
+      .filter(col("event_type").isin("click", "view", "purchase") && col("gate") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+      .orderBy("event_id")
+  }
+
+  val controlGateSql: String =
+    """SELECT event_id, user_id, event_type, ts_us FROM (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) ts_us,
+      |         last_value(CASE WHEN event_type='signup' THEN 1
+      |                         WHEN event_type='error' THEN 0 END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) gate
+      |  FROM events)
+      |WHERE event_type IN ('click','view','purchase') AND gate = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** Order-dependent exponential moving average per user (α = 0.7, the
+    * reference default): sequential left fold over the time-ordered values so
+    * both engines execute the identical IEEE op sequence. */
+  def emaPerUser(s: SparkSession, dir: String): DataFrame = {
+    val arr = sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("value").as("v"))))
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(arr.as("arr"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(
+          slice(col("arr"), lit(2), size(col("arr")) - 1),
+          element_at(col("arr"), 1).getField("v"),
+          (acc, x) => acc * lit(0.3) + x.getField("v") * lit(0.7)).as("ema"))
+      .orderBy("user_id")
+  }
+
+  val emaPerUserSql: String =
+    """SELECT user_id, count(*) n_events,
+      |       list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+      |                   (acc, x) -> acc*0.3 + x*0.7) ema
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Histogram with order-of-magnitude bins (reference Histogram.scala binOf):
+    * bin = decimal digit count of the integer cents value — pure integer/string
+    * arithmetic, so the binning is bit-deterministic in both engines. */
+  def histogramMagnitude(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(valC.as("val_c"))
+      .withColumn("bin", length(col("val_c").cast("string")).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"), min("val_c").as("min_c"), max("val_c").as("max_c"))
+      .orderBy("bin")
+
+  val histogramMagnitudeSql: String =
+    """SELECT CAST(length(CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR)) AS BIGINT) bin,
+      |       count(*) cnt, min(CAST(round(value*100) AS BIGINT)) min_c,
+      |       max(CAST(round(value*100) AS BIGINT)) max_c
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** JSON props decode (serde surface): extract $.k, aggregate per k-bucket. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), valC.as("v"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("val_c"), max("k").as("max_k"))
+      .orderBy("k_bucket")
+
+  val jsonPropsSql: String =
+    """SELECT CAST(props->>'k' AS BIGINT) % 10 k_bucket, count(*) cnt,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) val_c,
+      |       max(CAST(props->>'k' AS BIGINT)) max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Datetime bucketing (the $bucketId / datetime-path pattern,
+    * util/InstantUtils.scala): daily event counts per type. */
+  def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(valC).as("val_c"))
+      .orderBy("day", "event_type")
+
+  val dailyCountsSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS "day", event_type, count(*) cnt,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) val_c
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Event-time range + activity stats per type (watermark-feeding shape). */
+  def typeTimeStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        epochS(min(col("ts"))).as("min_s"),
+        epochS(max(col("ts"))).as("max_s"),
+        countDistinct(date_format(col("ts"), "yyyy-MM-dd")).as("active_days"),
+        countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  val typeTimeStatsSql: String =
+    """SELECT event_type,
+      |       CAST(floor(epoch(min(ts))) AS BIGINT) min_s,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) max_s,
+      |       count(DISTINCT strftime(ts, '%Y-%m-%d')) active_days,
+      |       count(DISTINCT user_id) users, count(*) cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "ev_tumbling_hourly" -> (tumblingHourly _),
+    "ev_sliding_window" -> (slidingWindow _),
+    "ev_session_windows" -> (sessionWindows _),
+    "ev_dedup_exact" -> (dedupExact _),
+    "ev_control_gate" -> (controlGate _),
+    "ev_ema_per_user" -> (emaPerUser _),
+    "ev_histogram" -> (histogramMagnitude _),
+    "ev_json_props" -> (jsonProps _),
+    "ev_daily_counts" -> (dailyCounts _),
+    "ev_type_time_stats" -> (typeTimeStats _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_tumbling_hourly" -> tumblingHourlySql,
+    "ev_sliding_window" -> slidingWindowSql,
+    "ev_session_windows" -> sessionWindowsSql,
+    "ev_dedup_exact" -> dedupExactSql,
+    "ev_control_gate" -> controlGateSql,
+    "ev_ema_per_user" -> emaPerUserSql,
+    "ev_histogram" -> histogramMagnitudeSql,
+    "ev_json_props" -> jsonPropsSql,
+    "ev_daily_counts" -> dailyCountsSql,
+    "ev_type_time_stats" -> typeTimeStatsSql,
+  )
+}

@@ -9,26 +9,72 @@ import org.apache.spark.sql.functions._
   * all floating-point outputs must be *bit-deterministic* across engines. The
   * strategy:
   *   - money-like doubles are aggregated as exact integer cents
-  *     (`round(x*100)::long`), summed exactly, and only converted back to
-  *     double in a final, identically-shaped expression on both sides;
+  *     (`round(x*100)::long`), summed exactly as longs, and only converted back
+  *     to double in a final, identically-shaped expression on both sides;
   *   - variance/stddev are computed from exact integer power sums;
-  *   - vector dot products use a sequential left fold (`aggregate` in Spark,
-  *     `list_reduce` in DuckDB) so the summation order is identical.
+  *   - order-dependent folds (EMA, dot products) use a sequential left fold
+  *     (`aggregate` in Spark, `list_reduce` in DuckDB) over an explicitly
+  *     sorted list so the IEEE op sequence is identical in both engines.
+  *
+  * DuckDB-parity notes the oracle SQL must respect:
+  *   - integer sums: DuckDB `sum(BIGINT)` returns HUGEINT — always
+  *     `CAST(sum(x) AS BIGINT)`;
+  *   - `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as a nanos
+  *     long (`spark.sql.legacy.parquet.nanosAsLong`), DuckDB truncates to a
+  *     micros TIMESTAMP. [[events]] floors ns→µs to mirror DuckDB exactly;
+  *   - epoch seconds: Spark `unix_timestamp` floors; DuckDB must use
+  *     `CAST(floor(epoch(ts)) AS BIGINT)` (plain `::BIGINT` of the fractional
+  *     epoch would round).
   */
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /** All driver tables, for oracle FROM-clause parity. */
+  val tables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events table with DuckDB-equivalent timestamp semantics:
+    * `ts_us` — epoch micros (long), floor(ns/1000), identical to DuckDB's
+    *           TIMESTAMP view of the nanos column;
+    * `ts`    — TimestampType(µs) derived from ts_us (UTC session).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_ns")
+  }
+
   /** Exact integer cents of a 2-decimal money double. Round is half-away-from-
-    * zero in both Spark (HALF_UP on BigDecimal) and DuckDB. */
+    * zero on an identical IEEE product in both Spark and DuckDB; 2-decimal
+    * inputs never land on a .5 boundary so the engines agree bit-for-bit. */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Exact cents sum (long) back to a double: long->double is exact, and the
-    * single division is the same IEEE op in both engines. */
+  /** Exact integer percent (0..100) of a 2-decimal rate double (0.00-1.00). */
+  def pct(c: Column): Column = round(c * 100).cast("long")
+
+  /** Cents sum (long) back to dollars: long->double is exact below 2^53
+    * (~$90T per group; fine at bench scale — beyond that switch the column to
+    * DECIMAL) and the single division is the same IEEE op in both engines. */
   def money(sumCents: Column): Column = sumCents.cast("double") / lit(100.0)
 
-  /** Epoch seconds of a timestamp column (long). */
+  /** As [[money]] for 1e-4-dollar units (cents × percent). */
+  def money4(sumC4: Column): Column = sumC4.cast("double") / lit(10000.0)
+
+  /** As [[money]] for 1e-6-dollar units (cents × pct × pct). */
+  def money6(sumC6: Column): Column = sumC6.cast("double") / lit(1000000.0)
+
+  /** Exact mean: long sum over long count, one IEEE division. */
+  def meanOf(sum: Column, cnt: Column): Column =
+    sum.cast("double") / cnt.cast("double")
+
+  /** Epoch seconds of a (µs) timestamp column. Spark unix_timestamp floors;
+    * mirror in DuckDB with CAST(floor(epoch(ts)) AS BIGINT). */
   def epochS(c: Column): Column = unix_timestamp(c).cast("long")
 }

@@ -1,0 +1,382 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Text-analysis + document-dedup suite over `documents` — the
+  * training-data-pipeline extensions (token counting, quality scoring,
+  * language-ID, fingerprinting, exact/MinHash/SimHash/Jaccard dedup).
+  *
+  * Cross-engine determinism: every hash is a portable polynomial hash over
+  * ASCII codepoints computed with *identical integer arithmetic* in Spark
+  * (`transform`/`aggregate` higher-order functions, codegen'd) and DuckDB
+  * (`list_transform`/`list_reduce`), so signatures, buckets and candidate
+  * pairs match bit-for-bit. Normalization strips to [a-z0-9 ] first so only
+  * ASCII ever reaches `ascii()`.
+  *
+  * At 100 TB the same plans hold: word/shingle hashing is a narrow map,
+  * MinHash-LSH shuffles once on (band, key) — candidate generation is
+  * O(dups) not O(n²) — and only SimHash/brute-force-Jaccard pair scans are
+  * quadratic (kept here as small-data oracles; LSH is the scale path).
+  */
+object TextQueries {
+
+  // ---- shared normalization / hashing (Spark side) ----
+
+  private val P1 = 1000000007L
+  private val P2 = 998244353L
+  private val MH_P = 2147483647L // 2^31-1, minhash universe
+
+  /** lower → non-alnum→space → collapse spaces → trim. */
+  private def normCol(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  private def wordsOf(norm: Column): Column = split(norm, " ")
+
+  /** Polynomial codepoint hash: fold(base*acc + ascii(ch)) mod p. */
+  private def polyHash(w: Column, base: Long, p: Long): Column =
+    aggregate(
+      transform(split(w, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (a, c) => (a * lit(base) + c) % lit(p))
+
+  /** Word k-shingles as space-joined strings ([norm] when too short). */
+  private def shinglesOf(words: Column, norm: Column, k: Int): Column =
+    when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k),
+        j => concat_ws(" ", slice(words, j + 1, lit(k)))))
+      .otherwise(array(norm))
+
+  /** SQL mirror of [[normCol]]. */
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+  /** SQL mirror of [[polyHash]]. */
+  private def polyHashSql(w: String, base: Long, p: Long): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($w,''), c -> ascii(c)::BIGINT)), (a,x) -> (a*$base+x) % $p)"
+
+  private def shinglesSql(words: String, norm: String, k: Int): String =
+    s"CASE WHEN len($words) >= $k THEN list_transform(generate_series(1, len($words)-${k - 1}), j -> array_to_string($words[j:j+${k - 1}], ' ')) ELSE [$norm] END"
+
+  // ---- queries ----
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens
+    * (letter runs | digit runs | single punct). */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_regex_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) n_ws_tokens,
+      |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) n_regex_tokens,
+      |       CAST(length(text) AS BIGINT) n_chars_calc, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: word/letter/punct/stopword counts (all integers) and a
+    * boolean keep-flag from integer threshold comparisons. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
+    val words = wordsOf(normCol(col("text")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(words).cast("long").as("n_words"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_alpha"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("long").as("n_punct"),
+        size(filter(words, w => w.isin(stop: _*))).cast("long").as("stop_cnt"),
+        length(col("text")).cast("long").as("n_chars_t"))
+      .withColumn("avg_word_len", col("n_alpha").cast("double") / col("n_words").cast("double"))
+      .withColumn("quality_ok",
+        col("n_words") >= 20 && col("stop_cnt") * 100 >= col("n_words") * 2 &&
+          col("n_punct") * 100 <= col("n_chars_t") * 10)
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split($normSql, ' ')) AS BIGINT) n_words,
+       |         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) n_alpha,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) n_punct,
+       |         CAST(len(list_filter(string_split($normSql, ' '),
+       |              w -> w IN ('the','and','of','to','in','a','is','for','on','with'))) AS BIGINT) stop_cnt,
+       |         CAST(length(text) AS BIGINT) n_chars_t
+       |  FROM documents)
+       |SELECT doc_id, lang, n_words, n_alpha, n_punct, stop_cnt, n_chars_t,
+       |       CAST(n_alpha AS DOUBLE)/CAST(n_words AS DOUBLE) avg_word_len,
+       |       (n_words >= 20 AND stop_cnt*100 >= n_words*2 AND n_punct*100 <= n_chars_t*10) quality_ok
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by distinct-marker-word scoring with a fixed tie-break
+    * (n-gram/stopword heuristic; all-integer, fully deterministic). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "s_en" -> Seq("the", "and", "of", "to", "in"),
+      "s_de" -> Seq("der", "die", "und", "das", "ist"),
+      "s_es" -> Seq("el", "los", "que", "por", "con"),
+      "s_fr" -> Seq("le", "les", "et", "des", "une"))
+    val words = array_distinct(wordsOf(normCol(col("text"))))
+    val base = t(s, dir, "documents").select(
+      col("doc_id") +: col("lang") +:
+        markers.map { case (n, ws) =>
+          size(array_intersect(words, array(ws.map(lit): _*))).cast("long").as(n)
+        }: _*)
+    base.withColumn("pred_lang",
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, list_distinct(string_split($normSql, ' ')) w
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_intersect(w, ['the','and','of','to','in'])) AS BIGINT) s_en,
+       |         CAST(len(list_intersect(w, ['der','die','und','das','ist'])) AS BIGINT) s_de,
+       |         CAST(len(list_intersect(w, ['el','los','que','por','con'])) AS BIGINT) s_es,
+       |         CAST(len(list_intersect(w, ['le','les','et','des','une'])) AS BIGINT) s_fr
+       |  FROM b)
+       |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+       |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |            WHEN s_es >= s_fr THEN 'es'
+       |            ELSE 'fr' END pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: md5 of the normalized text + a rolling
+    * polynomial fingerprint over word hashes. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = normCol(col("text"))
+    val words = wordsOf(norm)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(norm).as("fp_md5"),
+        aggregate(
+          transform(words, w => polyHash(w, 31L, P1)),
+          lit(0L),
+          (a, h) => (a * lit(1000003L) + h) % lit(MH_P)).as("fp_poly"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, md5($normSql) fp_md5,
+       |       list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(string_split($normSql, ' '),
+       |                          w -> ${polyHashSql("w", 31L, P1)})),
+       |         (a,h) -> (a*1000003+h) % $MH_P) fp_poly
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup: group by content hash, keep canonical min doc_id. */
+  def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(md5(normCol(col("text"))).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  val dedupExactDocsSql: String =
+    s"""SELECT md5($normSql) fp, min(doc_id) keep_doc_id, count(*) n_copies
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- MinHash + LSH near-dup ----
+
+  private val NUM_SIGS = 9
+  private val BAND_ROWS = 3 // 3 bands x 3 rows
+
+  /** doc_id → distinct 3-shingle hash set. */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    val norm = normCol(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"), wordsOf(col("norm")).as("words"), col("norm"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesOf(col("words"), col("norm"), 3),
+          sh => polyHash(sh, 31L, P1))).as("hs"))
+  }
+
+  private def sigCol(i: Int): Column =
+    array_min(transform(col("hs"),
+      h => (lit(2L * i + 3) * h + lit(7L * i + 1)) % lit(MH_P))).as(s"s$i")
+
+  /** MinHash signatures + LSH banding → candidate pairs → exact shingle
+    * Jaccard on the candidates. One shuffle on (band, key); no O(n²) scan. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hs = shingleHashes(s, dir).cache()
+    val sigs = hs.select(col("doc_id") +: (0 until NUM_SIGS).map(sigCol): _*)
+    val bandCols = (0 until NUM_SIGS / BAND_ROWS).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until BAND_ROWS).map(r => col(s"s${b * BAND_ROWS + r}")): _*).as("k"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
+    val left = bands.select(col("doc_id").as("doc_a"), col("band"), col("k"))
+    val right = bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("k").as("k2"))
+    val cand = left.join(right,
+        col("band") === col("band2") && col("k") === col("k2") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ha = hs.select(col("doc_id").as("da"), col("hs").as("hs_a"))
+    val hb = hs.select(col("doc_id").as("db"), col("hs").as("hs_b"))
+    cand.join(ha, col("doc_a") === col("da")).join(hb, col("doc_b") === col("db"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter_cnt"),
+        size(array_union(col("hs_a"), col("hs_b"))).cast("long").as("union_cnt"))
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") / col("union_cnt").cast("double"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashPairsSql: String = {
+    val sigExprs = (0 until NUM_SIGS).map { i =>
+      s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % $MH_P)) s$i"
+    }.mkString(", ")
+    val bandSelects = (0 until NUM_SIGS / BAND_ROWS).map { b =>
+      val ks = (0 until BAND_ROWS).map(r => s"s${b * BAND_ROWS + r}").mkString(", ")
+      s"SELECT doc_id, $b band, concat_ws(':', $ks) k FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
+       |sh AS (SELECT doc_id, ${shinglesSql("words", "norm", 3)} shs FROM w),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(shs, sg -> ${polyHashSql("sg", 31L, P1)})) hs FROM sh),
+       |sig AS (SELECT doc_id, $sigExprs FROM hs),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) inter_cnt,
+       |       CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS BIGINT) union_cnt,
+       |       CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |         / CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE) jaccard
+       |FROM cand JOIN hs x ON doc_a = x.doc_id JOIN hs y ON doc_b = y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- SimHash ----
+
+  /** 60-bit SimHash per document from two 30-bit word hashes; bit b is set
+    * iff the ±1 vote sum over distinct words is > 0. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(wordsOf(normCol(col("text"))))).as("w"))
+      .select(col("doc_id"),
+        polyHash(col("w"), 31L, P1).as("h1"),
+        polyHash(col("w"), 131L, P2).as("h2"))
+    val bits = (0 until 60).map(b => (b, 1L << b, 1L << (b % 30), b < 30))
+      .toDF("b", "pow2b", "pow2m", "low")
+    wh.crossJoin(broadcast(bits))
+      .withColumn("hb", when(col("low"), col("h1")).otherwise(col("h2")))
+      .withColumn("sign",
+        when(expr("(hb div pow2m) % 2") === 1, 1L).otherwise(-1L))
+      .groupBy("doc_id", "b", "pow2b")
+      .agg(sum("sign").as("votes"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("votes") > 0, col("pow2b")).otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val simhashCte: String =
+    s"""wrd AS (SELECT doc_id, unnest(list_distinct(string_split($normSql, ' '))) w FROM documents),
+       |wh AS (SELECT doc_id, ${polyHashSql("w", 31L, P1)} h1, ${polyHashSql("w", 131L, P2)} h2 FROM wrd),
+       |bits AS (SELECT g b, (1::BIGINT << g) pow2b, (1::BIGINT << (g % 30)) pow2m, g < 30 low
+       |         FROM (SELECT unnest(generate_series(0, 59)) g)),
+       |votes AS (SELECT doc_id, b, pow2b,
+       |                 sum(CASE WHEN ((CASE WHEN low THEN h1 ELSE h2 END) // pow2m) % 2 = 1
+       |                          THEN 1 ELSE -1 END) v
+       |          FROM wh, bits GROUP BY 1, 2, 3),
+       |sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN pow2b ELSE 0 END) AS BIGINT) simhash
+       |       FROM votes GROUP BY 1)""".stripMargin
+
+  val simhashSql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Closest SimHash pairs by Hamming distance (top-50, deterministic order).
+    * The full pair scan is the small-data oracle; at scale the same simhash
+    * column feeds LSH-style banding on bit chunks. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(s, dir)
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH $simhashCte
+       |SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin
+
+  /** Word-bigram Jaccard near-dup within language partitions: top-50 most
+    * similar same-language pairs (brute-force oracle for the LSH path). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val norm = normCol(col("text"))
+    val bg = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), norm.as("norm"))
+      .select(col("doc_id"), col("lang"),
+        array_distinct(shinglesOf(wordsOf(col("norm")), col("norm"), 2)).as("bg"))
+    val a = bg.select(col("lang"), col("doc_id").as("doc_a"), col("bg").as("bg_a"))
+    val b = bg.select(col("lang").as("lang2"), col("doc_id").as("doc_b"), col("bg").as("bg_b"))
+    a.join(b, col("lang") === col("lang2") && col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        size(array_intersect(col("bg_a"), col("bg_b"))).cast("long").as("inter_cnt"),
+        size(array_union(col("bg_a"), col("bg_b"))).cast("long").as("union_cnt"))
+      .withColumn("jaccard", col("inter_cnt").cast("double") / col("union_cnt").cast("double"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH n AS (SELECT doc_id, lang, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, lang, string_split(norm, ' ') words, norm FROM n),
+       |bg AS (SELECT doc_id, lang, list_distinct(${shinglesSql("words", "norm", 2)}) bg FROM w),
+       |p AS (SELECT a.lang, a.doc_id doc_a, b.doc_id doc_b,
+       |             CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) inter_cnt,
+       |             CAST(len(list_distinct(list_concat(a.bg, b.bg))) AS BIGINT) union_cnt
+       |      FROM bg a JOIN bg b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       |SELECT lang, doc_a, doc_b, inter_cnt, union_cnt,
+       |       CAST(inter_cnt AS DOUBLE)/CAST(union_cnt AS DOUBLE) jaccard
+       |FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "text_token_counts" -> (tokenCounts _),
+    "text_quality_score" -> (qualityScore _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_dedup_exact" -> (dedupExactDocs _),
+    "text_minhash_pairs" -> (minhashPairs _),
+    "text_simhash" -> (simhash _),
+    "text_simhash_pairs" -> (simhashPairs _),
+    "text_ngram_jaccard" -> (ngramJaccard _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_counts" -> tokenCountsSql,
+    "text_quality_score" -> qualityScoreSql,
+    "text_lang_id" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql,
+    "text_dedup_exact" -> dedupExactDocsSql,
+    "text_minhash_pairs" -> minhashPairsSql,
+    "text_simhash" -> simhashSql,
+    "text_simhash_pairs" -> simhashPairsSql,
+    "text_ngram_jaccard" -> ngramJaccardSql,
+  )
+}
