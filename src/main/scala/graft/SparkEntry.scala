@@ -21,10 +21,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ EventQueries.queries ++ TextQueries.queries
+    CoreQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle
+    CoreQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
+      VectorQueries.oracle
 }
