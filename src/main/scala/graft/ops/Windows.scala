@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Windowed-aggregation driver (reference windowedAggregation,
+  * StreamJob.scala:286-315 + WindowedAggregationInitializer.scala:44-71):
+  * keyed stream → event-time window → aggregate family.
+  *
+  * In Spark the window assigner variety maps to `window` (tumbling/sliding)
+  * and `session_window`; "allowed lateness" maps to the watermark delay set
+  * at the source (semantic gap vs Flink's re-firing documented in
+  * SURVEY.md §2.8). The aggregate family is expressed as a single
+  * projection of built-in aggregates — one pass, partial aggregation
+  * (map-side combine) comes free for the whole family.
+  */
+object Windows {
+
+  /** The full commutative aggregate family over `valueCol` in one pass —
+    * Count/Sum/Min/Max/Mean/Range/SSD/Variance(sample)/StdDev, mirroring
+    * the reference's 14 aggregates minus the order-dependent EMA family
+    * (graft.streaming.EmaState) and Histogram (HistogramAggregator). */
+  def aggFamily(valueCol: Column): Seq[Column] = Seq(
+    count(lit(1)).as("agg_count"),
+    sum(valueCol).as("agg_sum"),
+    min(valueCol).as("agg_min"),
+    max(valueCol).as("agg_max"),
+    avg(valueCol).as("agg_mean"),
+    (max(valueCol) - min(valueCol)).as("agg_range"),
+    (var_samp(valueCol) * (count(lit(1)) - 1)).as("agg_ssd"),
+    var_samp(valueCol).as("agg_variance"),
+    stddev_samp(valueCol).as("agg_stddev"),
+  )
+
+  /** Tumbling event-time windows keyed by `keyCol`. */
+  def tumbling(ds: Dataset[_], tsCol: Column, keyCol: Column, size: String,
+      valueCol: Column): DataFrame =
+    ds.groupBy(window(tsCol, size), keyCol).agg(aggFamily(valueCol).head,
+      aggFamily(valueCol).tail: _*)
+
+  /** Sliding event-time windows. */
+  def sliding(ds: Dataset[_], tsCol: Column, keyCol: Column, size: String,
+      slide: String, valueCol: Column): DataFrame =
+    ds.groupBy(window(tsCol, size, slide), keyCol).agg(aggFamily(valueCol).head,
+      aggFamily(valueCol).tail: _*)
+
+  /** Session windows with a gap. */
+  def session(ds: Dataset[_], tsCol: Column, keyCol: Column, gap: String,
+      valueCol: Column): DataFrame =
+    ds.groupBy(session_window(tsCol, gap), keyCol).agg(aggFamily(valueCol).head,
+      aggFamily(valueCol).tail: _*)
+}

@@ -1,0 +1,88 @@
+package graft.runner
+
+import graft.model.{CheckResults, GraftEvent}
+import graft.sinks.SinkConfig
+import graft.sources.SourceConfig
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+
+/** The engine's entry object — the Spark counterpart of the reference's
+  * FlinkRunner (FlinkRunner.scala:38-336): owns the SparkSession (instead of
+  * StreamExecutionEnvironment + TableEnvironment), eagerly resolves all
+  * configured sources and sinks (FlinkRunner.scala:55-88), and dispatches
+  * `process()` → user `invoke(jobName)` → `job.run()`
+  * (FlinkRunner.scala:143-199).
+  *
+  * Scale defaults: shuffle partitions from config (not Spark's 200), AQE on
+  * — at 100 TB AQE coalesces post-shuffle partitions and re-plans skew joins
+  * at runtime, so one static setting serves all scale factors.
+  */
+abstract class SparkRunner[ADT <: GraftEvent](
+    val config: GraftConfig,
+    val checkResults: Option[CheckResults[ADT]] = None) {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .appName(config.getString("app.name", s"graft-${config.jobName}"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", config.getInt("shuffle.partitions", 32))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", config.getString("ui.enabled", "false"))
+    val withMaster = config.getStringOpt("master").fold(b)(b.master)
+    withMaster.getOrCreate()
+  }
+
+  def isBatchMode: Boolean = config.isBatchMode
+
+  def checkpointDir: String =
+    config.getString("checkpoint.dir", s"/tmp/graft-checkpoints/${config.jobName}")
+
+  /** Eagerly-resolved source/sink registries (reference FlinkRunner.scala:55-88). */
+  lazy val sourceConfigs: Map[String, SourceConfig] =
+    config.namesUnder("sources").map(n => n -> SourceConfig(n, config)).toMap
+
+  lazy val sinkConfigs: Map[String, SinkConfig] =
+    config.namesUnder("sinks").map(n => n -> SinkConfig(n, config)).toMap
+
+  def defaultSourceName: String =
+    config.getStringOpt("source.name").orElse(sourceConfigs.keys.toSeq.sorted.headOption)
+      .getOrElse(sys.error("no sources configured"))
+
+  def defaultSinkNames: Seq[String] = {
+    val named = config.getStringList("sink.names")
+    if (named.nonEmpty) named else sinkConfigs.filterNot(_._2.isSideOutput).keys.toSeq.sorted
+  }
+
+  /** Typed source materialization with CheckResults mock substitution
+    * (reference configToSource, FlinkRunner.scala:237-244). */
+  def sourceDataset[IN <: ADT: Encoder](name: String): Dataset[IN] =
+    checkResults match {
+      case Some(cr) =>
+        implicitly[Encoder[IN]] // force encoder resolution before the cast
+        spark.createDataset(cr.getInputEvents(name).map(_.asInstanceOf[IN]))(implicitly[Encoder[IN]])
+      case None =>
+        val sc = sourceConfigs.getOrElse(name, sys.error(s"unknown source '$name'"))
+        val df = sc.withWatermark(sc.read(spark, isBatchMode), isBatchMode)
+        df.as[IN]
+    }
+
+  /** Untyped source (dynamic-schema pipelines). */
+  def sourceDataFrame(name: String): DataFrame = {
+    val sc = sourceConfigs.getOrElse(name, sys.error(s"unknown source '$name'"))
+    sc.withWatermark(sc.read(spark, isBatchMode), isBatchMode)
+  }
+
+  /** User job dispatch (reference `invoke` is abstract the same way). */
+  def invoke(jobName: String): Unit
+
+  def process(): Unit =
+    config.jobName match {
+      case "help" | "" => help()
+      case j => invoke(j)
+    }
+
+  def help(): Unit = {
+    println(s"Usage: <jobName> [args] [--key value ...]")
+    println(s"sources: ${sourceConfigs.keys.toSeq.sorted.mkString(", ")}")
+    println(s"sinks:   ${sinkConfigs.keys.toSeq.sorted.mkString(", ")}")
+  }
+}

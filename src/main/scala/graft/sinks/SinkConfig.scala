@@ -1,0 +1,166 @@
+package graft.sinks
+
+import graft.runner.GraftConfig
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Config-driven sink ADT (reference model/sink/SinkConfig.scala:70-101).
+  * Each sink writes a DataFrame in batch mode or starts a streaming query.
+  * Side-output sinks are flagged in config and routed by the job
+  * (reference SinkConfig.scala:39-43, StreamJob.scala:322-333).
+  *
+  * Offline scope (SURVEY.md §2.2): file, console(print), memory(test-list),
+  * socket and jdbc are runnable; kafka builds its writer config but needs
+  * the connector jar; cassandra/elasticsearch/kinesis/firehose/rabbitmq/
+  * iceberg are documented gaps.
+  */
+trait SinkConfig {
+  def name: String
+  def isSideOutput: Boolean
+
+  def writeBatch(df: DataFrame): Unit
+  def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery
+}
+
+object SinkConfig {
+
+  def apply(name: String, config: GraftConfig): SinkConfig = {
+    val opts = config.subConfig(s"sinks.$name")
+    val connector = opts.getOrElse("connector", infer(name))
+    val side = opts.get("side.output").exists(_.toBoolean)
+    connector match {
+      case "file" =>
+        FileSinkConfig(name,
+          path = opts.getOrElse("path", sys.error(s"sinks.$name.path required")),
+          format = opts.getOrElse("format", "parquet"),
+          partitionCols = opts.get("partition.by").toSeq.flatMap(_.split(",").map(_.trim)),
+          mode = opts.getOrElse("mode", "append"),
+          options = opts.view.filterKeys(k =>
+            !Set("connector", "path", "format", "partition.by", "mode", "side.output")(k)).toMap,
+          side)
+      case "console" | "print" =>
+        ConsoleSinkConfig(name, opts.getOrElse("num.rows", "20").toInt, side)
+      case "memory" | "test-list" =>
+        MemorySinkConfig(name, side)
+      case "kafka" =>
+        KafkaSinkConfig(name,
+          bootstrapServers = opts.getOrElse("bootstrap.servers", "localhost:9092"),
+          topic = opts.getOrElse("topic", name), side)
+      case "socket" =>
+        SocketSinkConfig(name, opts.getOrElse("host", "localhost"),
+          opts.getOrElse("port", "9999").toInt, side)
+      case "jdbc" =>
+        graft.sinks.JdbcSinkConfig.fromOptions(name, opts, side)
+      case other =>
+        sys.error(s"sink '$name': connector '$other' is out of scope offline " +
+          "(cassandra/elasticsearch/kinesis/firehose/rabbitmq/iceberg — SURVEY.md §2.2)")
+    }
+  }
+
+  private[sinks] def infer(name: String): String = {
+    val n = name.toLowerCase
+    Seq("file", "console", "print", "memory", "kafka", "socket", "jdbc")
+      .find(c => n.contains(c))
+      .getOrElse("console")
+  }
+}
+
+/** File sink with datetime/bucket partitioning (reference
+  * FileSinkConfig.scala:79-261 — bucket assigners map to partition columns;
+  * rolling-on-checkpoint maps to streaming micro-batch file commits). */
+final case class FileSinkConfig(
+    name: String,
+    path: String,
+    format: String,
+    partitionCols: Seq[String],
+    mode: String,
+    options: Map[String, String],
+    isSideOutput: Boolean) extends SinkConfig {
+
+  override def writeBatch(df: DataFrame): Unit = {
+    val w = df.write.format(format).mode(mode).options(options)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
+  }
+
+  override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery = {
+    val w = df.writeStream.format(format).options(options)
+      .option("path", path)
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .trigger(Trigger.AvailableNow())
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
+  }
+}
+
+final case class ConsoleSinkConfig(name: String, numRows: Int, isSideOutput: Boolean)
+    extends SinkConfig {
+  override def writeBatch(df: DataFrame): Unit = df.show(numRows, truncate = false)
+  override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream.format("console").option("numRows", numRows)
+      .option("checkpointLocation", s"$checkpointDir/$name").start()
+}
+
+/** In-JVM collecting sink for assertions (reference
+  * TestListSinkConfig.scala:17-52): batch collects into [[TestSinkRegistry]];
+  * streaming uses the built-in memory sink under the same name. */
+final case class MemorySinkConfig(name: String, isSideOutput: Boolean) extends SinkConfig {
+  override def writeBatch(df: DataFrame): Unit =
+    TestSinkRegistry.put(name, df.collect().toSeq)
+  override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$checkpointDir/$name").start()
+}
+
+object TestSinkRegistry {
+  private val store = new ConcurrentHashMap[String, Seq[Row]]()
+  def put(name: String, rows: Seq[Row]): Unit = store.put(name, rows)
+  def get(name: String): Seq[Row] = Option(store.get(name)).getOrElse(Seq.empty)
+  def clear(): Unit = store.clear()
+  def names: Seq[String] = store.keys().asScala.toSeq
+}
+
+/** Kafka sink: expects key/value columns (reference KafkaSinkConfig.scala —
+  * EOS gap documented: Spark→Kafka is at-least-once; pair with idempotent
+  * consumers keyed on $id). Needs the connector jar at runtime. */
+final case class KafkaSinkConfig(
+    name: String,
+    bootstrapServers: String,
+    topic: String,
+    isSideOutput: Boolean) extends SinkConfig {
+
+  def writerOptions: Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrapServers, "topic" -> topic)
+
+  override def writeBatch(df: DataFrame): Unit =
+    df.write.format("kafka").options(writerOptions).save()
+
+  override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream.format("kafka").options(writerOptions)
+      .option("checkpointLocation", s"$checkpointDir/$name").start()
+}
+
+/** Socket sink: JSON lines over a client TCP connection per micro-batch /
+  * partition (reference SocketSinkConfig.scala:19-121). */
+final case class SocketSinkConfig(name: String, host: String, port: Int, isSideOutput: Boolean)
+    extends SinkConfig {
+
+  private def push(df: DataFrame): Unit = {
+    val rows = df.toJSON.collect()
+    val sock = new java.net.Socket(host, port)
+    try {
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      rows.foreach(out.println)
+      out.flush()
+    } finally sock.close()
+  }
+
+  override def writeBatch(df: DataFrame): Unit = push(df)
+
+  override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .foreachBatch { (batch: DataFrame, _: Long) => push(batch) }
+      .start()
+}

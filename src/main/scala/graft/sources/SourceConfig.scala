@@ -1,0 +1,192 @@
+package graft.sources
+
+import graft.runner.GraftConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Config-driven source ADT — the Spark counterpart of the reference's
+  * SourceConfig dispatch (model/source/SourceConfig.scala:256-296 with
+  * connector inference from the source name,
+  * model/FlinkConnectorName.scala:64-100).
+  *
+  * Each concrete config builds a DataFrame from either `spark.read` (batch)
+  * or `spark.readStream` (streaming) — one declaration, both runtime modes
+  * (the reference's BATCH/STREAMING switch, FlinkConfig.scala:317-327).
+  *
+  * Offline scope (SURVEY.md §2.1): file, socket, rate(generator), memory
+  * (empty/mock) are runnable here; kafka builds its full reader config but
+  * needs the spark-sql-kafka connector jar at runtime; kinesis/rabbitmq/
+  * hybrid/iceberg are documented gaps.
+  */
+sealed trait SourceConfig {
+  def name: String
+
+  /** Per-source watermark: event-time column + max lateness (reference
+    * attaches watermarks at source construction, SourceConfig.scala:68-96). */
+  def watermarkColumn: Option[String]
+  def maxLateness: String
+
+  def read(spark: SparkSession, batchMode: Boolean): DataFrame
+
+  /** Apply the configured watermark in streaming mode. */
+  final def withWatermark(df: DataFrame, batchMode: Boolean): DataFrame =
+    watermarkColumn match {
+      case Some(c) if !batchMode => df.withWatermark(c, maxLateness)
+      case _ => df
+    }
+}
+
+object SourceConfig {
+
+  /** name + config block → concrete source (connector from the `connector`
+    * key or inferred from the name, as the reference does). */
+  def apply(name: String, config: GraftConfig): SourceConfig = {
+    val opts = config.subConfig(s"sources.$name")
+    val connector = opts.getOrElse("connector", infer(name))
+    val wmCol = opts.get("watermark.column")
+    val lateness = opts.getOrElse("max.lateness", "5 minutes")
+    connector match {
+      case "file" =>
+        FileSourceConfig(name,
+          path = opts.getOrElse("path", sys.error(s"sources.$name.path required")),
+          format = opts.getOrElse("format", "parquet"),
+          schemaDdl = opts.get("schema"),
+          options = opts.view.filterKeys(k =>
+            !Set("connector", "path", "format", "schema", "watermark.column", "max.lateness")(k)).toMap,
+          wmCol, lateness)
+      case "socket" =>
+        SocketSourceConfig(name, opts.getOrElse("host", "localhost"),
+          opts.getOrElse("port", "9999").toInt, wmCol, lateness)
+      case "rate" | "generator" =>
+        RateSourceConfig(name,
+          rowsPerSecond = opts.getOrElse("rows.per.second", "100").toLong,
+          numRows = opts.getOrElse("max.rows", "1000").toLong,
+          seed = opts.getOrElse("seed", "42").toLong, wmCol, lateness)
+      case "kafka" =>
+        KafkaSourceConfig(name,
+          bootstrapServers = opts.getOrElse("bootstrap.servers", "localhost:9092"),
+          topics = opts.getOrElse("topics", name),
+          startingOffsets = opts.getOrElse("starting.offsets", "earliest"),
+          endingOffsets = opts.get("ending.offsets"),
+          groupId = opts.get("group.id"), wmCol, lateness)
+      case "memory" | "empty" | "mock" =>
+        MemorySourceConfig(name, wmCol, lateness)
+      case other =>
+        sys.error(s"source '$name': connector '$other' is out of scope offline " +
+          "(kinesis/rabbitmq/hybrid/iceberg — see SURVEY.md §2.1)")
+    }
+  }
+
+  /** Reference-style connector-from-name inference
+    * (FlinkConnectorName.scala:64-100): a name like `my-file-source` or
+    * `kafka_in` implies its connector. */
+  private[sources] def infer(name: String): String = {
+    val n = name.toLowerCase
+    Seq("file", "socket", "rate", "generator", "kafka", "memory", "empty", "mock")
+      .find(c => n.contains(c))
+      .getOrElse("file")
+  }
+}
+
+final case class FileSourceConfig(
+    name: String,
+    path: String,
+    format: String,
+    schemaDdl: Option[String],
+    options: Map[String, String],
+    watermarkColumn: Option[String],
+    maxLateness: String) extends SourceConfig {
+
+  override def read(spark: SparkSession, batchMode: Boolean): DataFrame =
+    if (batchMode) {
+      val r = spark.read.format(format).options(options)
+      schemaDdl.map(s => r.schema(StructType.fromDDL(s))).getOrElse(r).load(path)
+    } else {
+      // streaming file source monitors the directory natively; schema required
+      val r = spark.readStream.format(format).options(options)
+      val withSchema = schemaDdl match {
+        case Some(s) => r.schema(StructType.fromDDL(s))
+        case None => r // json/csv streams need a schema; parquet can infer from existing files only in batch
+      }
+      withSchema.load(path)
+    }
+}
+
+final case class SocketSourceConfig(
+    name: String,
+    host: String,
+    port: Int,
+    watermarkColumn: Option[String],
+    maxLateness: String) extends SourceConfig {
+
+  override def read(spark: SparkSession, batchMode: Boolean): DataFrame = {
+    require(!batchMode, s"socket source '$name' is streaming-only")
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+  }
+}
+
+/** Rate/generator source (reference GeneratorSourceConfig.scala:43-89):
+  * streaming uses the built-in `rate` format; batch generates a bounded
+  * range deterministically from the seed. */
+final case class RateSourceConfig(
+    name: String,
+    rowsPerSecond: Long,
+    numRows: Long,
+    seed: Long,
+    watermarkColumn: Option[String],
+    maxLateness: String) extends SourceConfig {
+
+  override def read(spark: SparkSession, batchMode: Boolean): DataFrame =
+    if (batchMode) {
+      import org.apache.spark.sql.functions._
+      spark.range(numRows).select(
+        timestamp_micros((lit(seed) * 1000000L) + col("id") * (1000000L / math.max(rowsPerSecond, 1L)))
+          .as("timestamp"),
+        col("id").as("value"))
+    } else
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond).load()
+}
+
+/** Kafka source config — builds the full reader; requires the
+  * spark-sql-kafka connector jar at runtime (not in the offline image:
+  * documented gap, reference KafkaSourceConfig.scala:66-199). */
+final case class KafkaSourceConfig(
+    name: String,
+    bootstrapServers: String,
+    topics: String,
+    startingOffsets: String,
+    endingOffsets: Option[String],
+    groupId: Option[String],
+    watermarkColumn: Option[String],
+    maxLateness: String) extends SourceConfig {
+
+  def readerOptions(batchMode: Boolean): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topics,
+      "startingOffsets" -> startingOffsets)
+    val end = if (batchMode) Map("endingOffsets" -> endingOffsets.getOrElse("latest")) else Map.empty
+    val grp = groupId.map(g => Map("kafka.group.id" -> g)).getOrElse(Map.empty)
+    base ++ end ++ grp
+  }
+
+  override def read(spark: SparkSession, batchMode: Boolean): DataFrame = {
+    val opts = readerOptions(batchMode)
+    if (batchMode) spark.read.format("kafka").options(opts).load()
+    else spark.readStream.format("kafka").options(opts).load()
+  }
+}
+
+/** In-memory source: the test default (reference EmptySourceConfig +
+  * CheckResults mock injection, FlinkRunner.scala:220-244). The runner
+  * substitutes CheckResults-provided rows; bare reads yield empty frames. */
+final case class MemorySourceConfig(
+    name: String,
+    watermarkColumn: Option[String],
+    maxLateness: String) extends SourceConfig {
+
+  override def read(spark: SparkSession, batchMode: Boolean): DataFrame =
+    spark.emptyDataFrame
+}

@@ -1,28 +1,55 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import graft.job.StreamJob
+import graft.model.GraftEvent
+import graft.ops.Dedup
+import graft.runner.{GraftConfig, SparkRunner}
+import graft.sinks.TestSinkRegistry
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 
-/** Dev scratchpad — quick local experiments (not part of the library API). */
+/** Dev scratchpad — drives the library through its public surface against
+  * the driver's parquet test data (not part of the library API). */
 object Scratch {
+
+  sealed trait DemoADT extends GraftEvent
+  final case class Ev(id: String, key: String, ts: Long, amount: Double) extends DemoADT {
+    override def $id: String = id
+    override def $key: String = key
+    override def $timestamp: Long = ts
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession
-      .builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val d = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$d/events.parquet")
-    ev.printSchema()
-    import org.apache.spark.sql.functions._
-    val ev2 = ev.withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-    ev2.orderBy("event_id").show(3, truncate = false)
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
-    li.printSchema()
-    li.show(2)
-    spark.stop()
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val conf = GraftConfig(
+      Array("demo"),
+      """runtime.mode = batch
+        |master = local[8]
+        |shuffle.partitions = 8
+        |sources.in-file.path = /root/testdata/sf0.001/lineitem.parquet
+        |sources.in-file.format = parquet
+        |sinks.out-memory.connector = memory
+        |""".stripMargin)
+
+    val runner = new SparkRunner[DemoADT](conf) {
+      override def invoke(jobName: String): Unit =
+        new StreamJob[Ev, DemoADT](this) {
+          override def transform: Dataset[Ev] = {
+            val events = sourceDataFrame("in-file")
+              .selectExpr("concat(l_orderkey, '-', l_linenumber) AS id",
+                "cast(l_suppkey AS string) AS key",
+                "cast(unix_millis(timestamp_micros(0)) + l_orderkey AS long) AS ts",
+                "l_extendedprice AS amount")
+              .as[Ev]
+            Dedup.exact(events)
+          }
+        }.run()
+    }
+    runner.spark.sparkContext.setLogLevel("WARN")
+    runner.process()
+    val rows = TestSinkRegistry.get("out-memory")
+    println(s"[scratch] demo pipeline wrote ${rows.size} rows to memory sink")
+    println(s"[scratch] sample: ${rows.take(3).mkString(" | ")}")
+    assert(rows.nonEmpty, "memory sink empty")
+    runner.spark.stop()
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.model.GraftEvent
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Shared test ADT (mirrors the reference's MySimpleADT fixture shape:
+  * src/test/.../model/MySimpleADT.scala:22-199 — SimpleA/B/C events). */
+sealed trait TestADT extends GraftEvent
+
+final case class SimpleA(id: String, key: String, ts: Long, amount: Double)
+    extends TestADT {
+  override def $id: String = id
+  override def $key: String = key
+  override def $timestamp: Long = ts
+}
+
+final case class SimpleB(id: String, key: String, ts: Long, label: String, count: Long)
+    extends TestADT {
+  override def $id: String = id
+  override def $key: String = key
+  override def $timestamp: Long = ts
+}
+
+/** Control event (active flag drives control-gating). */
+final case class SimpleC(id: String, key: String, ts: Long, activeFlag: Boolean)
+    extends TestADT {
+  override def $id: String = id
+  override def $key: String = key
+  override def $timestamp: Long = ts
+  override def $active: Boolean = activeFlag
+}
+
+/** Shared local SparkSession for specs (one per JVM, like the reference's
+  * MiniCluster reuse; tests run serially in the forked test JVM). */
+trait SparkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSpec.session
+
+  override def afterAll(): Unit = super.afterAll()
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

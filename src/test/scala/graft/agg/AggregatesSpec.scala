@@ -1,0 +1,94 @@
+package graft.agg
+
+import graft.agg.Aggregates._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Goldens ported from the reference aggregate specs (values, not code):
+  * MeanSpec (10,20,75 kg → 35), VarianceSpec (10,20,30,40 → 500/3),
+  * ExponentialMovingAverageSpec (10,20,30 → 26.1),
+  * ExponentialMovingVarianceSpec (10,20,30 → 41.79). */
+class AggregatesSpec extends AnyFlatSpec with Matchers {
+
+  behavior of "StatsBuffer"
+
+  it should "match the reference Mean golden: mean(10,20,75) = 35" in {
+    val b = Seq(10.0, 20.0, 75.0).foldLeft(StatsBuffer.empty)(_.add(_))
+    Stats.of(b).mean shouldBe 35.0 +- 1e-12
+  }
+
+  it should "match the reference Variance golden: var(10,20,30,40) = 500/3 (sample)" in {
+    val b = Seq(10.0, 20.0, 30.0, 40.0).foldLeft(StatsBuffer.empty)(_.add(_))
+    Stats.of(b).variance shouldBe (500.0 / 3.0) +- 1e-9
+    Stats.of(b).stddev shouldBe math.sqrt(500.0 / 3.0) +- 1e-9
+  }
+
+  it should "compute count/sum/min/max/range in one pass" in {
+    val s = Stats.of(Seq(3.0, -1.0, 7.0).foldLeft(StatsBuffer.empty)(_.add(_)))
+    s.count shouldBe 3
+    s.sum shouldBe 9.0
+    s.min shouldBe -1.0
+    s.max shouldBe 7.0
+    s.range shouldBe 8.0
+  }
+
+  it should "merge partials exactly (Chan et al.)" in {
+    val xs = (1 to 100).map(_.toDouble)
+    val whole = xs.foldLeft(StatsBuffer.empty)(_.add(_))
+    val (l, r) = xs.splitAt(37)
+    val merged = l.foldLeft(StatsBuffer.empty)(_.add(_))
+      .merge(r.foldLeft(StatsBuffer.empty)(_.add(_)))
+    Stats.of(merged).mean shouldBe Stats.of(whole).mean +- 1e-9
+    Stats.of(merged).variance shouldBe Stats.of(whole).variance +- 1e-9
+    merged.count shouldBe whole.count
+  }
+
+  behavior of "EmaFamily"
+
+  it should "match the reference EMA golden: ema(10,20,30) = 26.1" in {
+    EmaFamily.fold(Seq(10.0, 20.0, 30.0)).ema shouldBe 26.1 +- 1e-9
+  }
+
+  it should "match the reference EMV golden: emv(10,20,30) = 41.79 (pre-update EMA delta)" in {
+    val s = EmaFamily.fold(Seq(10.0, 20.0, 30.0))
+    s.emv shouldBe 41.79 +- 1e-4
+    s.emsd shouldBe math.sqrt(41.79) +- 1e-4
+  }
+
+  it should "seed with the first value" in {
+    EmaFamily.fold(Seq(42.0)).ema shouldBe 42.0
+    EmaFamily.fold(Seq(42.0)).emv shouldBe 0.0
+  }
+
+  behavior of "MagnitudeBins"
+
+  it should "bin by order of magnitude like the reference Histogram" in {
+    // Reference Histogram.binOf code semantics: magnitude(0.0157) =
+    // floor(log10) = -2 → bin [0.00, 0.10) at %.2f. (The reference's own
+    // doc comment claims [0.01,0.02) but its code computes magnitude -2,
+    // not -3 — we match the code, which is what its pipelines ran.)
+    MagnitudeBins.binOf(0.0157) shouldBe "0.00,0.10"
+    // same-magnitude values share bins; different magnitudes don't
+    MagnitudeBins.binOf(157.0) should not be MagnitudeBins.binOf(15.7)
+    MagnitudeBins.binOf(151.0) shouldBe MagnitudeBins.binOf(159.0)
+  }
+
+  behavior of "UnitKernel"
+
+  it should "convert linear units within a dimension" in {
+    UnitKernel.convert(1500.0, "g", "kg") shouldBe 1.5 +- 1e-12
+    UnitKernel.convert(1.0, "mi", "km") shouldBe 1.609344 +- 1e-9
+    UnitKernel.convert(2.0, "h", "min") shouldBe 120.0 +- 1e-12
+    UnitKernel.convert(1.0, "GiB", "MiB") shouldBe 1024.0 +- 1e-9
+  }
+
+  it should "convert affine temperature units" in {
+    UnitKernel.convert(0.0, "C", "F") shouldBe 32.0 +- 1e-9
+    UnitKernel.convert(100.0, "C", "K") shouldBe 373.15 +- 1e-9
+    UnitKernel.convert(-40.0, "F", "C") shouldBe -40.0 +- 1e-9
+  }
+
+  it should "reject cross-dimension conversion" in {
+    an[IllegalArgumentException] should be thrownBy UnitKernel.convert(1.0, "kg", "m")
+  }
+}

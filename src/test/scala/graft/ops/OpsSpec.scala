@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.{SimpleA, SimpleC, SparkSpec}
+import graft.agg.Aggregates
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaMeta, MediaRecord}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  private implicit def aEnc: Encoder[SimpleA] = Encoders.product[SimpleA]
+  private implicit def cEnc: Encoder[SimpleC] = Encoders.product[SimpleC]
+
+  behavior of "Dedup"
+
+  it should "drop duplicate dedupe ids exactly" in {
+    import spark.implicits._
+    val events = Seq(
+      SimpleA("e1", "k1", 1000L, 1.0),
+      SimpleA("e1", "k1", 1001L, 1.0), // dup id
+      SimpleA("e2", "k1", 1002L, 2.0),
+      SimpleA("e3", "k2", 1003L, 3.0))
+    val out = Dedup.exact(spark.createDataset(events)).collect()
+    out.map(_.id).sorted shouldBe Array("e1", "e2", "e3")
+  }
+
+  it should "dedup with bounded memory through the stable bloom filter" in {
+    val events = (0 until 2000).map(i => SimpleA(s"e${i % 500}", s"k${i % 7}", i.toLong, i.toDouble))
+    val out = Dedup.sbfBatch(spark.createDataset(events), numCells = 1 << 16).collect()
+    // 500 distinct ids; SBF may rarely false-positive-drop but never duplicates
+    out.map(_.id).distinct.length shouldBe out.length
+    out.length should be <= 500
+    out.length.toDouble should be >= 500 * 0.95
+  }
+
+  behavior of "ControlGate (batch)"
+
+  it should "pass data events only while the latest control is active" in {
+    val controls = spark.createDataset(Seq(
+      SimpleC("c1", "k1", 100L, activeFlag = true),
+      SimpleC("c2", "k1", 300L, activeFlag = false),
+      SimpleC("c3", "k2", 100L, activeFlag = false)))
+    val data = spark.createDataset(Seq(
+      SimpleA("d1", "k1", 150L, 1.0), // after activate -> pass
+      SimpleA("d2", "k1", 350L, 2.0), // after deactivate -> drop
+      SimpleA("d3", "k2", 150L, 3.0), // control inactive -> drop
+      SimpleA("d4", "k3", 150L, 4.0))) // no control -> drop
+    val out = ControlGate.gate(controls, data, batchMode = true).collect()
+    out.map(_.id) shouldBe Array("d1")
+  }
+
+  behavior of "Enrichment"
+
+  it should "enrich via a per-executor cached lookup, flatMap semantics" in {
+    Enrichment.clearCaches()
+    val lookup = Enrichment.PreloadedLookup[String, String](Map(
+      "k1" -> Seq("alpha"), "k2" -> Seq("beta", "gamma")))
+    implicit val outEnc: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val events = spark.createDataset(Seq(
+      SimpleA("e1", "k1", 1L, 1.0),
+      SimpleA("e2", "k2", 2L, 2.0),
+      SimpleA("e3", "k-missing", 3L, 3.0)))
+    val out = Enrichment.enrich[SimpleA, String, String, (String, String)](
+      events, "test", _.key, lookup, (e, v) => (e.id, v)).collect().sorted
+    out shouldBe Array("e1" -> "alpha", "e2" -> "beta", "e2" -> "gamma")
+  }
+
+  behavior of "Windows"
+
+  it should "aggregate the commutative family over tumbling windows" in {
+    import spark.implicits._
+    val ds = Seq(
+      ("k1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 10.0),
+      ("k1", java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 20.0),
+      ("k1", java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), 75.0),
+      ("k2", java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 5.0),
+    ).toDF("key", "ts", "v")
+    val out = Windows.tumbling(ds, col("ts"), col("key"), "1 hour", col("v"))
+      .orderBy("key", "window.start")
+      .select("key", "agg_count", "agg_sum", "agg_mean", "agg_min", "agg_max", "agg_range")
+      .collect()
+    out.length shouldBe 3
+    out(0).getLong(1) shouldBe 2 // k1 hour 0: 10,20
+    out(0).getDouble(3) shouldBe 15.0
+    out(1).getDouble(2) shouldBe 75.0 // k1 hour 1
+    out(2).getDouble(6) shouldBe 0.0 // k2 single value range
+  }
+
+  behavior of "StatsAggregator on Datasets"
+
+  it should "compute the reference stats family distributed" in {
+    import spark.implicits._
+    val agg = new Aggregates.StatsAggregator[SimpleA](_.amount)
+    val ds = spark.createDataset(Seq(
+      SimpleA("1", "k1", 1L, 10.0), SimpleA("2", "k1", 2L, 20.0),
+      SimpleA("3", "k1", 3L, 75.0), SimpleA("4", "k2", 4L, 5.0)))
+    val out = ds.groupByKey(_.key).agg(agg.toColumn.name("stats")).collect().toMap
+    out("k1").mean shouldBe 35.0 +- 1e-9 // reference MeanSpec golden
+    out("k1").count shouldBe 3
+    out("k2").range shouldBe 0.0
+  }
+
+  behavior of "Multimodal plumbing"
+
+  it should "extract deterministic features from binary payloads" in {
+    val recs = Seq(
+      MediaRecord(1L, MediaMeta("image", "image/png", 8, 8, 0, 0L),
+        Array.tabulate[Byte](256)(i => i.toByte)),
+      MediaRecord(2L, MediaMeta("audio", "audio/wav", 0, 0, 16000, 1000L),
+        Array.fill[Byte](100)(0)))
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    val out = Multimodal.extractFeatures(spark.createDataset(recs))
+      .collect().sortBy(_.mediaId)
+    out(0).nBytes shouldBe 256
+    out(0).histogram.toSeq shouldBe Seq.fill(16)(16L) // uniform bytes
+    out(0).byteEntropy shouldBe 4.0 +- 1e-9 // log2(16) for uniform 16 buckets
+    out(1).histogram.head shouldBe 100L // all zero bytes in bucket 0
+    out(1).byteEntropy shouldBe 0.0 +- 1e-9
+    out(0).thumbnail.length shouldBe 64
+  }
+
+  it should "keep the media schema binary + typed metadata" in {
+    Multimodal.mediaSchema.fieldNames shouldBe Array("mediaId", "meta", "content")
+    Multimodal.mediaSchema("content").dataType.typeName shouldBe "binary"
+  }
+}

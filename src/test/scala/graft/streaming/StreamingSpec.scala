@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.{SimpleA, SparkSpec}
+import graft.ops.Dedup
+import graft.streaming.EmaState.{EmaOutput, KeyedValue}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming state ops driven through MemoryStream — the Spark
+  * analog of the reference's mock-source streaming tests. */
+class StreamingSpec extends SparkSpec {
+
+  private implicit def aEnc: Encoder[SimpleA] = Encoders.product[SimpleA]
+  private implicit def kvEnc: Encoder[KeyedValue] = Encoders.product[KeyedValue]
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  behavior of "EmaState (keyed streaming EMA family)"
+
+  it should "match the reference EMA/EMV goldens across micro-batches" in {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[KeyedValue]
+    val out = EmaState(input.toDS())
+    val q = out.writeStream.format("memory").queryName("ema_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ema_ck").toString)
+      .start()
+    // two micro-batches: state must carry across them
+    input.addData(KeyedValue("k1", 1L, 10.0), KeyedValue("k1", 2L, 20.0))
+    q.processAllAvailable()
+    input.addData(KeyedValue("k1", 3L, 30.0), KeyedValue("k2", 1L, 5.0))
+    runToCompletion(q)
+    import spark.implicits._
+    val rows = spark.table("ema_out").as[EmaOutput].collect()
+    val k1 = rows.filter(_.key == "k1").maxBy(_.count)
+    k1.count shouldBe 3
+    k1.ema shouldBe 26.1 +- 1e-9 // reference ExponentialMovingAverageSpec
+    k1.emv shouldBe 41.79 +- 1e-4 // reference ExponentialMovingVarianceSpec
+    val k2 = rows.filter(_.key == "k2").maxBy(_.count)
+    k2.ema shouldBe 5.0
+  }
+
+  behavior of "SBF dedup (keyed streaming)"
+
+  it should "drop duplicates across micro-batches with bounded state" in {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[SimpleA]
+    val out = Dedup.sbfStreaming(input.toDS(), numCells = 1 << 14)
+    val q = out.writeStream.format("memory").queryName("sbf_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sbf_ck").toString)
+      .start()
+    input.addData(SimpleA("e1", "k1", 1L, 1.0), SimpleA("e2", "k1", 2L, 2.0))
+    q.processAllAvailable()
+    // e1 repeats in a later micro-batch -> must be dropped by carried state
+    input.addData(SimpleA("e1", "k1", 3L, 1.0), SimpleA("e3", "k1", 4L, 3.0))
+    runToCompletion(q)
+    import spark.implicits._
+    val ids = spark.table("sbf_out").as[SimpleA].collect().map(_.id).sorted
+    ids shouldBe Array("e1", "e2", "e3")
+  }
+}
