@@ -37,6 +37,16 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Table spread across all cores. The driver test tables are single
+    * row-group parquet files, so the scan (and every narrow op after it)
+    * would otherwise run on ONE core — for compute-heavy per-row work
+    * (hashing, regex, vector folds) an explicit round-robin repartition
+    * buys full parallelism at the cost of one small exchange. At production
+    * scale inputs arrive as many files/row-groups and this is a no-op
+    * concern, but the same call protects against single-huge-file inputs. */
+  def tPar(spark: SparkSession, dir: String, name: String): DataFrame =
+    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** events table with DuckDB-equivalent timestamp semantics:
     * `ts_us` — epoch micros (long), floor(ns/1000), identical to DuckDB's
     *           TIMESTAMP view of the nanos column;

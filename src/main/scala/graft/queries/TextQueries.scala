@@ -64,7 +64,7 @@ object TextQueries {
   /** Token counting: whitespace tokens + BPE-ish regex tokens
     * (letter runs | digit runs | single punct). */
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    tPar(s, dir, "documents")
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(lower(col("text")),
@@ -85,7 +85,7 @@ object TextQueries {
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
     val words = wordsOf(normCol(col("text")))
-    t(s, dir, "documents")
+    tPar(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(words).cast("long").as("n_words"),
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_alpha"),
@@ -124,7 +124,7 @@ object TextQueries {
       "s_es" -> Seq("el", "los", "que", "por", "con"),
       "s_fr" -> Seq("le", "les", "et", "des", "une"))
     val words = array_distinct(wordsOf(normCol(col("text"))))
-    val base = t(s, dir, "documents").select(
+    val base = tPar(s, dir, "documents").select(
       col("doc_id") +: col("lang") +:
         markers.map { case (n, ws) =>
           size(array_intersect(words, array(ws.map(lit): _*))).cast("long").as(n)
@@ -160,7 +160,7 @@ object TextQueries {
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val norm = normCol(col("text"))
     val words = wordsOf(norm)
-    t(s, dir, "documents")
+    tPar(s, dir, "documents")
       .select(col("doc_id"),
         md5(norm).as("fp_md5"),
         aggregate(
@@ -180,7 +180,7 @@ object TextQueries {
 
   /** Exact dedup: group by content hash, keep canonical min doc_id. */
   def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    tPar(s, dir, "documents")
       .select(md5(normCol(col("text"))).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
@@ -198,7 +198,7 @@ object TextQueries {
   /** doc_id → distinct 3-shingle hash set. */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
     val norm = normCol(col("text"))
-    t(s, dir, "documents")
+    tPar(s, dir, "documents")
       .select(col("doc_id"), norm.as("norm"))
       .select(col("doc_id"), wordsOf(col("norm")).as("words"), col("norm"))
       .select(col("doc_id"),
@@ -269,7 +269,7 @@ object TextQueries {
     * iff the ±1 vote sum over distinct words is > 0. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wh = t(s, dir, "documents")
+    val wh = tPar(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(wordsOf(normCol(col("text"))))).as("w"))
       .select(col("doc_id"),
@@ -329,7 +329,7 @@ object TextQueries {
     * similar same-language pairs (brute-force oracle for the LSH path). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val norm = normCol(col("text"))
-    val bg = t(s, dir, "documents")
+    val bg = tPar(s, dir, "documents")
       .select(col("doc_id"), col("lang"), norm.as("norm"))
       .select(col("doc_id"), col("lang"),
         array_distinct(shinglesOf(wordsOf(col("norm")), col("norm"), 2)).as("bg"))

@@ -1,55 +1,46 @@
 package graft.tools
 
-import graft.job.StreamJob
-import graft.model.GraftEvent
-import graft.ops.Dedup
-import graft.runner.{GraftConfig, SparkRunner}
-import graft.sinks.TestSinkRegistry
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.SparkSession
 
-/** Dev scratchpad — drives the library through its public surface against
-  * the driver's parquet test data (not part of the library API). */
+/** Dev scratchpad — quick local experiments (not part of the library API). */
 object Scratch {
-
-  sealed trait DemoADT extends GraftEvent
-  final case class Ev(id: String, key: String, ts: Long, amount: Double) extends DemoADT {
-    override def $id: String = id
-    override def $key: String = key
-    override def $timestamp: Long = ts
-  }
-
   def main(args: Array[String]): Unit = {
-    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
-    val conf = GraftConfig(
-      Array("demo"),
-      """runtime.mode = batch
-        |master = local[8]
-        |shuffle.partitions = 8
-        |sources.in-file.path = /root/testdata/sf0.001/lineitem.parquet
-        |sources.in-file.format = parquet
-        |sinks.out-memory.connector = memory
-        |""".stripMargin)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
 
-    val runner = new SparkRunner[DemoADT](conf) {
-      override def invoke(jobName: String): Unit =
-        new StreamJob[Ev, DemoADT](this) {
-          override def transform: Dataset[Ev] = {
-            val events = sourceDataFrame("in-file")
-              .selectExpr("concat(l_orderkey, '-', l_linenumber) AS id",
-                "cast(l_suppkey AS string) AS key",
-                "cast(unix_millis(timestamp_micros(0)) + l_orderkey AS long) AS ts",
-                "l_extendedprice AS amount")
-              .as[Ev]
-            Dedup.exact(events)
-          }
-        }.run()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    runner.spark.sparkContext.setLogLevel("WARN")
-    runner.process()
-    val rows = TestSinkRegistry.get("out-memory")
-    println(s"[scratch] demo pipeline wrote ${rows.size} rows to memory sink")
-    println(s"[scratch] sample: ${rows.take(3).mkString(" | ")}")
-    assert(rows.nonEmpty, "memory sink empty")
-    runner.spark.stop()
+
+    // warm-up
+    graft.queries.CoreQueries.pricingSummary(spark, dir).count()
+
+    import org.apache.spark.sql.functions._
+    time("plain count lineitem") { spark.read.parquet(s"$dir/lineitem.parquet").count() }
+    time("trivial groupBy") {
+      spark.read.parquet(s"$dir/lineitem.parquet").groupBy("l_returnflag").count().count()
+    }
+    time("trivial groupBy again") {
+      spark.read.parquet(s"$dir/lineitem.parquet").groupBy("l_linestatus").count().count()
+    }
+    (1 to 4).foreach { i =>
+      time(s"region_revenue #$i") { graft.queries.CoreQueries.regionRevenue(spark, dir).count() }
+    }
+    time("region_rev no-broadcast-hint") {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      li.join(spark.read.parquet(s"$dir/supplier.parquet"), col("l_suppkey") === col("s_suppkey"))
+        .join(spark.read.parquet(s"$dir/nation.parquet"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").count().count()
+    }
+    spark.stop()
   }
 }
