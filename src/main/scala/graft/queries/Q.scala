@@ -34,8 +34,10 @@ object Q {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // idempotent, cheap
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Table spread across all cores. The driver test tables are single
     * row-group parquet files, so the scan (and every narrow op after it)

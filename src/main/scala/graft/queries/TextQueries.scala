@@ -34,12 +34,12 @@ object TextQueries {
 
   private def wordsOf(norm: Column): Column = split(norm, " ")
 
-  /** Polynomial codepoint hash: fold(base*acc + ascii(ch)) mod p. */
+  /** Polynomial codepoint hash: fold(base*acc + ascii(ch)) mod p, as the
+    * native codegen'd expression (graft.functions.PolyHash) — bit-identical
+    * to the ascii()/list_reduce fold on the normalized ASCII inputs, with
+    * no per-char array materialization. */
   private def polyHash(w: Column, base: Long, p: Long): Column =
-    aggregate(
-      transform(split(w, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (a, c) => (a * lit(base) + c) % lit(p))
+    call_function("graft_poly_hash", w, lit(base), lit(p))
 
   /** Word k-shingles as space-joined strings ([norm] when too short). */
   private def shinglesOf(words: Column, norm: Column, k: Int): Column =

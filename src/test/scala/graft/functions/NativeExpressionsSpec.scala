@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NativeExpressionsSpec extends SparkSpec {
+
+  behavior of "PolyHash native expression"
+
+  it should "match the ascii-fold HOF bit-for-bit on ASCII strings" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val words = Seq("hello world", "a", "", "spark graft engine", "12 34 xy")
+    val df = words.toDF("w")
+    val out = df.select(
+      call_function("graft_poly_hash", col("w"), lit(31L), lit(1000000007L)).as("native"),
+      aggregate(
+        transform(split(col("w"), ""), ch => ascii(ch).cast("long")),
+        lit(0L), (a, c) => (a * lit(31L) + c) % lit(1000000007L)).as("hof"))
+      .collect()
+    out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
+  it should "be null-safe and SQL-callable" in {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_poly_hash(CAST(NULL AS STRING), 31, 1000000007) n, graft_poly_hash('abc', 31, 1000000007) v")
+      .head()
+    r.isNullAt(0) shouldBe true
+    // h('abc') = ((0*31+97)*31+98)*31+99 mod p
+    r.getLong(1) shouldBe ((97L * 31 + 98) * 31 + 99) % 1000000007L
+  }
+
+  it should "participate in whole-stage codegen" in {
+    GraftFunctions.register(spark)
+    // a range source keeps the projection out of ConvertToLocalRelation
+    val df = spark.range(100).select(
+      call_function("graft_poly_hash", col("id").cast("string"), lit(31L), lit(97L)).as("h"))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the simple plan string
+    df.queryExecution.executedPlan.toString should include("*(1) Project [graft_poly_hash")
+    df.agg(sum("h")).head().getLong(0) should be > 0L // executes the generated code
+  }
+
+  behavior of "DotProduct native expression"
+
+  it should "match the zip_with/aggregate fold bit-for-bit" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.5, -2.25, 3.125), Seq(0.5, 4.0, -1.0)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1))).toDF("a", "b")
+    val out = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("hof"))
+      .collect()
+    out.foreach(r => java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+      java.lang.Double.doubleToLongBits(r.getDouble(1)))
+  }
+
+  it should "implicitly cast float arrays to double arrays" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1.5f, 2.5f), Seq(2.0f, 4.0f))).toDF("a", "b")
+    df.select(call_function("graft_dot", col("a"), col("b")))
+      .head().getDouble(0) shouldBe 13.0
+  }
+}
