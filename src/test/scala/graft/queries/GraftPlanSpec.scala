@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions for the 100 TB design goals: predicate pushdown
+  * and column pruning reach the parquet scan, small dimensions broadcast,
+  * aggregation is partial (map-side combine), hot paths stay inside
+  * whole-stage codegen, and the near-dup/ANN scale paths never degenerate
+  * into cartesian products.
+  */
+class GraftPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  behavior of "scan pushdown and pruning"
+
+  it should "push the shipdate predicate into the parquet scan (Q6 shape)" in {
+    val plan = planOf(CoreQueries.selectiveRevenue(spark, dir))
+    plan should include("PushedFilters: [")
+    plan should include("l_shipdate") // predicate reached the scan
+  }
+
+  it should "prune columns to the projection (no full-width scan)" in {
+    val plan = planOf(CoreQueries.selectiveRevenue(spark, dir))
+    // ReadSchema must not include unused wide columns
+    plan should include("ReadSchema")
+    plan should not include "l_partkey"
+    plan should not include "l_returnflag"
+  }
+
+  behavior of "join strategies"
+
+  it should "broadcast the dimension tables in the star join" in {
+    val plan = planOf(CoreQueries.regionRevenue(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  behavior of "aggregation"
+
+  it should "use partial (map-side) aggregation for the agg family" in {
+    val plan = planOf(CoreQueries.pricingSummary(spark, dir))
+    // two HashAggregate nodes = partial + final (codegen participation is
+    // asserted in NativeExpressionsSpec; AQE's non-final plan string hides
+    // the *(n) markers here)
+    "HashAggregate".r.findAllIn(plan).length should be >= 2
+  }
+
+  behavior of "near-dup / ANN scale paths"
+
+  it should "generate MinHash candidates via an equi-join, not a cross join" in {
+    val plan = planOf(TextQueries.minhashPairs(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "bucket the LSH ANN search through an equi-join" in {
+    val plan = planOf(VectorQueries.annLsh(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  it should "run the as-of join as one windowed pass, not a range join" in {
+    val plan = planOf(JoinQueries.asofControl(spark, dir))
+    plan should include("Window ")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+}
