@@ -61,7 +61,11 @@ object SourceConfig {
         RateSourceConfig(name,
           rowsPerSecond = opts.getOrElse("rows.per.second", "100").toLong,
           numRows = opts.getOrElse("max.rows", "1000").toLong,
-          seed = opts.getOrElse("seed", "42").toLong, wmCol, lateness)
+          seed = opts.getOrElse("seed", "42").toLong,
+          timeStepMs = opts.getOrElse("time.step.ms", "1000").toLong,
+          outOfOrderProb = opts.getOrElse("out.of.order.prob", "0.0").toDouble,
+          nullProb = opts.getOrElse("null.prob", "0.0").toDouble,
+          wmCol, lateness)
       case "kafka" =>
         KafkaSourceConfig(name,
           bootstrapServers = opts.getOrElse("bootstrap.servers", "localhost:9092"),
@@ -126,24 +130,39 @@ final case class SocketSourceConfig(
   }
 }
 
-/** Rate/generator source (reference GeneratorSourceConfig.scala:43-89):
-  * streaming uses the built-in `rate` format; batch generates a bounded
-  * range deterministically from the seed. */
+/** Rate/generator source (reference GeneratorSourceConfig.scala:43-89 +
+  * GeneratorConfig: rows/sec, max rows, seed, time step, out-of-order and
+  * null probabilities): streaming uses the built-in `rate` format; batch
+  * generates a bounded, fully deterministic event frame — probabilities are
+  * driven by xxhash64(id, seed) rather than rand() so the output is
+  * identical regardless of partitioning. */
 final case class RateSourceConfig(
     name: String,
     rowsPerSecond: Long,
     numRows: Long,
     seed: Long,
+    timeStepMs: Long,
+    outOfOrderProb: Double,
+    nullProb: Double,
     watermarkColumn: Option[String],
     maxLateness: String) extends SourceConfig {
 
   override def read(spark: SparkSession, batchMode: Boolean): DataFrame =
     if (batchMode) {
       import org.apache.spark.sql.functions._
-      spark.range(numRows).select(
-        timestamp_micros((lit(seed) * 1000000L) + col("id") * (1000000L / math.max(rowsPerSecond, 1L)))
-          .as("timestamp"),
-        col("id").as("value"))
+      val oooThreshold = (outOfOrderProb * 1000000L).toLong
+      val nullThreshold = (nullProb * 1000000L).toLong
+      def die(salt: Int) = pmod(xxhash64(col("id"), lit(seed), lit(salt)), lit(1000000L))
+      // out-of-order rows jump back up to 5 steps; null rows drop the value
+      spark.range(numRows)
+        .withColumn("jitter",
+          when(die(1) < oooThreshold, (die(2) % 5L + 1L) * timeStepMs).otherwise(0L))
+        .select(
+          timestamp_millis(lit(seed * 1000L) + col("id") * timeStepMs - col("jitter"))
+            .as("timestamp"),
+          when(die(3) < nullThreshold, lit(null).cast("long"))
+            .otherwise(col("id")).as("value"),
+          col("id").as("seq"))
     } else
       spark.readStream.format("rate")
         .option("rowsPerSecond", rowsPerSecond).load()

@@ -1,0 +1,69 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+import scala.jdk.CollectionConverters._
+
+/** Streaming metrics (reference util/MetricUtils.scala:17-152 — counters/
+  * meters/gauges with label maps over dropwizard): in Spark the idiomatic
+  * source of truth is the StreamingQueryListener progress stream; this
+  * listener aggregates per-query counters (rows in/processed, batches,
+  * state rows, last rates) that jobs and tests can read without scraping
+  * logs. Register once per session via [[GraftMetrics.register]].
+  */
+final class GraftMetrics extends StreamingQueryListener {
+
+  final case class QueryStats(
+      batches: LongAdder = new LongAdder,
+      inputRows: LongAdder = new LongAdder,
+      stateRows: java.util.concurrent.atomic.AtomicLong = new java.util.concurrent.atomic.AtomicLong,
+      lastInputRate: java.util.concurrent.atomic.AtomicLong = new java.util.concurrent.atomic.AtomicLong,
+      lastProcRate: java.util.concurrent.atomic.AtomicLong = new java.util.concurrent.atomic.AtomicLong)
+
+  private val stats = new ConcurrentHashMap[String, QueryStats]()
+
+  private def statsFor(name: String): QueryStats =
+    stats.computeIfAbsent(name, _ => QueryStats())
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    statsFor(Option(event.name).getOrElse(event.id.toString))
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    val s = statsFor(Option(p.name).getOrElse(p.id.toString))
+    s.batches.increment()
+    s.inputRows.add(p.numInputRows)
+    s.lastInputRate.set(p.inputRowsPerSecond.toLong)
+    s.lastProcRate.set(p.processedRowsPerSecond.toLong)
+    val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+    s.stateRows.set(stateRows)
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryIdle(event: QueryIdleEvent): Unit = ()
+
+  def snapshot: Map[String, (Long, Long, Long)] =
+    stats.asScala.map { case (n, s) =>
+      n -> ((s.batches.sum(), s.inputRows.sum(), s.stateRows.get()))
+    }.toMap
+
+  def batches(query: String): Long = statsFor(query).batches.sum()
+  def inputRows(query: String): Long = statsFor(query).inputRows.sum()
+  def stateRowsTotal(query: String): Long = statsFor(query).stateRows.get()
+}
+
+object GraftMetrics {
+  private val registered = new ConcurrentHashMap[SparkSession, GraftMetrics]()
+
+  /** Idempotent per-session listener registration. */
+  def register(spark: SparkSession): GraftMetrics =
+    registered.computeIfAbsent(spark, s => {
+      val m = new GraftMetrics
+      s.streams.addListener(m)
+      m
+    })
+}
