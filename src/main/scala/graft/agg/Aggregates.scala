@@ -141,8 +141,12 @@ object Aggregates {
       val pow = math.pow(10, mag.toDouble)
       val min = math.floor(d / pow) * pow
       val max = math.ceil(d / pow) * pow
+      // deviation from the reference: its format string for magnitude 0
+      // (values in [1,10)) is "%0f", which throws MissingFormatWidthException
+      // on the JVM — bins there use integer bounds instead
       val fs =
-        if (abs < 8) {
+        if (abs == 0) "%.0f,%.0f"
+        else if (abs < 8) {
           val f = s"%${if (sign < 0) "." else ""}$abs${if (sign > 0) ".0" else ""}f"
           s"$f,$f"
         } else "%e,%e"

@@ -102,6 +102,32 @@ class OpsSpec extends SparkSpec {
     out("k2").range shouldBe 0.0
   }
 
+  it should "convert units per event before aggregating (unit-aware stats)" in {
+    import spark.implicits._
+    // mixed g/kg masses aggregate in kg (reference UnitMapper semantics)
+    val agg = new Aggregates.UnitStatsAggregator[(String, Double, String)](
+      t => (t._2, t._3), targetUnit = "kg")
+    val ds = spark.createDataset(Seq(
+      ("k1", 10.0, "kg"), ("k1", 20000.0, "g"), ("k1", 75.0, "kg")))
+    val out = ds.groupByKey(_._1).agg(agg.toColumn.name("stats")).collect().toMap
+    out("k1").mean shouldBe 35.0 +- 1e-9 // MeanSpec golden with 20000 g = 20 kg
+    out("k1").max shouldBe 75.0
+  }
+
+  it should "histogram magnitude bins and percentages as Aggregators" in {
+    import spark.implicits._
+    val hist = new Aggregates.HistogramAggregator[Double](identity)
+    val ds = spark.createDataset(Seq(1.5, 1.7, 15.5, 151.0, 155.0))
+    val bins = ds.groupByKey(_ => "all").agg(hist.toColumn.name("h")).collect().head._2
+    bins.values.sum shouldBe 5L
+    bins(Aggregates.MagnitudeBins.binOf(151.0)) shouldBe 2L // 151 and 155 share [150,160)
+
+    val pct = new Aggregates.PercentageAggregator[Double](identity, base = 86400.0)
+    val p = spark.createDataset(Seq(43200.0)).groupByKey(_ => "d")
+      .agg(pct.toColumn.name("p")).collect().head._2
+    p shouldBe 50.0 +- 1e-9 // reference PercentageTest golden
+  }
+
   behavior of "Multimodal plumbing"
 
   it should "extract deterministic features from binary payloads" in {
