@@ -1,0 +1,41 @@
+package graft.agg
+
+import graft.algorithm.HyperLogLog
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Sketch-backed Aggregators: the ported algorithms surfaced as typed Spark
+  * aggregates (mergeable buffers → map-side partials + exact distributed
+  * merge, the property the reference's Aggregate.merge left unimplemented —
+  * Aggregate.scala:42 is `???`).
+  */
+object SketchAggregators {
+
+  /** Distinct-count estimate via the HyperLogLog port. Buffer is the raw
+    * register array (merge = register-wise max). For production pipelines
+    * Spark's approx_count_distinct (HLL++) is the default; this exists for
+    * reference-compatible behavior and custom precision control. */
+  class HllAggregator[IN](key: IN => String, b: Int = 12)
+      extends Aggregator[IN, Array[Byte], Long] {
+
+    override def zero: Array[Byte] = new Array[Byte](1 << b)
+
+    override def reduce(buf: Array[Byte], a: IN): Array[Byte] = {
+      val h = HyperLogLog.fromBytes(b, buf)
+      h.add(key(a))
+      h.toBytes
+    }
+
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      val m = HyperLogLog.fromBytes(b, x)
+      m.merge(HyperLogLog.fromBytes(b, y))
+      m.toBytes
+    }
+
+    override def finish(buf: Array[Byte]): Long =
+      HyperLogLog.fromBytes(b, buf).estimate
+
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+}

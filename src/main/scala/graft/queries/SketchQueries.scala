@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.agg.SketchAggregators.HllAggregator
+import graft.model.GraftEvent
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Sketch/approximate operators at the query surface (rows-only checks: the
+  * estimates are engine-local by construction — HLL++ in Spark, our HLL and
+  * SBF ports — so no DuckDB hash-match is possible; exact-twin queries
+  * (`core_distinct_counts`, `ev_dedup_exact`) cover the same semantics
+  * exactly, and the unit specs bound the sketch error).
+  */
+object SketchQueries {
+
+  /** Typed adapter for the events table (the GraftEvent view of driver
+    * data — exercises the engine's typed API over real parquet). */
+  final case class EventRow(
+      event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double) extends GraftEvent {
+    override def $id: String = event_id.toString
+    override def $key: String = user_id.toString
+    override def $timestamp: Long = ts_us / 1000L
+    override def $dedupeId: String = s"$user_id:$event_type:${math.round(value * 100)}"
+  }
+
+  private def typedEvents(s: SparkSession, dir: String) = {
+    implicit val enc: Encoder[EventRow] = Encoders.product[EventRow]
+    events(s, dir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventRow]
+  }
+
+  /** Distinct users per event type three ways: exact, Spark HLL++, and the
+    * ported HyperLogLog Aggregator — one pass each, mergeable partials. */
+  def hllUsers(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[EventRow] = Encoders.product[EventRow]
+    import s.implicits._
+    val hll = new HllAggregator[EventRow](_.user_id.toString, b = 12)
+    val ported = typedEvents(s, dir)
+      .groupByKey(_.event_type)
+      .agg(hll.toColumn.name("hll_port"))
+      .toDF("event_type", "hll_port")
+    val builtins = events(s, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("hllpp_users"))
+    builtins.join(ported, "event_type").orderBy("event_type")
+  }
+
+  /** Bounded-memory SBF dedup over the typed stream — approximate twin of
+    * `ev_dedup_exact` (reference SBFDeduplicationFilter semantics). */
+  def sbfDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[EventRow] = Encoders.product[EventRow]
+    Dedup.sbfBatch(typedEvents(s, dir), numCells = 1 << 20)
+      .toDF()
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "sk_hll_users" -> (hllUsers _),
+    "sk_sbf_dedup" -> (sbfDedup _),
+  )
+
+  /** Rows-only (see object doc). */
+  val oracle: Map[String, String] = Map.empty
+}

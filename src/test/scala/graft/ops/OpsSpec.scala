@@ -128,6 +128,16 @@ class OpsSpec extends SparkSpec {
     p shouldBe 50.0 +- 1e-9 // reference PercentageTest golden
   }
 
+  it should "estimate distinct counts with the HLL Aggregator within rsd bounds" in {
+    import spark.implicits._
+    val hll = new graft.agg.SketchAggregators.HllAggregator[(String, Long)](_._2.toString, b = 12)
+    val n = 5000
+    val ds = spark.createDataset((0 until n * 3).map(i => ("k", (i % n).toLong)))
+      .repartition(8) // force partial buffers + merges
+    val est = ds.groupByKey(_._1).agg(hll.toColumn.name("est")).collect().head._2
+    est.toDouble shouldBe n.toDouble +- n * 0.06
+  }
+
   behavior of "Multimodal plumbing"
 
   it should "extract deterministic features from binary payloads" in {
