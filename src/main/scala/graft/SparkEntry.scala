@@ -21,12 +21,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ JoinQueries.queries ++ SketchQueries.queries
+    CoreQueries.queries ++ CoreQueries2.queries ++ EventQueries.queries ++
+      TextQueries.queries ++ VectorQueries.queries ++ JoinQueries.queries ++
+      SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ EventQueries.oracle ++ TextQueries.oracle ++
-      VectorQueries.oracle ++ JoinQueries.oracle
+    CoreQueries.oracle ++ CoreQueries2.oracle ++ EventQueries.oracle ++
+      TextQueries.oracle ++ VectorQueries.oracle ++ JoinQueries.oracle
 }

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Second batch of relational coverage: CUBE grouping sets, ordered string
+  * aggregation, array aggregation, exact percentiles. */
+object CoreQueries2 {
+
+  /** CUBE over region×nation (all four grouping sets). SQL-expressed like
+    * rollupAcctBal (Dataset.cube trips the same ambiguity check). */
+  def cubeAcctBal(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rkey"), col("n_name").as("nkey"),
+        cents(col("c_acctbal")).as("bal"))
+      .createOrReplaceTempView("graft_cust_geo_cube")
+    s.sql(
+      """SELECT rkey AS r_name, nkey AS n_name, count(*) AS cnt, sum(bal) AS bal_c
+        |FROM graft_cust_geo_cube GROUP BY CUBE(rkey, nkey)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  val cubeAcctBalSql: String =
+    """SELECT r_name, n_name, count(*) cnt,
+      |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) bal_c
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** Ordered string aggregation of the distinct priorities per status. */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .groupBy("o_orderstatus")
+      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  val stringAggSql: String =
+    """WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders),
+      |a AS (SELECT o_orderstatus,
+      |             string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) priorities
+      |      FROM d GROUP BY 1),
+      |c AS (SELECT o_orderstatus, count(*) cnt FROM orders GROUP BY 1)
+      |SELECT a.o_orderstatus, a.priorities, c.cnt
+      |FROM a JOIN c ON a.o_orderstatus = c.o_orderstatus
+      |ORDER BY a.o_orderstatus""".stripMargin
+
+  /** Array aggregation: sorted distinct status set per customer. */
+  def arrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  val arrayAggSql: String =
+    """WITH d AS (SELECT DISTINCT o_custkey, o_orderstatus FROM orders),
+      |a AS (SELECT o_custkey, list(o_orderstatus ORDER BY o_orderstatus) statuses
+      |      FROM d GROUP BY 1),
+      |c AS (SELECT o_custkey, count(*) n_orders FROM orders GROUP BY 1)
+      |SELECT a.o_custkey, a.statuses, c.n_orders
+      |FROM a JOIN c ON a.o_custkey = c.o_custkey
+      |ORDER BY a.o_custkey""".stripMargin
+
+  /** Exact interpolated percentiles over integer cents (Spark `percentile`
+    * vs DuckDB `quantile_cont` — both interpolate on the sorted values). */
+  def medianPrices(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(c, 0.5)").as("median_c"),
+        expr("percentile(c, 0.9)").as("p90_c"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  val medianPricesSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) median_c,
+      |       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) p90_c,
+      |       count(*) cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "core_cube_acctbal" -> (cubeAcctBal _),
+    "core_string_agg" -> (stringAgg _),
+    "core_array_agg" -> (arrayAgg _),
+    "core_median_prices" -> (medianPrices _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "core_cube_acctbal" -> cubeAcctBalSql,
+    "core_string_agg" -> stringAggSql,
+    "core_array_agg" -> arrayAggSql,
+    "core_median_prices" -> medianPricesSql,
+  )
+}
