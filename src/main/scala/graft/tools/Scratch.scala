@@ -1,46 +1,46 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Dev scratchpad — quick local experiments (not part of the library API). */
 object Scratch {
+  final case class Ev(id: String, key: String, ts: Long, amount: Double)
+      extends graft.model.GraftEvent {
+    override def $id: String = id
+    override def $key: String = key
+    override def $timestamp: Long = ts
+    override def $dedupeId: String = id
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
-
-    // warm-up
-    graft.queries.CoreQueries.pricingSummary(spark, dir).count()
-
-    import org.apache.spark.sql.functions._
-    time("plain count lineitem") { spark.read.parquet(s"$dir/lineitem.parquet").count() }
-    time("trivial groupBy") {
-      spark.read.parquet(s"$dir/lineitem.parquet").groupBy("l_returnflag").count().count()
-    }
-    time("trivial groupBy again") {
-      spark.read.parquet(s"$dir/lineitem.parquet").groupBy("l_linestatus").count().count()
-    }
-    (1 to 4).foreach { i =>
-      time(s"region_revenue #$i") { graft.queries.CoreQueries.regionRevenue(spark, dir).count() }
-    }
-    time("region_rev no-broadcast-hint") {
-      val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      li.join(spark.read.parquet(s"$dir/supplier.parquet"), col("l_suppkey") === col("s_suppkey"))
-        .join(spark.read.parquet(s"$dir/nation.parquet"), col("s_nationkey") === col("n_nationkey"))
-        .groupBy("n_name").count().count()
-    }
+    implicit val enc = Encoders.product[Ev]
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = graft.streaming.TtlDedup(input.toDS(), null)
+    val q = out.writeStream.format("memory").queryName("ttl_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ttl_ck").toString)
+      .start()
+    input.addData(Ev("e1", "k", 1L, 1.0), Ev("e2", "k", 2L, 2.0), Ev("e1", "k", 3L, 1.0))
+    println("[scratch] processing batch 1...")
+    q.processAllAvailable()
+    println("[scratch] batch 1 done")
+    input.addData(Ev("e1", "k", 4L, 1.0), Ev("e3", "k", 5L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ttl_out").collect().map(_.getString(0)).sorted
+    println(s"[scratch] deduped ids: ${ids.mkString(",")}")
     spark.stop()
   }
 }

@@ -45,6 +45,41 @@ class StreamingSpec extends SparkSpec {
     k2.ema shouldBe 5.0
   }
 
+  behavior of "TtlDedup (transformWithState, Spark 4 state API)"
+
+  it should "dedup across micro-batches with RocksDB transformWithState state" in {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[SimpleA]
+      // null TTL => TimeMode.None: data-triggered batches only, so the
+      // drain-and-stop test terminates (TTL needs ProcessingTime timer
+      // batches — production-stream mode; see TtlDedup doc)
+      val out = TtlDedup(input.toDS(), null)
+      val q = out.writeStream.format("memory").queryName("ttl_out")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ttl_ck").toString)
+        .start()
+      input.addData(SimpleA("e1", "k1", 1L, 1.0), SimpleA("e2", "k1", 2L, 2.0),
+        SimpleA("e1", "k1", 3L, 1.0)) // in-batch duplicate
+      q.processAllAvailable()
+      input.addData(SimpleA("e1", "k1", 4L, 1.0), SimpleA("e3", "k2", 5L, 3.0)) // cross-batch dup
+      q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      val ids = spark.table("ttl_out").as[SimpleA].collect().map(_.id).sorted
+      ids shouldBe Array("e1", "e2", "e3")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   behavior of "SBF dedup (keyed streaming)"
 
   it should "drop duplicates across micro-batches with bounded state" in {
