@@ -87,11 +87,30 @@ object CoreQueries2 {
       |       count(*) cnt
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Left-outer join with null-preserving aggregation: order counts per
+    * customer including customers with no orders. */
+  def leftJoinOrderCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"), // count skips nulls -> 0 for orderless
+        coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("spend_c"))
+      .orderBy("c_custkey")
+
+  val leftJoinOrderCountsSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |       count(o_orderkey) n_orders,
+      |       CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) spend_c
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "core_cube_acctbal" -> (cubeAcctBal _),
     "core_string_agg" -> (stringAgg _),
     "core_array_agg" -> (arrayAgg _),
     "core_median_prices" -> (medianPrices _),
+    "core_left_join_counts" -> (leftJoinOrderCounts _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -99,5 +118,6 @@ object CoreQueries2 {
     "core_string_agg" -> stringAggSql,
     "core_array_agg" -> arrayAggSql,
     "core_median_prices" -> medianPricesSql,
+    "core_left_join_counts" -> leftJoinOrderCountsSql,
   )
 }
