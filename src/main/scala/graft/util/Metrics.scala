@@ -41,7 +41,17 @@ final class GraftMetrics extends StreamingQueryListener {
     s.lastProcRate.set(p.processedRowsPerSecond.toLong)
     val stateRows = p.stateOperators.map(_.numRowsTotal).sum
     s.stateRows.set(stateRows)
+    // watermark position (the BoundedLatenessGenerator stats analog,
+    // reference util/BoundedLatenessGenerator.scala:44-110)
+    Option(p.eventTime.get("watermark")).foreach { wm =>
+      watermarks.put(Option(p.name).getOrElse(p.id.toString), wm)
+    }
   }
+
+  private val watermarks = new ConcurrentHashMap[String, String]()
+
+  /** Last observed watermark (ISO instant) per query. */
+  def lastWatermark(query: String): Option[String] = Option(watermarks.get(query))
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
   override def onQueryIdle(event: QueryIdleEvent): Unit = ()
