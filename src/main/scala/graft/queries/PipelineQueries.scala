@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** The composite training-corpus cleaning pipeline — the north-star shape,
+  * oracle-checked end to end: quality filter → exact dedup (md5, keep min
+  * doc_id) → MinHash-LSH near-dup removal (drop the younger doc of any
+  * candidate pair with Jaccard ≥ threshold) → surviving corpus.
+  *
+  * Every stage is the deterministic machinery proven by its standalone
+  * query (text_quality_score, text_dedup_exact, text_minhash_pairs), so the
+  * chained result hash-matches DuckDB too. At scale the chain is: narrow
+  * maps (normalize/hash) → one groupBy (exact dedup) → one (band,key)
+  * shuffle (LSH) → one anti join (drop near-dups) — no quadratic stage.
+  */
+object PipelineQueries {
+
+  private val JACC_T_NUM = 1L // threshold 1/2 as exact integers
+  private val JACC_T_DEN = 2L
+
+  /** Quality-filtered doc ids (same thresholds as text_quality_score). */
+  private def qualityKept(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val words = split(norm, " ")
+    val stop = Seq("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
+    tPar(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        size(words).cast("long").as("n_words"),
+        size(filter(words, w => w.isin(stop: _*))).cast("long").as("stop_cnt"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars_t"),
+        md5(norm).as("fp"))
+      .filter(col("n_words") >= 20 && col("stop_cnt") * 100 >= col("n_words") * 2 &&
+        col("n_punct") * 100 <= col("n_chars_t") * 10)
+  }
+
+  /** Clean-corpus survivors with per-stage accounting. */
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val quality = qualityKept(s, dir).cache()
+
+    // stage 2: exact dedup — canonical = min doc_id per content hash
+    val exact = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+    // stage 3: near-dup removal among exact survivors
+    val pairs = TextQueries.minhashPairs(s, dir)
+      .filter(col("jaccard") * JACC_T_DEN >= JACC_T_NUM) // jacc >= 1/2, exact arithmetic
+      .select(col("doc_a"), col("doc_b"))
+    val survivorsOfExact = exact
+    val dropB = pairs
+      .join(survivorsOfExact.withColumnRenamed("doc_id", "da2"), col("doc_a") === col("da2"))
+      .join(survivorsOfExact.withColumnRenamed("doc_id", "db2"), col("doc_b") === col("db2"))
+      .select(col("doc_b").as("drop_id")).distinct()
+    val cleaned = survivorsOfExact
+      .join(dropB, col("doc_id") === col("drop_id"), "left_anti")
+
+    cleaned
+      .join(quality.select(col("doc_id").as("qid"), col("lang")), col("doc_id") === col("qid"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"), min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang")
+  }
+
+  val cleanCorpusSql: String = {
+    // reuse the proven SQL stages as CTEs
+    val normSql =
+      """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, md5($normSql) fp FROM (
+       |    SELECT doc_id, lang, text,
+       |           CAST(len(string_split($normSql, ' ')) AS BIGINT) n_words,
+       |           CAST(len(list_filter(string_split($normSql, ' '),
+       |                w -> w IN ('the','and','of','to','in','a','is','for','on','with'))) AS BIGINT) stop_cnt,
+       |           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) n_punct,
+       |           CAST(length(text) AS BIGINT) n_chars_t
+       |    FROM documents)
+       |  WHERE n_words >= 20 AND stop_cnt*100 >= n_words*2 AND n_punct*100 <= n_chars_t*10),
+       |exact AS (SELECT min(doc_id) doc_id FROM q GROUP BY fp),
+       |mp AS (${TextQueries.minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")}),
+       |near AS (SELECT doc_a, doc_b FROM mp WHERE jaccard * $JACC_T_DEN >= $JACC_T_NUM),
+       |dropb AS (SELECT DISTINCT n.doc_b drop_id FROM near n
+       |          JOIN exact a ON n.doc_a = a.doc_id
+       |          JOIN exact b ON n.doc_b = b.doc_id),
+       |cleaned AS (SELECT doc_id FROM exact
+       |            WHERE doc_id NOT IN (SELECT drop_id FROM dropb))
+       |SELECT q.lang, count(*) kept_docs, min(c.doc_id) first_doc, max(c.doc_id) last_doc
+       |FROM cleaned c JOIN q ON c.doc_id = q.doc_id
+       |GROUP BY q.lang ORDER BY q.lang""".stripMargin
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "pipe_clean_corpus" -> (cleanCorpus _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pipe_clean_corpus" -> cleanCorpusSql,
+  )
+}
