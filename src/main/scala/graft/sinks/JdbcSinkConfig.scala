@@ -88,6 +88,7 @@ final case class JdbcSinkConfig(
     df.writeStream
       .option("checkpointLocation", s"$checkpointDir/$name")
       .foreachBatch { (batch: DataFrame, _: Long) => writeFrame(batch) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 }
 

@@ -22,6 +22,11 @@ trait SinkConfig {
   def isSideOutput: Boolean
 
   def writeBatch(df: DataFrame): Unit
+
+  /** Start the streaming query for this sink. All built-in sinks use
+    * `Trigger.AvailableNow` — drain everything available, then terminate —
+    * so config-driven jobs are bounded and `run()`'s awaitTermination
+    * returns; long-running continuous pipelines override the trigger. */
   def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery
 }
 
@@ -99,7 +104,8 @@ final case class ConsoleSinkConfig(name: String, numRows: Int, isSideOutput: Boo
   override def writeBatch(df: DataFrame): Unit = df.show(numRows, truncate = false)
   override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
     df.writeStream.format("console").option("numRows", numRows)
-      .option("checkpointLocation", s"$checkpointDir/$name").start()
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .trigger(Trigger.AvailableNow()).start()
 }
 
 /** In-JVM collecting sink for assertions (reference
@@ -110,7 +116,8 @@ final case class MemorySinkConfig(name: String, isSideOutput: Boolean) extends S
     TestSinkRegistry.put(name, df.collect().toSeq)
   override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", s"$checkpointDir/$name").start()
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .trigger(Trigger.AvailableNow()).start()
 }
 
 object TestSinkRegistry {
@@ -138,7 +145,8 @@ final case class KafkaSinkConfig(
 
   override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
     df.writeStream.format("kafka").options(writerOptions)
-      .option("checkpointLocation", s"$checkpointDir/$name").start()
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .trigger(Trigger.AvailableNow()).start()
 }
 
 /** Socket sink: JSON lines over a client TCP connection per micro-batch /
@@ -162,5 +170,6 @@ final case class SocketSinkConfig(name: String, host: String, port: Int, isSideO
     df.writeStream
       .option("checkpointLocation", s"$checkpointDir/$name")
       .foreachBatch { (batch: DataFrame, _: Long) => push(batch) }
+      .trigger(Trigger.AvailableNow())
       .start()
 }
