@@ -20,17 +20,15 @@ object SketchAggregators {
 
     override def zero: Array[Byte] = new Array[Byte](1 << b)
 
+    // in-place mutation: Spark's ObjectHashAggregate keeps the buffer as an
+    // object between rows, so no per-row (de)serialization or copies
     override def reduce(buf: Array[Byte], a: IN): Array[Byte] = {
-      val h = HyperLogLog.fromBytes(b, buf)
-      h.add(key(a))
-      h.toBytes
+      HyperLogLog.updateRegisters(buf, b, key(a))
+      buf
     }
 
-    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
-      val m = HyperLogLog.fromBytes(b, x)
-      m.merge(HyperLogLog.fromBytes(b, y))
-      m.toBytes
-    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      HyperLogLog.mergeRegisters(x, y)
 
     override def finish(buf: Array[Byte]): Long =
       HyperLogLog.fromBytes(b, buf).estimate

@@ -23,20 +23,7 @@ final class HyperLogLog(val b: Int) extends Serializable {
     case _ => 0.7213 / (1 + 1.079 / m)
   }
 
-  private def hash64(x: Any): Long = {
-    val h = scala.util.hashing.MurmurHash3.stringHash(String.valueOf(x), 0x2545f491)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(String.valueOf(x), 0x9e3779b9)
-    (h.toLong << 32) | (h2.toLong & 0xffffffffL)
-  }
-
-  def add(item: Any): Unit = {
-    val x = hash64(item)
-    val idx = (x >>> (64 - b)).toInt
-    val rest = x << b
-    val rank = (java.lang.Long.numberOfLeadingZeros(rest | (1L << (b - 1))) + 1)
-      .min(64 - b + 1)
-    if (rank > registers(idx)) registers(idx) = rank.toByte
-  }
+  def add(item: Any): Unit = HyperLogLog.updateRegisters(registers, b, item)
 
   def estimate: Long = {
     var sum = 0.0
@@ -72,6 +59,29 @@ final class HyperLogLog(val b: Int) extends Serializable {
 
 object HyperLogLog {
   def apply(b: Int = 12): HyperLogLog = new HyperLogLog(b)
+
+  /** In-place register update on a raw register array — the allocation-free
+    * hot path for Aggregator buffers (no sketch object, no copies). */
+  def updateRegisters(registers: Array[Byte], b: Int, item: Any): Unit = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(String.valueOf(item), 0x2545f491)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(String.valueOf(item), 0x9e3779b9)
+    val x = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    val idx = (x >>> (64 - b)).toInt
+    val rest = x << b
+    val rank = (java.lang.Long.numberOfLeadingZeros(rest | (1L << (b - 1))) + 1)
+      .min(64 - b + 1)
+    if (rank > registers(idx)) registers(idx) = rank.toByte
+  }
+
+  /** In-place register-wise max merge. */
+  def mergeRegisters(into: Array[Byte], from: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < into.length) {
+      if (from(i) > into(i)) into(i) = from(i)
+      i += 1
+    }
+    into
+  }
 
   def fromBytes(b: Int, bytes: Array[Byte]): HyperLogLog = {
     val h = new HyperLogLog(b)

@@ -206,15 +206,19 @@ object TextQueries {
           sh => polyHash(sh, 31L, P1))).as("hs"))
   }
 
-  private def sigCol(i: Int): Column =
-    array_min(transform(col("hs"),
-      h => (lit(2L * i + 3) * h + lit(7L * i + 1)) % lit(MH_P))).as(s"s$i")
-
   /** MinHash signatures + LSH banding → candidate pairs → exact shingle
-    * Jaccard on the candidates. One shuffle on (band, key); no O(n²) scan. */
+    * Jaccard on the candidates. One shuffle on (band, key); no O(n²) scan.
+    * Signatures are computed in the explode → groupBy-min shape: nine tiny
+    * arithmetic aggregates over (doc, shingle-hash) rows instead of nine
+    * array-lambda expressions per row — far less generated code (cold-start
+    * JIT/Janino time) and plain vectorizable aggregation at scale. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val hs = shingleHashes(s, dir).cache()
-    val sigs = hs.select(col("doc_id") +: (0 until NUM_SIGS).map(sigCol): _*)
+    val hx = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sigAggs = (0 until NUM_SIGS).map { i =>
+      min((lit(2L * i + 3) * col("h") + lit(7L * i + 1)) % lit(MH_P)).as(s"s$i")
+    }
+    val sigs = hx.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until NUM_SIGS / BAND_ROWS).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", (0 until BAND_ROWS).map(r => col(s"s${b * BAND_ROWS + r}")): _*).as("k"))
