@@ -32,7 +32,8 @@ object Bench {
     // JVM/codegen/JIT warm-up, untimed — one query per table family so
     // scan paths, HOF lambdas and the native expressions are all compiled
     // before timing starts
-    Seq("core_pricing_summary", "ev_type_time_stats", "text_minhash_pairs", "vec_ann_lsh")
+    Seq("core_pricing_summary", "ev_session_windows", "join_interval_pairs",
+      "text_minhash_pairs", "vec_ann_lsh")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }
