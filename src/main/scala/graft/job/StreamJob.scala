@@ -93,7 +93,9 @@ abstract class StreamJob[OUT <: ADT, ADT <: GraftEvent](val runner: SparkRunner[
   private def attachSinks(out: Dataset[OUT]): Unit = {
     val sinks = runner.defaultSinkNames.map(runner.sinkConfigs)
     val sides = runner.sinkConfigs.values.filter(_.isSideOutput)
-    val all = sinks ++ sides
+    // distinctBy name: a sink that is both explicitly listed and flagged
+    // side.output=true must be written once, not twice.
+    val all = (sinks ++ sides).toSeq.distinctBy(_.name)
     if (out.isStreaming) {
       val queries = all.map(_.writeStream(out.toDF(), runner.checkpointDir))
       queries.foreach(_.awaitTermination())

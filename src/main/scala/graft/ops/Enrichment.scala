@@ -52,10 +52,12 @@ object Enrichment {
       val cache = cacheFor(name)
       rows.flatMap { e =>
         val k = keyOf(e)
-        val vs = cache.computeIfAbsent(k.asInstanceOf[Any], _ => {
-          if (cache.size() > maxCacheSize) cache.clear() // crude bound; LRU overkill here
-          lookup.fetch(k).asInstanceOf[Seq[Any]]
-        })
+        // Size check OUTSIDE the mapping function: computeIfAbsent's contract
+        // forbids mutating other mappings inside it (two tasks over the bound
+        // on different bins could deadlock on each other's bin locks).
+        if (cache.size() > maxCacheSize) cache.clear() // crude bound; LRU overkill here
+        val vs = cache.computeIfAbsent(k.asInstanceOf[Any],
+          _ => lookup.fetch(k).asInstanceOf[Seq[Any]])
         vs.map(v => combine(e, v.asInstanceOf[V]))
       }
     }

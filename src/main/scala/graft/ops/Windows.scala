@@ -27,9 +27,12 @@ object Windows {
     max(valueCol).as("agg_max"),
     avg(valueCol).as("agg_mean"),
     (max(valueCol) - min(valueCol)).as("agg_range"),
-    (var_samp(valueCol) * (count(lit(1)) - 1)).as("agg_ssd"),
-    var_samp(valueCol).as("agg_variance"),
-    stddev_samp(valueCol).as("agg_stddev"),
+    // coalesce to 0.0: the reference's SumOfSquaredDeviations/Variance/StdDev
+    // return 0 for a single sample where var_samp/stddev_samp return null
+    // (reference model/aggregate/Variance.scala one-sample behavior).
+    coalesce(var_samp(valueCol) * (count(lit(1)) - 1), lit(0.0)).as("agg_ssd"),
+    coalesce(var_samp(valueCol), lit(0.0)).as("agg_variance"),
+    coalesce(stddev_samp(valueCol), lit(0.0)).as("agg_stddev"),
   )
 
   /** Tumbling event-time windows keyed by `keyCol`. */

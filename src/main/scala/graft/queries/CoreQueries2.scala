@@ -51,20 +51,29 @@ object CoreQueries2 {
       |FROM a JOIN c ON a.o_orderstatus = c.o_orderstatus
       |ORDER BY a.o_orderstatus""".stripMargin
 
-  /** Array aggregation: sorted distinct status set per customer. */
+  /** Array aggregation: sorted distinct status set per customer. The array is
+    * computed natively (sort_array(collect_set)); the gate-facing column is
+    * its canonical joined form plus the array size — raw array columns are
+    * not hashable/sortable by the driver's pandas-based comparer. */
   def arrayAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_custkey")
-      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses_arr"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        array_join(col("statuses_arr"), ",").as("statuses"),
+        size(col("statuses_arr")).cast("long").as("n_statuses"),
+        col("n_orders"))
       .orderBy("o_custkey")
 
   val arrayAggSql: String =
     """WITH d AS (SELECT DISTINCT o_custkey, o_orderstatus FROM orders),
-      |a AS (SELECT o_custkey, list(o_orderstatus ORDER BY o_orderstatus) statuses
+      |a AS (SELECT o_custkey,
+      |             array_to_string(list(o_orderstatus ORDER BY o_orderstatus), ',') statuses,
+      |             count(*) n_statuses
       |      FROM d GROUP BY 1),
       |c AS (SELECT o_custkey, count(*) n_orders FROM orders GROUP BY 1)
-      |SELECT a.o_custkey, a.statuses, c.n_orders
+      |SELECT a.o_custkey, a.statuses, a.n_statuses, c.n_orders
       |FROM a JOIN c ON a.o_custkey = c.o_custkey
       |ORDER BY a.o_custkey""".stripMargin
 

@@ -39,15 +39,21 @@ object Q {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Table spread across all cores. The driver test tables are single
-    * row-group parquet files, so the scan (and every narrow op after it)
-    * would otherwise run on ONE core — for compute-heavy per-row work
-    * (hashing, regex, vector folds) an explicit round-robin repartition
-    * buys full parallelism at the cost of one small exchange. At production
-    * scale inputs arrive as many files/row-groups and this is a no-op
-    * concern, but the same call protects against single-huge-file inputs. */
-  def tPar(spark: SparkSession, dir: String, name: String): DataFrame =
-    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+  /** Table spread across all cores — but only when the scan is actually
+    * under-parallel. The driver test tables are single row-group parquet
+    * files, so the scan (and every narrow op after it) would otherwise run
+    * on ONE core; for compute-heavy per-row work (hashing, regex, vector
+    * folds) an explicit round-robin repartition buys full parallelism at
+    * the cost of one small exchange. At production scale inputs arrive as
+    * many files/row-groups and the scan already has >= cores splits — there
+    * the repartition is GATED OFF so no full-data exchange is inserted. */
+  def tPar(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    // Physical scan split count (no job is run — only planning).
+    val scanParts = df.rdd.getNumPartitions
+    if (scanParts < target) df.repartition(target) else df
+  }
 
   /** events table with DuckDB-equivalent timestamp semantics:
     * `ts_us` — epoch micros (long), floor(ns/1000), identical to DuckDB's

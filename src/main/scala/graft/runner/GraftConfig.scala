@@ -116,8 +116,11 @@ object GraftConfig {
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
-        if (i + 1 < args.length) { overrides(a.drop(2)) = args(i + 1); i += 1 }
-        else overrides(a.drop(2)) = "true"
+        // Only consume the next token as the value when it is not itself an
+        // option — `--dry-run --k v` must not swallow `--k` as dry-run's value.
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          overrides(a.drop(2)) = args(i + 1); i += 1
+        } else overrides(a.drop(2)) = "true"
       } else if (jobName == "help" && bare.isEmpty) jobName = a
       else bare += a
       i += 1
