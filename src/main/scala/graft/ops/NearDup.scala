@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parameterized near-duplicate detection operators for document corpora —
+  * the reusable form of the MinHash-LSH and SimHash-banding machinery
+  * (reference has only the exact SBF dedup filter,
+  * operator/SBFDeduplicationFilter.scala:85-108; these are the
+  * training-data-pipeline extensions, built scale-first).
+  *
+  * Scale shape (the 100 TB contract):
+  *   - shingle hashing is a narrow map (codegen'd PolyHash, no arrays kept);
+  *   - MinHash signatures are computed explode → groupBy-min: tiny
+  *     vectorizable aggregates, map-side combined, one shuffle on doc_id;
+  *   - candidate generation is ONE equi-join shuffle on (band, key) —
+  *     O(duplicates), never the O(n²) cross join;
+  *   - SimHash banding splits the fingerprint into `bands` bit-chunks; by
+  *     pigeonhole any pair with hamming < bands shares a chunk, so the
+  *     banded join is EXACT (not approximate) for maxHamming = bands - 1.
+  *
+  * All hashing is the portable polynomial codepoint hash so results are
+  * engine-independent and oracle-checkable (see graft.queries.TextQueries
+  * for the DuckDB mirrors).
+  */
+object NearDup {
+
+  /** MinHash-LSH parameters. `numSigs` must equal `bands * rowsPerBand`. */
+  final case class Params(
+      shingleK: Int = 3,
+      numSigs: Int = 9,
+      bands: Int = 3,
+      hashBase: Long = 31L,
+      hashP: Long = 1000000007L,
+      sigP: Long = 2147483647L) {
+    require(numSigs % bands == 0, s"numSigs=$numSigs not divisible by bands=$bands")
+    def rowsPerBand: Int = numSigs / bands
+  }
+
+  // ---- text normalization + portable hashing (shared with TextQueries) ----
+
+  /** lower → non-alnum→space → collapse spaces → trim. */
+  def normCol(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  def wordsOf(norm: Column): Column = split(norm, " ")
+
+  /** Polynomial codepoint hash fold(base*acc + ascii(ch)) mod p — the native
+    * codegen'd expression (graft.functions.PolyHash). */
+  def polyHash(w: Column, base: Long, p: Long): Column =
+    call_function("graft_poly_hash", w, lit(base), lit(p))
+
+  /** Word k-shingles as space-joined strings ([norm] when too short). */
+  def shinglesOf(words: Column, norm: Column, k: Int): Column =
+    when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k),
+        j => concat_ws(" ", slice(words, j + 1, lit(k)))))
+      .otherwise(array(norm))
+
+  // ---- MinHash + LSH ----
+
+  /** id → distinct shingle-hash set: (id, hs: array<long>). Narrow map. */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+      p: Params = Params()): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), normCol(col(textCol)).as("norm"))
+      .select(col("doc_id"), wordsOf(col("norm")).as("words"), col("norm"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesOf(col("words"), col("norm"), p.shingleK),
+          sh => polyHash(sh, p.hashBase, p.hashP))).as("hs"))
+
+  /** MinHash signatures in the explode → groupBy-min shape: numSigs tiny
+    * arithmetic aggregates over (doc, shingle-hash) rows — vectorizable,
+    * map-side combined, no per-row array lambdas. */
+  def signatures(hs: DataFrame, p: Params = Params()): DataFrame = {
+    val hx = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sigAggs = (0 until p.numSigs).map { i =>
+      min((lit(2L * i + 3) * col("h") + lit(7L * i + 1)) % lit(p.sigP)).as(s"s$i")
+    }
+    hx.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** LSH banding: (doc_id, band, k) — one row per band per doc. */
+  def bandKeys(sigs: DataFrame, p: Params = Params()): DataFrame = {
+    val bandCols = (0 until p.bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until p.rowsPerBand)
+          .map(r => col(s"s${b * p.rowsPerBand + r}")): _*).as("k"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
+  }
+
+  /** Candidate pairs sharing ≥1 LSH band bucket: ONE (band, key) equi-join
+    * shuffle, doc_a < doc_b, distinct. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val left = bands.select(col("doc_id").as("doc_a"), col("band"), col("k"))
+    val right = bands.select(col("doc_id").as("doc_b"), col("band").as("band2"),
+      col("k").as("k2"))
+    left.join(right,
+        col("band") === col("band2") && col("k") === col("k2") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Full MinHash-LSH pipeline: candidates + exact shingle Jaccard →
+    * (doc_a, doc_b, inter_cnt, union_cnt, jaccard). Unordered — callers
+    * sort if they need determinism at the output. */
+  def pairsWithJaccard(docs: DataFrame, idCol: String, textCol: String,
+      p: Params = Params()): DataFrame = {
+    val hs = shingleHashes(docs, idCol, textCol, p).cache()
+    val cand = candidatePairs(bandKeys(signatures(hs, p), p))
+    val ha = hs.select(col("doc_id").as("da"), col("hs").as("hs_a"))
+    val hb = hs.select(col("doc_id").as("db"), col("hs").as("hs_b"))
+    cand.join(ha, col("doc_a") === col("da")).join(hb, col("doc_b") === col("db"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter_cnt"),
+        size(array_union(col("hs_a"), col("hs_b"))).cast("long").as("union_cnt"))
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") / col("union_cnt").cast("double"))
+  }
+
+  /** Near-dup removal with the keep-smallest-id policy: docs whose id never
+    * appears as the larger end of a pair with jaccard ≥ num/den (exact
+    * integer threshold arithmetic — no float comparison drift). Returns the
+    * surviving (id) column under the original name. */
+  def survivors(docs: DataFrame, idCol: String, textCol: String,
+      jaccNum: Long, jaccDen: Long, p: Params = Params()): DataFrame = {
+    val drop = pairsWithJaccard(docs, idCol, textCol, p)
+      .filter(col("inter_cnt") * jaccDen >= col("union_cnt") * jaccNum)
+      .select(col("doc_b").as("drop_id")).distinct()
+    docs.select(col(idCol))
+      .join(drop, col(idCol) === col("drop_id"), "left_anti")
+  }
+
+  // ---- SimHash bit-chunk banding ----
+
+  /** Hamming-close pairs over a precomputed fingerprint column via bit-chunk
+    * LSH: split `totalBits` into `bands` equal chunks, equi-join on
+    * (chunk_idx, chunk_value), then filter the exact Hamming distance.
+    *
+    * For maxHamming ≤ bands - 1 this is EXACT by pigeonhole: a pair with at
+    * most bands-1 differing bits must agree on at least one whole chunk, so
+    * every qualifying pair is found — same results as the O(n²) scan, one
+    * equi-join shuffle instead. */
+  def hammingPairs(sh: DataFrame, idCol: String, hashCol: String,
+      totalBits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(totalBits % bands == 0, s"totalBits=$totalBits not divisible by bands=$bands")
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs > $maxHamming bands for the pigeonhole guarantee")
+    val chunkBits = totalBits / bands
+    val mask = (1L << chunkBits) - 1
+    val chunkCols = (0 until bands).map { b =>
+      struct(lit(b).as("cb"),
+        shiftright(col(hashCol), b * chunkBits).bitwiseAND(lit(mask)).as("cv"))
+    }
+    val chunks = sh.select(col(idCol).as("doc_id"), col(hashCol).as("h"),
+        explode(array(chunkCols: _*)).as("c"))
+      .select(col("doc_id"), col("h"), col("c.cb").as("cb"), col("c.cv").as("cv"))
+    val left = chunks.select(col("doc_id").as("doc_a"), col("h").as("h_a"),
+      col("cb"), col("cv"))
+    val right = chunks.select(col("doc_id").as("doc_b"), col("h").as("h_b"),
+      col("cb").as("cb2"), col("cv").as("cv2"))
+    left.join(right,
+        col("cb") === col("cb2") && col("cv") === col("cv2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

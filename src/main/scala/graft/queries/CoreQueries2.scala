@@ -114,12 +114,40 @@ object CoreQueries2 {
       |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Percentage-of-base aggregate (reference Percentage.scala:33-45: each
+    * element contributes value/base*100; the group result is the summed
+    * percentage). Expressed deterministically for the oracle: exact integer
+    * cents summed per group and in total, then ONE identical float
+    * expression on both sides — sum(v)/base*100 ≡ the reference's
+    * sum(v/base*100) semantics. The order-dependent per-row Aggregator
+    * (agg/Aggregates.PercentageAggregator) is golden-tested in specs. */
+  def percentageOfBase(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+    val byFlag = li.groupBy("l_returnflag").agg(sum("c").as("flag_c"))
+    val total = li.agg(sum("c").as("total_c"))
+    byFlag.crossJoin(broadcast(total))
+      .select(col("l_returnflag"), col("flag_c"),
+        (col("flag_c").cast("double") * lit(100.0) / col("total_c").cast("double"))
+          .as("pct_of_total"))
+      .orderBy("l_returnflag")
+  }
+
+  val percentageOfBaseSql: String =
+    """WITH li AS (SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) c FROM lineitem),
+      |f AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) flag_c FROM li GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) total_c FROM li)
+      |SELECT l_returnflag, flag_c,
+      |       CAST(flag_c AS DOUBLE) * 100.0 / CAST(total_c AS DOUBLE) pct_of_total
+      |FROM f, t ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "core_cube_acctbal" -> (cubeAcctBal _),
     "core_string_agg" -> (stringAgg _),
     "core_array_agg" -> (arrayAgg _),
     "core_median_prices" -> (medianPrices _),
     "core_left_join_counts" -> (leftJoinOrderCounts _),
+    "agg_percentage" -> (percentageOfBase _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,5 +156,6 @@ object CoreQueries2 {
     "core_array_agg" -> arrayAggSql,
     "core_median_prices" -> medianPricesSql,
     "core_left_join_counts" -> leftJoinOrderCountsSql,
+    "agg_percentage" -> percentageOfBaseSql,
   )
 }

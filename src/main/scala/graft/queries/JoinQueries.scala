@@ -72,8 +72,12 @@ object JoinQueries {
       |ORDER BY a.user_id, a_id, b_id""".stripMargin
 
   /** Multimodal feature extraction over the documents payloads treated as
-    * opaque binary media (rows-only check: the decode stub's entropy math is
-    * engine-local — see graft.multimodal.Multimodal; plumbing is real). */
+    * opaque binary media. Hash-checked against DuckDB on the
+    * integer-deterministic features (byte count + 16-bucket high-nibble
+    * histogram, mirrored via hex-string nibble counts); the float entropy
+    * stays engine-local (spec-covered in MultimodalSpec). Plumbing is the
+    * real 100 TB shape: binary stays columnar, decode is a narrow
+    * per-partition map. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val recEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
     val records = tPar(s, dir, "documents")
@@ -85,9 +89,31 @@ object JoinQueries {
           MediaMeta("text", "text/plain", 0, 0, 0, 0L),
           row.getAs[Array[Byte]](1))
       }
+    val histCols = (0 until 16).map(i => element_at(col("histogram"), i + 1).as(s"h$i"))
     Multimodal.extractFeatures(records)
-      .select(col("mediaId").as("doc_id"), col("nBytes"), col("byteEntropy"))
+      .select(col("mediaId").as("doc_id") +: col("nBytes").as("n_bytes") +: histCols: _*)
       .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror: UTF-8 byte length + per-byte high-nibble counts read off
+    * the hex encoding (char 2i-1 of hex(blob) IS byte i's high nibble). */
+  val mediaFeaturesSql: String = {
+    val nibbles = "0123456789ABCDEF"
+    val hcols = (0 until 16).map { i =>
+      s"CAST(count(*) FILTER (WHERE nib = '${nibbles(i)}') AS BIGINT) h$i"
+    }.mkString(",\n      |               ")
+    val joined = (0 until 16).map(i => s"CAST(coalesce(h$i, 0) AS BIGINT) h$i").mkString(", ")
+    s"""WITH b AS (SELECT doc_id, encode(text) bs FROM documents),
+       |hh AS (SELECT doc_id, octet_length(bs) nb, hex(bs) hx FROM b),
+       |u AS (SELECT doc_id,
+       |             unnest(list_transform(generate_series(1, length(hx)//2),
+       |                                   i -> substring(hx, 2*i-1, 1))) nib
+       |      FROM hh),
+       |p AS (SELECT doc_id, $hcols
+       |      FROM u GROUP BY doc_id)
+       |SELECT hh.doc_id, CAST(hh.nb AS BIGINT) n_bytes, $joined
+       |FROM hh LEFT JOIN p ON hh.doc_id = p.doc_id
+       |ORDER BY hh.doc_id""".stripMargin
   }
 
   val queries: Map[String, QueryFn] = Map(
@@ -96,9 +122,9 @@ object JoinQueries {
     "mm_media_features" -> (mediaFeatures _),
   )
 
-  /** mm_media_features is intentionally omitted (rows-only check). */
   val oracle: Map[String, String] = Map(
     "join_asof_control" -> asofControlSql,
     "join_interval_pairs" -> intervalPairsSql,
+    "mm_media_features" -> mediaFeaturesSql,
   )
 }

@@ -37,7 +37,14 @@ object PipelineQueries {
         col("n_punct") * 100 <= col("n_chars_t") * 10)
   }
 
-  /** Clean-corpus survivors with per-stage accounting. */
+  /** Clean-corpus survivors with per-stage accounting.
+    *
+    * Stage 3 computes MinHash-LSH over the EXACT-DEDUP SURVIVORS only, not
+    * the full corpus: signatures and Jaccard are per-document/per-pair
+    * properties, so restricting candidate generation to the survivor set
+    * yields the identical drop set (the oracle intersects full-corpus pairs
+    * with survivors — provably the same rows) while never paying shingle
+    * hashing or the LSH shuffle for rows stages 1-2 already dropped. */
   def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val quality = qualityKept(s, dir).cache()
 
@@ -45,17 +52,11 @@ object PipelineQueries {
     val exact = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
-    // stage 3: near-dup removal among exact survivors
-    val pairs = TextQueries.minhashPairs(s, dir)
-      .filter(col("jaccard") * JACC_T_DEN >= JACC_T_NUM) // jacc >= 1/2, exact arithmetic
-      .select(col("doc_a"), col("doc_b"))
-    val survivorsOfExact = exact
-    val dropB = pairs
-      .join(survivorsOfExact.withColumnRenamed("doc_id", "da2"), col("doc_a") === col("da2"))
-      .join(survivorsOfExact.withColumnRenamed("doc_id", "db2"), col("doc_b") === col("db2"))
-      .select(col("doc_b").as("drop_id")).distinct()
-    val cleaned = survivorsOfExact
-      .join(dropB, col("doc_id") === col("drop_id"), "left_anti")
+    // stage 3: near-dup removal among exact survivors (keep-min-id policy)
+    val survivorDocs = quality.select(col("doc_id"), col("text"))
+      .join(exact, "doc_id")
+    val cleaned = graft.ops.NearDup.survivors(survivorDocs, "doc_id", "text",
+      JACC_T_NUM, JACC_T_DEN, TextQueries.minhashParams)
 
     cleaned
       .join(quality.select(col("doc_id").as("qid"), col("lang")), col("doc_id") === col("qid"))

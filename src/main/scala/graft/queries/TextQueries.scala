@@ -28,25 +28,15 @@ object TextQueries {
   private val P2 = 998244353L
   private val MH_P = 2147483647L // 2^31-1, minhash universe
 
-  /** lower → non-alnum→space → collapse spaces → trim. */
-  private def normCol(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
-
-  private def wordsOf(norm: Column): Column = split(norm, " ")
-
-  /** Polynomial codepoint hash: fold(base*acc + ascii(ch)) mod p, as the
-    * native codegen'd expression (graft.functions.PolyHash) — bit-identical
-    * to the ascii()/list_reduce fold on the normalized ASCII inputs, with
-    * no per-char array materialization. */
+  /** Normalization + hashing live in the reusable operator
+    * [[graft.ops.NearDup]]; these aliases keep the query code and its SQL
+    * mirrors side by side. */
+  private def normCol(c: Column): Column = graft.ops.NearDup.normCol(c)
+  private def wordsOf(norm: Column): Column = graft.ops.NearDup.wordsOf(norm)
   private def polyHash(w: Column, base: Long, p: Long): Column =
-    call_function("graft_poly_hash", w, lit(base), lit(p))
-
-  /** Word k-shingles as space-joined strings ([norm] when too short). */
+    graft.ops.NearDup.polyHash(w, base, p)
   private def shinglesOf(words: Column, norm: Column, k: Int): Column =
-    when(size(words) >= k,
-      transform(sequence(lit(0), size(words) - k),
-        j => concat_ws(" ", slice(words, j + 1, lit(k)))))
-      .otherwise(array(norm))
+    graft.ops.NearDup.shinglesOf(words, norm, k)
 
   /** SQL mirror of [[normCol]]. */
   private val normSql =
@@ -195,51 +185,20 @@ object TextQueries {
   private val NUM_SIGS = 9
   private val BAND_ROWS = 3 // 3 bands x 3 rows
 
-  /** doc_id → distinct 3-shingle hash set. */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
-    val norm = normCol(col("text"))
-    tPar(s, dir, "documents")
-      .select(col("doc_id"), norm.as("norm"))
-      .select(col("doc_id"), wordsOf(col("norm")).as("words"), col("norm"))
-      .select(col("doc_id"),
-        array_distinct(transform(shinglesOf(col("words"), col("norm"), 3),
-          sh => polyHash(sh, 31L, P1))).as("hs"))
-  }
+  /** The parameter set shared by the standalone query and the cleaning
+    * pipeline (graft.ops.NearDup is the reusable operator). */
+  val minhashParams: graft.ops.NearDup.Params =
+    graft.ops.NearDup.Params(shingleK = 3, numSigs = NUM_SIGS,
+      bands = NUM_SIGS / BAND_ROWS, hashBase = 31L, hashP = P1, sigP = MH_P)
 
   /** MinHash signatures + LSH banding → candidate pairs → exact shingle
-    * Jaccard on the candidates. One shuffle on (band, key); no O(n²) scan.
-    * Signatures are computed in the explode → groupBy-min shape: nine tiny
-    * arithmetic aggregates over (doc, shingle-hash) rows instead of nine
-    * array-lambda expressions per row — far less generated code (cold-start
-    * JIT/Janino time) and plain vectorizable aggregation at scale. */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingleHashes(s, dir).cache()
-    val hx = hs.select(col("doc_id"), explode(col("hs")).as("h"))
-    val sigAggs = (0 until NUM_SIGS).map { i =>
-      min((lit(2L * i + 3) * col("h") + lit(7L * i + 1)) % lit(MH_P)).as(s"s$i")
-    }
-    val sigs = hx.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val bandCols = (0 until NUM_SIGS / BAND_ROWS).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(":", (0 until BAND_ROWS).map(r => col(s"s${b * BAND_ROWS + r}")): _*).as("k"))
-    }
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
-    val left = bands.select(col("doc_id").as("doc_a"), col("band"), col("k"))
-    val right = bands.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("k").as("k2"))
-    val cand = left.join(right,
-        col("band") === col("band2") && col("k") === col("k2") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val ha = hs.select(col("doc_id").as("da"), col("hs").as("hs_a"))
-    val hb = hs.select(col("doc_id").as("db"), col("hs").as("hs_b"))
-    cand.join(ha, col("doc_a") === col("da")).join(hb, col("doc_b") === col("db"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter_cnt"),
-        size(array_union(col("hs_a"), col("hs_b"))).cast("long").as("union_cnt"))
-      .withColumn("jaccard",
-        col("inter_cnt").cast("double") / col("union_cnt").cast("double"))
+    * Jaccard on the candidates — [[graft.ops.NearDup.pairsWithJaccard]] with
+    * the default 9-sig/3-band configuration. One shuffle on (band, key); no
+    * O(n²) scan; signatures in the explode → groupBy-min shape. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.NearDup.pairsWithJaccard(
+        tPar(s, dir, "documents"), "doc_id", "text", minhashParams)
       .orderBy("doc_a", "doc_b")
-  }
 
   val minhashPairsSql: String = {
     val sigExprs = (0 until NUM_SIGS).map { i =>
@@ -329,6 +288,23 @@ object TextQueries {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin
 
+  /** SimHash near-dup pairs at scale: bit-chunk LSH banding
+    * ([[graft.ops.NearDup.hammingPairs]], 4 chunks × 15 bits) — by
+    * pigeonhole EXACTLY the hamming ≤ 3 pairs, via one (chunk, value)
+    * equi-join instead of the O(n²) scan the brute-force oracle runs. */
+  def simhashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.ops.NearDup.hammingPairs(simhash(s, dir), "doc_id", "simhash",
+        totalBits = 60, bands = 4, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  val simhashLshSql: String =
+    s"""WITH $simhashCte
+       |SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Word-bigram Jaccard near-dup within language partitions: top-50 most
     * similar same-language pairs (brute-force oracle for the LSH path). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -369,6 +345,7 @@ object TextQueries {
     "text_minhash_pairs" -> (minhashPairs _),
     "text_simhash" -> (simhash _),
     "text_simhash_pairs" -> (simhashPairs _),
+    "text_simhash_lsh" -> (simhashLsh _),
     "text_ngram_jaccard" -> (ngramJaccard _),
   )
 
@@ -381,6 +358,7 @@ object TextQueries {
     "text_minhash_pairs" -> minhashPairsSql,
     "text_simhash" -> simhashSql,
     "text_simhash_pairs" -> simhashPairsSql,
+    "text_simhash_lsh" -> simhashLshSql,
     "text_ngram_jaccard" -> ngramJaccardSql,
   )
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The reusable near-dup operator: LSH candidate generation finds planted
+  * duplicates (no O(n²) scan — plan asserted in GraftPlanSpec), Jaccard is
+  * exact on candidates, the survivor policy keeps the smallest id, and
+  * SimHash bit-chunk banding is EXACT for hamming < bands (pigeonhole),
+  * verified against a brute-force scan.
+  */
+class NearDupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // polyHash is session-registered
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (3L, "the quick brown fox jumps over the lazy cat and then runs far away home"),
+      (4L, "completely different text about columnar query engines shuffles and joins"),
+      (5L, "another unrelated document mentioning watermarks state stores and sinks"),
+    ).toDF("doc_id", "text")
+  }
+
+  behavior of "MinHash-LSH pairs"
+
+  it should "find planted exact and near duplicates with exact Jaccard" in {
+    val rows = NearDup.pairsWithJaccard(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    rows((1L, 2L)) shouldBe 1.0 // identical docs
+    rows((1L, 3L)) should (be > 0.3 and be < 1.0) // one word swapped
+    // the unrelated docs never become candidates
+    rows.keys.flatMap(p => Seq(p._1, p._2)) should not contain 4L
+    rows.keys.flatMap(p => Seq(p._1, p._2)) should not contain 5L
+  }
+
+  it should "keep the smallest id of each near-dup cluster" in {
+    val kept = NearDup.survivors(docs, "doc_id", "text", jaccNum = 1, jaccDen = 2)
+      .collect().map(_.getLong(0)).toSet
+    kept should contain(1L) // cluster canonical
+    kept should not contain 2L // exact dup of 1
+    kept should not contain 3L // near dup of 1 (jaccard > 1/2)
+    kept should contain(4L)
+    kept should contain(5L)
+  }
+
+  behavior of "SimHash bit-chunk banding"
+
+  it should "find exactly the hamming <= bands-1 pairs (pigeonhole-exact)" in {
+    import spark.implicits._
+    // 20 fingerprints: doc i flips the low i bits of a fixed 60-bit pattern,
+    // so pair (i, j) has hamming |i - j| — a full spread of distances.
+    val base = 0x0ABCDEF123456789L & ((1L << 60) - 1)
+    val hashes = (0 until 20).map(i => (i.toLong, base ^ ((1L << i) - 1)))
+    val sh = hashes.toDF("doc_id", "simhash")
+
+    val banded = NearDup.hammingPairs(sh, "doc_id", "simhash",
+        totalBits = 60, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+
+    banded shouldBe brute
+    brute should not be empty // sanity: the fixture does contain close pairs
+  }
+}

@@ -62,6 +62,39 @@ class GraftPlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  it should "band SimHash near-dup pairs through an equi-join, not a cross join" in {
+    // the full query keeps only the INTENTIONAL broadcast of the 60-row
+    // bits table (simhash voting); the pair join must never be a cartesian
+    val plan = planOf(TextQueries.simhashLsh(spark, dir))
+    plan should not include "CartesianProduct"
+    // the operator itself (fingerprints given) is pure equi-join
+    val sh = spark.range(0, 256)
+      .selectExpr("id AS doc_id", "(id * 1234567) % 4611686018427387904 AS simhash")
+    val opPlan = planOf(graft.ops.NearDup.hammingPairs(sh, "doc_id", "simhash",
+      totalBits = 60, bands = 4, maxHamming = 3))
+    opPlan should not include "CartesianProduct"
+    opPlan should not include "BroadcastNestedLoopJoin"
+  }
+
+  behavior of "scan parallelism gating (tPar)"
+
+  it should "not insert an exchange over an already-parallel multi-file scan" in {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tpar").toString
+    spark.range(0, 100000).toDF("x").repartition(8)
+      .write.mode("overwrite").parquet(s"$tmp/t.parquet")
+    val df = Q.tPar(spark, tmp, "t")
+    df.rdd.getNumPartitions should be >= spark.sparkContext.defaultParallelism
+    planOf(df) should not include "Exchange"
+  }
+
+  it should "repartition a single-split scan up to full parallelism" in {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tpar1").toString
+    spark.range(0, 1000).coalesce(1).toDF("x")
+      .write.mode("overwrite").parquet(s"$tmp/t.parquet")
+    val df = Q.tPar(spark, tmp, "t")
+    planOf(df) should include("Exchange") // explicit round-robin fan-out
+  }
+
   it should "run the as-of join as one windowed pass, not a range join" in {
     val plan = planOf(JoinQueries.asofControl(spark, dir))
     plan should include("Window ")
