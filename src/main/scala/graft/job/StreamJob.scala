@@ -87,6 +87,12 @@ abstract class StreamJob[OUT <: ADT, ADT <: GraftEvent](val runner: SparkRunner[
     }
   }
 
+  /** The frame written to sinks. Specializations override: AvroStreamJob
+    * serializes only the embedded avro part (reference addAvroSink),
+    * TableStreamJob the row projection (reference addRowSink). */
+  protected def sinkFrame(out: Dataset[OUT]): org.apache.spark.sql.DataFrame =
+    out.toDF()
+
   /** Attach every configured non-side sink; in streaming, one query per
     * sink awaits termination (reference maybeSink + side-output routing,
     * StreamJob.scala:317-344). */
@@ -96,12 +102,13 @@ abstract class StreamJob[OUT <: ADT, ADT <: GraftEvent](val runner: SparkRunner[
     // distinctBy name: a sink that is both explicitly listed and flagged
     // side.output=true must be written once, not twice.
     val all = (sinks ++ sides).toSeq.distinctBy(_.name)
+    val frame = sinkFrame(out)
     if (out.isStreaming) {
-      val queries = all.map(_.writeStream(out.toDF(), runner.checkpointDir))
+      val queries = all.map(_.writeStream(frame, runner.checkpointDir))
       queries.foreach(_.awaitTermination())
     } else {
       // fan-out without recompute: cache once when writing to multiple sinks
-      val df = if (all.size > 1) out.toDF().cache() else out.toDF()
+      val df = if (all.size > 1) frame.cache() else frame
       all.foreach(_.writeBatch(df))
     }
   }

@@ -37,6 +37,12 @@ object SinkConfig {
     val connector = opts.getOrElse("connector", infer(name))
     val side = opts.get("side.output").exists(_.toBoolean)
     connector match {
+      case "file" if opts.get("format").contains("avro") =>
+        AvroFileSinkConfig(name,
+          path = opts.getOrElse("path", sys.error(s"sinks.$name.path required")),
+          schemaJson = opts.getOrElse("avro.schema",
+            sys.error(s"sinks.$name.avro.schema (JSON) required for avro format")),
+          side)
       case "file" =>
         FileSinkConfig(name,
           path = opts.getOrElse("path", sys.error(s"sinks.$name.path required")),
@@ -97,6 +103,30 @@ final case class FileSinkConfig(
       .trigger(Trigger.AvailableNow())
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
+}
+
+/** Avro container-file sink (reference FileSinkConfig avro writers): expects
+  * a `value: binary` column of avro bodies — exactly what
+  * AvroStreamJob.sinkFrame produces — and writes one container file per
+  * non-empty partition ([[graft.serde.AvroFileIO.write]]). Streaming goes
+  * through foreachBatch (micro-batch file commits). */
+final case class AvroFileSinkConfig(
+    name: String,
+    path: String,
+    schemaJson: String,
+    isSideOutput: Boolean) extends SinkConfig {
+
+  override def writeBatch(df: DataFrame): Unit =
+    graft.serde.AvroFileIO.write(df, path, schemaJson)
+
+  override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.serde.AvroFileIO.write(batch, path, schemaJson)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }
 
 final case class ConsoleSinkConfig(name: String, numRows: Int, isSideOutput: Boolean)

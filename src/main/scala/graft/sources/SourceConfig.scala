@@ -46,6 +46,12 @@ object SourceConfig {
     val wmCol = opts.get("watermark.column")
     val lateness = opts.getOrElse("max.lateness", "5 minutes")
     connector match {
+      case "file" if opts.get("format").contains("avro") =>
+        AvroFileSourceConfig(name,
+          path = opts.getOrElse("path", sys.error(s"sources.$name.path required")),
+          schemaJson = opts.getOrElse("avro.schema",
+            sys.error(s"sources.$name.avro.schema (JSON) required for avro format")),
+          wmCol, lateness)
       case "file" =>
         FileSourceConfig(name,
           path = opts.getOrElse("path", sys.error(s"sources.$name.path required")),
@@ -114,6 +120,22 @@ final case class FileSourceConfig(
       }
       withSchema.load(path)
     }
+}
+
+/** Avro container-file source (reference FileSourceConfig avro path,
+  * model/source/FileSourceConfig.scala:263-344): built-in binaryFile listing
+  * + avro-core decode — see [[graft.serde.AvroFileIO.read]]. Emits a
+  * `value: binary` column of per-record avro bodies in the reader schema;
+  * AvroStreamJob.avroSource decodes them into typed events. */
+final case class AvroFileSourceConfig(
+    name: String,
+    path: String,
+    schemaJson: String,
+    watermarkColumn: Option[String],
+    maxLateness: String) extends SourceConfig {
+
+  override def read(spark: SparkSession, batchMode: Boolean): DataFrame =
+    graft.serde.AvroFileIO.read(spark, path, schemaJson, batchMode)
 }
 
 final case class SocketSourceConfig(

@@ -55,4 +55,55 @@ class KafkaPayloadSpec extends SparkSpec {
     rows.last shouldBe OrderRow(100L, "SYM2", 125.0)
     rows.map(_.sym).distinct.sorted.length shouldBe 7
   }
+
+  it should "resolve framed schemas through the SchemaRegistryClient interface" in {
+    // two schema versions under one subject-style universe: the registry
+    // (not the consumer) owns which schema each framed id means
+    val v2Json =
+      """{"type":"record","name":"Order","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"sym","type":"string"},
+        |{"name":"px","type":"double"},
+        |{"name":"qty","type":["null","long"],"default":null}]}""".stripMargin
+    val registry: SchemaRegistryClient = PreloadedSchemaRegistry(
+      schemas = Map(1 -> schemaJson, 2 -> v2Json),
+      subjects = Map("orders-value" -> 2))
+    val codec = new RegistryAvroCodec(registry)
+
+    // produce with v2 (the subject's registered id)
+    val rec = codec.codecFor(2).newRecord()
+    rec.put("id", 7L); rec.put("sym", "SYM0"); rec.put("px", 1.5); rec.put("qty", 3L)
+    val framed = codec.encodeFramed(rec, "orders-value")
+    framed(0) shouldBe 0.toByte
+
+    // consume: the id in the frame picks the v2 schema from the registry
+    val (id, back) = codec.decodeFramed(framed)
+    id shouldBe 2
+    back.get("qty").asInstanceOf[Long] shouldBe 3L
+
+    // a v1-framed payload resolves through the same interface
+    val v1 = new AvroCodec(schemaJson)
+    val r1 = v1.newRecord()
+    r1.put("id", 8L); r1.put("sym", "SYM1"); r1.put("px", 2.5)
+    val (id1, back1) = codec.decodeFramed(v1.encodeFramed(r1, schemaId = 1))
+    id1 shouldBe 1
+    back1.get("id").asInstanceOf[Long] shouldBe 8L
+
+    // unknown ids fail loudly, unknown subjects too
+    an[Exception] should be thrownBy codec.decodeFramed(v1.encodeFramed(r1, schemaId = 99))
+    an[Exception] should be thrownBy codec.encodeFramed(rec, "nope-value")
+
+    // config-driven preload (the reference's offline registry mode); the
+    // line-based config format needs the schema JSON on one line
+    val oneLine = schemaJson.linesIterator.mkString
+    val conf = graft.runner.GraftConfig(Array("j"),
+      s"""schema.registry.schema.5 = $oneLine
+         |schema.registry.subject.orders-value = 5
+         |""".stripMargin)
+    val fromConf = PreloadedSchemaRegistry.fromConfig(conf)
+    fromConf.getSchemaById(5) shouldBe Some(oneLine)
+    fromConf.idFor("orders-value") shouldBe Some(5)
+    // register() hands out fresh ids above the preloaded range
+    fromConf.register("new-subject", v2Json) should be > 5
+  }
 }
