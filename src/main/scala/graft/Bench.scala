@@ -34,7 +34,7 @@ object Bench {
     // scan paths, HOF lambdas and the native expressions are all compiled
     // before timing starts
     Seq("core_pricing_summary", "ev_session_windows", "join_interval_pairs",
-      "text_minhash_pairs", "vec_ann_lsh")
+      "text_minhash_pairs", "vec_ann_lsh", "text_simhash")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }

@@ -27,7 +27,14 @@ abstract class SparkRunner[ADT <: GraftEvent](
       .config("spark.sql.shuffle.partitions", config.getInt("shuffle.partitions", 32))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", config.getString("ui.enabled", "false"))
-    val withMaster = config.getStringOpt("master").fold(b)(b.master)
+    // Per-source idleness (reference withIdleness): when any source declares
+    // max.idleness, an idle source must not stall the combined watermark —
+    // Spark's equivalent lever is the max multiple-watermark policy.
+    val withIdle =
+      if (config.allEntries.keys.exists(_.endsWith(".max.idleness")))
+        b.config("spark.sql.streaming.multipleWatermarkPolicy", "max")
+      else b
+    val withMaster = config.getStringOpt("master").fold(withIdle)(withIdle.master)
     withMaster.getOrCreate()
   }
 

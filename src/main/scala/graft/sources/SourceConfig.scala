@@ -26,6 +26,14 @@ sealed trait SourceConfig {
   def watermarkColumn: Option[String]
   def maxLateness: String
 
+  /** Max idleness before this source should stop holding the global
+    * watermark back (reference SourceConfig.scala:64-66 withIdleness).
+    * Spark has no per-source idleness operator; when any source sets this,
+    * the runner switches `spark.sql.streaming.multipleWatermarkPolicy` to
+    * `max` so an idle source cannot stall the others, and GraftMetrics
+    * counts QueryIdleEvents for observability. */
+  def maxIdleness: Option[String] = None
+
   def read(spark: SparkSession, batchMode: Boolean): DataFrame
 
   /** Apply the configured watermark in streaming mode. */
@@ -45,7 +53,15 @@ object SourceConfig {
     val connector = opts.getOrElse("connector", infer(name))
     val wmCol = opts.get("watermark.column")
     val lateness = opts.getOrElse("max.lateness", "5 minutes")
+    val idleness = opts.get("max.idleness")
     connector match {
+      case "hybrid" =>
+        val legNames = opts.getOrElse("sources",
+            sys.error(s"sources.$name.sources (comma list) required for hybrid"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        HybridSourceConfig(name,
+          legs = legNames.map(n => SourceConfig(n, config)),
+          wmCol, lateness, idleness)
       case "file" if opts.get("format").contains("avro") =>
         AvroFileSourceConfig(name,
           path = opts.getOrElse("path", sys.error(s"sources.$name.path required")),
@@ -58,8 +74,9 @@ object SourceConfig {
           format = opts.getOrElse("format", "parquet"),
           schemaDdl = opts.get("schema"),
           options = opts.view.filterKeys(k =>
-            !Set("connector", "path", "format", "schema", "watermark.column", "max.lateness")(k)).toMap,
-          wmCol, lateness)
+            !Set("connector", "path", "format", "schema", "watermark.column",
+              "max.lateness", "max.idleness")(k)).toMap,
+          wmCol, lateness, idleness)
       case "socket" =>
         SocketSourceConfig(name, opts.getOrElse("host", "localhost"),
           opts.getOrElse("port", "9999").toInt, wmCol, lateness)
@@ -78,12 +95,12 @@ object SourceConfig {
           topics = opts.getOrElse("topics", name),
           startingOffsets = opts.getOrElse("starting.offsets", "earliest"),
           endingOffsets = opts.get("ending.offsets"),
-          groupId = opts.get("group.id"), wmCol, lateness)
+          groupId = opts.get("group.id"), wmCol, lateness, idleness)
       case "memory" | "empty" | "mock" =>
         MemorySourceConfig(name, wmCol, lateness)
       case other =>
         sys.error(s"source '$name': connector '$other' is out of scope offline " +
-          "(kinesis/rabbitmq/hybrid/iceberg — see SURVEY.md §2.1)")
+          "(kinesis/rabbitmq/iceberg — see SURVEY.md §2.1)")
     }
   }
 
@@ -92,7 +109,7 @@ object SourceConfig {
     * `kafka_in` implies its connector. */
   private[sources] def infer(name: String): String = {
     val n = name.toLowerCase
-    Seq("file", "socket", "rate", "generator", "kafka", "memory", "empty", "mock")
+    Seq("hybrid", "file", "socket", "rate", "generator", "kafka", "memory", "empty", "mock")
       .find(c => n.contains(c))
       .getOrElse("file")
   }
@@ -105,7 +122,8 @@ final case class FileSourceConfig(
     schemaDdl: Option[String],
     options: Map[String, String],
     watermarkColumn: Option[String],
-    maxLateness: String) extends SourceConfig {
+    maxLateness: String,
+    override val maxIdleness: Option[String] = None) extends SourceConfig {
 
   override def read(spark: SparkSession, batchMode: Boolean): DataFrame =
     if (batchMode) {
@@ -120,6 +138,60 @@ final case class FileSourceConfig(
       }
       withSchema.load(path)
     }
+}
+
+/** Hybrid source (reference model/source/HybridSourceConfig.scala:21-56):
+  * an ordered list of ≥2 constituent sources — bounded backfill legs
+  * followed by a live leg. Flink's HybridSource switches legs inside one
+  * operator; Spark has no native equivalent, so this emulates the SURVEY
+  * §2.1 prescription:
+  *
+  *  - BATCH mode: the full backfill — all legs read bounded and unioned
+  *    by name.
+  *  - STREAMING mode: the bounded legs (all but the last) are read batch
+  *    to find the handoff point (max of the watermark column — a tiny
+  *    driver-side aggregate over already-bounded data), then the LIVE leg
+  *    streams from that point: a kafka leg starts broker-side at the
+  *    handoff timestamp (`startingTimestamp` — no re-read of history),
+  *    and every leg gets the exactness filter `wmCol > handoff` so
+  *    backfilled events never re-enter. Operationally a job runs once in
+  *    batch (backfill) then flips `runtime.mode = streaming` — one config,
+  *    both legs, no overlap.
+  */
+final case class HybridSourceConfig(
+    name: String,
+    legs: Seq[SourceConfig],
+    watermarkColumn: Option[String],
+    maxLateness: String,
+    override val maxIdleness: Option[String]) extends SourceConfig {
+
+  require(legs.size >= 2,
+    s"hybrid source '$name' requires at least two constituent sources")
+
+  override def read(spark: SparkSession, batchMode: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    if (batchMode)
+      legs.map(_.read(spark, batchMode = true)).reduce(_.unionByName(_))
+    else {
+      val wmCol = watermarkColumn.getOrElse(sys.error(
+        s"hybrid source '$name' needs watermark.column for the streaming handoff"))
+      val bounded = legs.init.map(_.read(spark, batchMode = true))
+        .reduce(_.unionByName(_))
+      val handoff = bounded.agg(max(col(wmCol))).head.get(0)
+      val handoffMs: Option[Long] = handoff match {
+        case t: java.sql.Timestamp => Some(t.getTime)
+        case n: Number => Some(n.longValue)
+        case _ => None
+      }
+      val live = legs.last match {
+        case k: KafkaSourceConfig if handoffMs.isDefined =>
+          k.copy(startingTimestamp = handoffMs) // broker-side pruning
+        case other => other
+      }
+      val stream = live.read(spark, batchMode = false)
+      if (handoff == null) stream else stream.filter(col(wmCol) > lit(handoff))
+    }
+  }
 }
 
 /** Avro container-file source (reference FileSourceConfig avro path,
@@ -201,13 +273,18 @@ final case class KafkaSourceConfig(
     endingOffsets: Option[String],
     groupId: Option[String],
     watermarkColumn: Option[String],
-    maxLateness: String) extends SourceConfig {
+    maxLateness: String,
+    override val maxIdleness: Option[String] = None,
+    startingTimestamp: Option[Long] = None) extends SourceConfig {
 
   def readerOptions(batchMode: Boolean): Map[String, String] = {
+    // a hybrid-handoff timestamp replaces startingOffsets (broker-side seek)
+    val start = startingTimestamp
+      .map(ts => Map("startingTimestamp" -> ts.toString))
+      .getOrElse(Map("startingOffsets" -> startingOffsets))
     val base = Map(
       "kafka.bootstrap.servers" -> bootstrapServers,
-      "subscribe" -> topics,
-      "startingOffsets" -> startingOffsets)
+      "subscribe" -> topics) ++ start
     val end = if (batchMode) Map("endingOffsets" -> endingOffsets.getOrElse("latest")) else Map.empty
     val grp = groupId.map(g => Map("kafka.group.id" -> g)).getOrElse(Map.empty)
     base ++ end ++ grp

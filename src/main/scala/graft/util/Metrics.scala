@@ -53,8 +53,19 @@ final class GraftMetrics extends StreamingQueryListener {
   /** Last observed watermark (ISO instant) per query. */
   def lastWatermark(query: String): Option[String] = Option(watermarks.get(query))
 
+  private val idleEvents = new ConcurrentHashMap[String, LongAdder]()
+
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
-  override def onQueryIdle(event: QueryIdleEvent): Unit = ()
+
+  /** Idle-source detection (reference BoundedLatenessGenerator's idleness
+    * stats + SourceConfig max.idleness): Spark raises QueryIdleEvent when a
+    * trigger fires with no data — count them per query. */
+  override def onQueryIdle(event: QueryIdleEvent): Unit =
+    idleEvents.computeIfAbsent(event.id.toString, _ => new LongAdder).increment()
+
+  /** Number of idle triggers observed for a query id. */
+  def idleCount(queryId: String): Long =
+    Option(idleEvents.get(queryId)).map(_.sum()).getOrElse(0L)
 
   def snapshot: Map[String, (Long, Long, Long)] =
     stats.asScala.map { case (n, s) =>
