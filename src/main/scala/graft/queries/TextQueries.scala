@@ -336,6 +336,56 @@ object TextQueries {
        |       CAST(inter_cnt AS DOUBLE)/CAST(union_cnt AS DOUBLE) jaccard
        |FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin
 
+  /** Same-language near-dup pairs at scale — the banded twin of the
+    * brute-force text_ngram_jaccard scan: word-bigram shingles through
+    * [[graft.ops.NearDup.pairsWithJaccard]] (one (band,key) equi-join,
+    * O(dups) candidates), thresholded at jaccard ≥ 1/2 with exact integer
+    * arithmetic. The oracle mirrors the banding procedure, so the
+    * probabilistic candidate set is bit-identical across engines. */
+  def ngramLsh(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.ops.NearDup.Params(shingleK = 2, numSigs = NUM_SIGS,
+      bands = NUM_SIGS / BAND_ROWS, hashBase = 31L, hashP = P1, sigP = MH_P)
+    val docs = tPar(s, dir, "documents")
+    val pairs = graft.ops.NearDup.pairsWithJaccard(docs, "doc_id", "text", p)
+      .filter(col("inter_cnt") * 2 >= col("union_cnt"))
+    val la = docs.select(col("doc_id").as("ida"), col("lang"))
+    val lb = docs.select(col("doc_id").as("idb"), col("lang").as("lang_b"))
+    pairs.join(la, col("doc_a") === col("ida")).join(lb, col("doc_b") === col("idb"))
+      .filter(col("lang") === col("lang_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        col("inter_cnt"), col("union_cnt"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramLshSql: String = {
+    val sigExprs = (0 until NUM_SIGS).map { i =>
+      s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % $MH_P)) s$i"
+    }.mkString(", ")
+    val bandSelects = (0 until NUM_SIGS / BAND_ROWS).map { b =>
+      val ks = (0 until BAND_ROWS).map(r => s"s${b * BAND_ROWS + r}").mkString(", ")
+      s"SELECT doc_id, $b band, concat_ws(':', $ks) k FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH n AS (SELECT doc_id, lang, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
+       |sh AS (SELECT doc_id, ${shinglesSql("words", "norm", 2)} shs FROM w),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(shs, sg -> ${polyHashSql("sg", 31L, P1)})) hs FROM sh),
+       |sig AS (SELECT doc_id, $sigExprs FROM hs),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),
+       |p AS (SELECT doc_a, doc_b,
+       |             CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) inter_cnt,
+       |             CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS BIGINT) union_cnt,
+       |             CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |               / CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE) jaccard
+       |      FROM cand JOIN hs x ON doc_a = x.doc_id JOIN hs y ON doc_b = y.doc_id)
+       |SELECT a.lang, doc_a, doc_b, inter_cnt, union_cnt, jaccard
+       |FROM p JOIN n a ON doc_a = a.doc_id JOIN n b ON doc_b = b.doc_id
+       |WHERE a.lang = b.lang AND inter_cnt * 2 >= union_cnt
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "text_token_counts" -> (tokenCounts _),
     "text_quality_score" -> (qualityScore _),
@@ -347,6 +397,7 @@ object TextQueries {
     "text_simhash_pairs" -> (simhashPairs _),
     "text_simhash_lsh" -> (simhashLsh _),
     "text_ngram_jaccard" -> (ngramJaccard _),
+    "text_ngram_lsh" -> (ngramLsh _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -360,5 +411,6 @@ object TextQueries {
     "text_simhash_pairs" -> simhashPairsSql,
     "text_simhash_lsh" -> simhashLshSql,
     "text_ngram_jaccard" -> ngramJaccardSql,
+    "text_ngram_lsh" -> ngramLshSql,
   )
 }

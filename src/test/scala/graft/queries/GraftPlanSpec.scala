@@ -62,6 +62,19 @@ class GraftPlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  it should "probe IVF cells through an equi-join on cell id" in {
+    // the only nested-loop allowed is the deliberate 10-row centroid
+    // broadcast for assignment; the candidate search itself is an equi-join
+    val plan = planOf(VectorQueries.annIvf(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  it should "generate n-gram LSH candidates via an equi-join, not a cross join" in {
+    val plan = planOf(TextQueries.ngramLsh(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   it should "band SimHash near-dup pairs through an equi-join, not a cross join" in {
     // the full query keeps only the INTENTIONAL broadcast of the 60-row
     // bits table (simhash voting); the pair join must never be a cartesian
