@@ -49,12 +49,27 @@ abstract class AvroStreamJob[
         spark.createDataset(cr.getInputEvents(name).map(_.asInstanceOf[OUT]))(outEncoder)
       case None =>
         val schemaJson = avroSchemaJson
-        runner.sourceDataFrame(name)
-          .select("value").as(Encoders.BINARY)
-          .mapPartitions { bodies =>
+        val df = runner.sourceDataFrame(name)
+        val hasKey = df.columns.contains("key")
+        val hasHeaders = df.columns.contains("headers")
+        // kafka-shaped frames carry key/headers beside value — thread them
+        // into the factory (reference EmbeddedAvroRecordInfo's key+headers)
+        import org.apache.spark.sql.functions.{col, lit, typedLit}
+        val keyCol =
+          if (hasKey) col("key").cast("string") else lit(null).cast("string")
+        val headersCol =
+          if (hasHeaders) col("headers") else typedLit(Map.empty[String, String])
+        val rows = df.select(col("value").cast("binary").as("value"),
+          keyCol.as("k"), headersCol.as("h"))
+        val sp = spark
+        import sp.implicits._
+        rows.as[(Array[Byte], String, Map[String, String])]
+          .mapPartitions { triples =>
             val codec = new AvroCodec(schemaJson)
-            bodies.map(b =>
-              fromKV(EmbeddedAvroRecordInfo(codec.decode(b).asInstanceOf[A])))
+            triples.map { case (b, k, h) =>
+              fromKV(EmbeddedAvroRecordInfo(codec.decode(b).asInstanceOf[A],
+                Option(k), if (h == null) Map.empty else h))
+            }
           }(outEncoder)
     }
 
