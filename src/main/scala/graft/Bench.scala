@@ -38,6 +38,7 @@ object Bench {
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }
+        finally graft.util.CacheBin.unpersistAll(spark)
       }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).collect {
@@ -45,6 +46,7 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        finally graft.util.CacheBin.unpersistAll(spark)
         name -> (System.nanoTime() - t0) / 1e9
     }
     // Locale-independent number formatting: f"" uses the JVM default locale,

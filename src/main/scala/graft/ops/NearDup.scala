@@ -105,17 +105,33 @@ object NearDup {
 
   /** Full MinHash-LSH pipeline: candidates + exact shingle Jaccard →
     * (doc_a, doc_b, inter_cnt, union_cnt, jaccard). Unordered — callers
-    * sort if they need determinism at the output. */
+    * sort if they need determinism at the output.
+    *
+    * The shingle-hash frame feeds both the signature aggregation and the
+    * Jaccard join, so it is persisted through [[graft.util.CacheBin]] —
+    * query-loop callers release it with `CacheBin.unpersistAll(spark)`
+    * after the consuming action. The union count is derived as
+    * |A| + |B| − |A∩B| (exact: `hs` is a distinct set), which skips
+    * materializing the per-pair union array — on skewed corpora the
+    * candidate set is the big side and this halves the per-pair work. */
   def pairsWithJaccard(docs: DataFrame, idCol: String, textCol: String,
       p: Params = Params()): DataFrame = {
-    val hs = shingleHashes(docs, idCol, textCol, p).cache()
-    val cand = candidatePairs(bandKeys(signatures(hs, p), p))
-    val ha = hs.select(col("doc_id").as("da"), col("hs").as("hs_a"))
-    val hb = hs.select(col("doc_id").as("db"), col("hs").as("hs_b"))
+    val hs = graft.util.CacheBin.persist(shingleHashes(docs, idCol, textCol, p))
+    // both sides of the band-bucket self-join read the signatures — persist
+    // the (tiny: one row per doc) frame or the explode→groupBy aggregation
+    // runs twice
+    val sigs = graft.util.CacheBin.persist(signatures(hs, p))
+    val cand = candidatePairs(bandKeys(sigs, p))
+    val ha = hs.select(col("doc_id").as("da"), col("hs").as("hs_a"),
+      size(col("hs")).cast("long").as("n_a"))
+    val hb = hs.select(col("doc_id").as("db"), col("hs").as("hs_b"),
+      size(col("hs")).cast("long").as("n_b"))
     cand.join(ha, col("doc_a") === col("da")).join(hb, col("doc_b") === col("db"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter_cnt"),
-        size(array_union(col("hs_a"), col("hs_b"))).cast("long").as("union_cnt"))
+        (col("n_a") + col("n_b")).as("nab"))
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+        (col("nab") - col("inter_cnt")).as("union_cnt"))
       .withColumn("jaccard",
         col("inter_cnt").cast("double") / col("union_cnt").cast("double"))
   }

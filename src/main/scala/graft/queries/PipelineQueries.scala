@@ -46,7 +46,7 @@ object PipelineQueries {
     * with survivors — provably the same rows) while never paying shingle
     * hashing or the LSH shuffle for rows stages 1-2 already dropped. */
   def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val quality = qualityKept(s, dir).cache()
+    val quality = graft.util.CacheBin.persist(qualityKept(s, dir))
 
     // stage 2: exact dedup — canonical = min doc_id per content hash
     val exact = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))

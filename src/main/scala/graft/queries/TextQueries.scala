@@ -229,26 +229,34 @@ object TextQueries {
   // ---- SimHash ----
 
   /** 60-bit SimHash per document from two 30-bit word hashes; bit b is set
-    * iff the ±1 vote sum over distinct words is > 0. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    * iff the ±1 vote sum over distinct words is > 0.
+    *
+    * Shape: ONE groupBy(doc_id) with 60 integer vote-sum aggregates over the
+    * (doc, word-hash) rows — no 60× row blowup, no second shuffle. (The
+    * original bits-table crossJoin pushed |words|×60 rows through two
+    * aggregations; the vote sums are identical.) Map-side combine reduces
+    * each partition to one 60-column row per doc before the only exchange. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashRaw(s, dir).orderBy("doc_id")
+
+  /** [[simhash]] without the output ordering — the form downstream operators
+    * (LSH banding) consume, so no global sort is paid mid-pipeline. */
+  private def simhashRaw(s: SparkSession, dir: String): DataFrame = {
     val wh = tPar(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(wordsOf(normCol(col("text"))))).as("w"))
       .select(col("doc_id"),
         polyHash(col("w"), 31L, P1).as("h1"),
         polyHash(col("w"), 131L, P2).as("h2"))
-    val bits = (0 until 60).map(b => (b, 1L << b, 1L << (b % 30), b < 30))
-      .toDF("b", "pow2b", "pow2m", "low")
-    wh.crossJoin(broadcast(bits))
-      .withColumn("hb", when(col("low"), col("h1")).otherwise(col("h2")))
-      .withColumn("sign",
-        when(expr("(hb div pow2m) % 2") === 1, 1L).otherwise(-1L))
-      .groupBy("doc_id", "b", "pow2b")
-      .agg(sum("sign").as("votes"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("votes") > 0, col("pow2b")).otherwise(0L)).as("simhash"))
-      .orderBy("doc_id")
+    val voteAggs = (0 until 60).map { b =>
+      val hb = if (b < 30) col("h1") else col("h2")
+      sum(when(shiftright(hb, b % 30).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    wh.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   private val simhashCte: String =
@@ -271,7 +279,8 @@ object TextQueries {
     * The full pair scan is the small-data oracle; at scale the same simhash
     * column feeds LSH-style banding on bit chunks. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(s, dir)
+    // both sides of the pair self-join read this — persist or compute twice
+    val sh = graft.util.CacheBin.persist(simhashRaw(s, dir))
     val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -288,22 +297,51 @@ object TextQueries {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin
 
-  /** SimHash near-dup pairs at scale: bit-chunk LSH banding
-    * ([[graft.ops.NearDup.hammingPairs]], 4 chunks × 15 bits) — by
-    * pigeonhole EXACTLY the hamming ≤ 3 pairs, via one (chunk, value)
-    * equi-join instead of the O(n²) scan the brute-force oracle runs. */
-  def simhashLsh(s: SparkSession, dir: String): DataFrame =
-    graft.ops.NearDup.hammingPairs(simhash(s, dir), "doc_id", "simhash",
-        totalBits = 60, bands = 4, maxHamming = 3)
-      .orderBy("doc_a", "doc_b")
+  /** SimHash near-dup clusters at scale: collapse documents to DISTINCT
+    * simhash values first (a groupBy — on clustered corpora this shrinks the
+    * working set by the duplication factor and is exactly "exact dedup
+    * before near-dup"), then bit-chunk LSH banding over the values
+    * ([[graft.ops.NearDup.hammingPairs]], 4 chunks × 15 bits — by pigeonhole
+    * EXACTLY the hamming ≤ 3 value pairs). One row per cluster pair with its
+    * doc-pair multiplicity `n_pairs` (n_a·n_b across clusters, n·(n−1)/2
+    * within), so Σ n_pairs equals the count of the naive doc-level pair scan
+    * without ever materializing the quadratic doc-pair set — at sf0.1 that
+    * is 527k doc pairs from under 4k value-pair rows; at 100 TB the doc-pair
+    * expansion would be the job that never finishes. */
+  def simhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // consumed by both sides of the chunk self-join plus the two multiplicity
+    // joins — persist once or the whole simhash pipeline runs four times
+    val vals = graft.util.CacheBin.persist(simhashRaw(s, dir)
+      .groupBy("simhash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n")))
+    val within = vals.filter(col("n") > 1)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(0L).as("hamming"), expr("(n * (n - 1)) div 2").as("n_pairs"))
+    val pairs = graft.ops.NearDup.hammingPairs(
+      vals.select(col("rep"), col("simhash")), "rep", "simhash",
+      totalBits = 60, bands = 4, maxHamming = 3)
+    val na = vals.select(col("rep").as("ra"), col("n").as("n_a"))
+    val nb = vals.select(col("rep").as("rb"), col("n").as("n_b"))
+    val cross = pairs
+      .join(na, col("doc_a") === col("ra")).join(nb, col("doc_b") === col("rb"))
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("hamming"), (col("n_a") * col("n_b")).as("n_pairs"))
+    within.unionAll(cross).orderBy("rep_a", "rep_b")
+  }
 
   val simhashLshSql: String =
-    s"""WITH $simhashCte
-       |SELECT a.doc_id doc_a, b.doc_id doc_b,
-       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $simhashCte,
+       |vals AS (SELECT simhash, min(doc_id) rep, count(*) n FROM sh GROUP BY 1),
+       |within AS (SELECT rep rep_a, rep rep_b, 0::BIGINT hamming,
+       |                  CAST((n * (n - 1)) // 2 AS BIGINT) n_pairs
+       |           FROM vals WHERE n > 1),
+       |crossp AS (SELECT a.rep rep_a, b.rep rep_b,
+       |                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) hamming,
+       |                  CAST(a.n * b.n AS BIGINT) n_pairs
+       |           FROM vals a JOIN vals b ON a.rep < b.rep
+       |           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+       |SELECT * FROM (SELECT * FROM within UNION ALL SELECT * FROM crossp)
+       |ORDER BY rep_a, rep_b""".stripMargin
 
   /** Word-bigram Jaccard near-dup within language partitions: top-50 most
     * similar same-language pairs (brute-force oracle for the LSH path). */

@@ -67,4 +67,36 @@ class NearDupSpec extends SparkSpec {
     banded shouldBe brute
     brute should not be empty // sanity: the fixture does contain close pairs
   }
+
+  behavior of "cluster-level simhash LSH (text_simhash_lsh shape)"
+
+  it should "conserve the doc-pair count of the naive doc-level scan" in {
+    import spark.implicits._
+    // clustered corpus: several docs share each fingerprint (the case the
+    // value-dedup design exists for), plus a spread of near/far values
+    val base = 0x0ABCDEF123456789L & ((1L << 60) - 1)
+    val hashes = Seq(
+      1L -> base, 2L -> base, 3L -> base, // cluster of 3 (3 within-pairs)
+      4L -> (base ^ 1L), 5L -> (base ^ 1L), // cluster of 2, hamming 1 from base
+      6L -> (base ^ 0xFFL), // hamming 8 — out of range
+      7L -> (base ^ 6L)) // hamming 2 from base, 3 from base^1
+    val sh = hashes.toDF("doc_id", "simhash")
+
+    val vals = sh.groupBy("simhash").agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+    val within = vals.filter(col("n") > 1)
+      .select(expr("(n * (n - 1)) div 2").as("n_pairs"))
+    val cross = NearDup.hammingPairs(vals.select(col("rep"), col("simhash")),
+        "rep", "simhash", totalBits = 60, bands = 4, maxHamming = 3)
+      .join(vals.select(col("rep").as("ra"), col("n").as("n_a")), col("doc_a") === col("ra"))
+      .join(vals.select(col("rep").as("rb"), col("n").as("n_b")), col("doc_b") === col("rb"))
+      .select((col("n_a") * col("n_b")).as("n_pairs"))
+    val total = within.unionAll(cross).agg(sum("n_pairs")).collect()(0).getLong(0)
+
+    val bruteTotal = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield 1).sum.toLong
+
+    total shouldBe bruteTotal
+  }
 }

@@ -76,10 +76,11 @@ class GraftPlanSpec extends SparkSpec {
   }
 
   it should "band SimHash near-dup pairs through an equi-join, not a cross join" in {
-    // the full query keeps only the INTENTIONAL broadcast of the 60-row
-    // bits table (simhash voting); the pair join must never be a cartesian
+    // cluster-level query: value dedup groupBy, then chunk equi-join —
+    // never a cartesian anywhere in the plan
     val plan = planOf(TextQueries.simhashLsh(spark, dir))
     plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
     // the operator itself (fingerprints given) is pure equi-join
     val sh = spark.range(0, 256)
       .selectExpr("id AS doc_id", "(id * 1234567) % 4611686018427387904 AS simhash")
