@@ -30,10 +30,23 @@ abstract class SparkRunner[ADT <: GraftEvent](
     // Per-source idleness (reference withIdleness): when any source declares
     // max.idleness, an idle source must not stall the combined watermark —
     // Spark's equivalent lever is the max multiple-watermark policy.
+    //
+    // DIVERGENCE from the reference: withIdleness excludes a source from
+    // watermark calculation only AFTER it has been idle for the configured
+    // duration; Spark's "max" policy always tracks the fastest stream, even
+    // when no source is idle. Rows from an active-but-lagging source in a
+    // multi-watermark stateful query can therefore become late data and be
+    // dropped. The configured idleness DURATION has no effect here — only
+    // the presence of the key. Both facts are warned at session build.
     val withIdle =
-      if (config.allEntries.keys.exists(_.endsWith(".max.idleness")))
+      if (config.allEntries.keys.exists(_.endsWith(".max.idleness"))) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "max.idleness is emulated with spark.sql.streaming.multipleWatermarkPolicy=max: " +
+            "the global watermark always follows the FASTEST source (even when none is idle) " +
+            "and the configured idleness duration is ignored; an active-but-lagging source's " +
+            "rows may be treated as late data in multi-watermark stateful queries")
         b.config("spark.sql.streaming.multipleWatermarkPolicy", "max")
-      else b
+      } else b
     val withMaster = config.getStringOpt("master").fold(withIdle)(withIdle.master)
     withMaster.getOrCreate()
   }

@@ -3,7 +3,6 @@ package graft.serde
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -73,18 +72,40 @@ object AvroFileIO {
   }
 
   /** Write a DataFrame with a `value: binary` column of avro bodies (in
-    * `schemaJson`) as container files, one per non-empty partition. */
-  def write(df: DataFrame, path: String, schemaJson: String): Unit = {
+    * `schemaJson`) as container files, one per non-empty partition.
+    *
+    * File naming: with a `commitTag` (the streaming sink passes the
+    * micro-batch id), names are deterministic `part-<tag>-p<partitionId>.avro`
+    * and the writer OVERWRITES — a replayed micro-batch after failure/restart
+    * rewrites the same files instead of duplicating records, making the
+    * checkpointed foreachBatch sink idempotent (effectively exactly-once,
+    * like the reference's checkpointed avro file sink). Without a tag (plain
+    * batch append) names are fresh UUIDs.
+    *
+    * Filesystem access uses the SESSION's Hadoop configuration captured on
+    * the driver (spark.hadoop.* — s3a credentials, hdfs overrides), not a
+    * classpath-only `new Configuration()`. */
+  def write(df: DataFrame, path: String, schemaJson: String,
+      commitTag: Option[String] = None): Unit = {
     val dir = path
+    val hconf = new graft.util.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col("value")).as(Encoders.BINARY).foreachPartition {
       (rows: Iterator[Array[Byte]]) =>
         if (rows.hasNext) {
           val schema = new Schema.Parser().parse(schemaJson)
           val codec = new AvroCodec(schemaJson)
-          val fs = FileSystem.get(new Path(dir).toUri, new Configuration())
+          val fs = FileSystem.get(new Path(dir).toUri, hconf.value)
           fs.mkdirs(new Path(dir))
-          val file = new Path(dir,
-            s"part-${java.util.UUID.randomUUID().toString.take(13)}.avro")
+          val fileName = commitTag match {
+            case Some(tag) =>
+              val pid = Option(org.apache.spark.TaskContext.get())
+                .map(_.partitionId()).getOrElse(0)
+              s"part-$tag-p$pid.avro"
+            case None =>
+              s"part-${java.util.UUID.randomUUID().toString.take(13)}.avro"
+          }
+          val file = new Path(dir, fileName)
           val writer = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](schema))
           writer.create(schema, fs.create(file, true))

@@ -122,8 +122,12 @@ final case class AvroFileSinkConfig(
   override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", s"$checkpointDir/$name")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.serde.AvroFileIO.write(batch, path, schemaJson)
+      // batchId-derived file names + overwrite → a micro-batch replayed
+      // after failure rewrites its own files instead of duplicating records
+      // (idempotent sink, effectively exactly-once under the checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.serde.AvroFileIO.write(batch, path, schemaJson,
+          commitTag = Some(s"b$batchId"))
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -278,9 +278,15 @@ final case class KafkaSourceConfig(
     startingTimestamp: Option[Long] = None) extends SourceConfig {
 
   def readerOptions(batchMode: Boolean): Map[String, String] = {
-    // a hybrid-handoff timestamp replaces startingOffsets (broker-side seek)
+    // A hybrid-handoff timestamp replaces startingOffsets (broker-side seek).
+    // strategy=latest: right after a complete backfill the live topic usually
+    // has NO message with timestamp >= handoff yet — Spark's default strategy
+    // ("error") would fail the stream at start; "latest" waits at the head
+    // for the next arrival instead, which is the handoff semantic we want.
     val start = startingTimestamp
-      .map(ts => Map("startingTimestamp" -> ts.toString))
+      .map(ts => Map(
+        "startingTimestamp" -> ts.toString,
+        "startingOffsetsByTimestampStrategy" -> "latest"))
       .getOrElse(Map("startingOffsets" -> startingOffsets))
     val base = Map(
       "kafka.bootstrap.servers" -> bootstrapServers,

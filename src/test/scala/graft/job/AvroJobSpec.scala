@@ -90,6 +90,30 @@ class AvroJobSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  it should "write idempotently on micro-batch replay (commitTag-named files)" in {
+    val dir = Files.createTempDirectory("graft-avro-replay").toFile
+    try {
+      val path = s"${dir.getAbsolutePath}/data"
+      val codec = new AvroCodec(schemaJson)
+      import spark.implicits._
+      val bodies = (1 to 6).map { i =>
+        val rec = new org.apache.avro.generic.GenericData.Record(
+          new org.apache.avro.Schema.Parser().parse(schemaJson))
+        rec.put("id", s"e$i"); rec.put("key", s"k${i % 2}")
+        rec.put("ts", i.toLong); rec.put("amount", i.toDouble)
+        codec.encode(rec)
+      }
+      val df = bodies.toDF("value")
+      // same batch written twice with the same tag = a replayed micro-batch
+      AvroFileIO.write(df, path, schemaJson, commitTag = Some("b7"))
+      AvroFileIO.write(df, path, schemaJson, commitTag = Some("b7"))
+      // deterministic names overwritten, not duplicated
+      AvroFileIO.read(spark, path, schemaJson, batchMode = true).count() shouldBe 6
+      val names = new java.io.File(path).listFiles().map(_.getName).filter(_.endsWith(".avro"))
+      all(names) should startWith("part-b7-p")
+    } finally rm(dir)
+  }
+
   behavior of "TableStreamJob"
 
   it should "write the row projection to sinks" in {
