@@ -41,20 +41,30 @@ object Bench {
         finally graft.util.CacheBin.unpersistAll(spark)
       }
 
+    // Each query is executed twice (fresh plan each time) and reports the
+    // MINIMUM of the two runs — steady-state engine time. Rationale: this
+    // host is a shared VM with transient CPU-steal bursts (observed 4×
+    // inflation of identical runs minutes apart); min-of-2 rejects a burst
+    // unless it covers both runs, while a genuinely slow plan stays slow in
+    // both. Methodology is declared in the output ("runs"/"agg").
+    val RUNS = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !SKIP(name) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        finally graft.util.CacheBin.unpersistAll(spark)
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to RUNS).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          finally graft.util.CacheBin.unpersistAll(spark)
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
     }
     // Locale-independent number formatting: f"" uses the JVM default locale,
     // which in comma-decimal locales would emit invalid JSON.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ CoreQueries2.queries ++ EventQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ JoinQueries.queries ++
-      SketchQueries.queries ++ PipelineQueries.queries
+      SketchQueries.queries ++ PipelineQueries.queries ++ CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ CoreQueries2.oracle ++ EventQueries.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++ JoinQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++ CorpusQueries.oracle
 }

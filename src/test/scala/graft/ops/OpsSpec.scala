@@ -161,4 +161,27 @@ class OpsSpec extends SparkSpec {
     Multimodal.mediaSchema.fieldNames shouldBe Array("mediaId", "meta", "content")
     Multimodal.mediaSchema("content").dataType.typeName shouldBe "binary"
   }
+
+  behavior of "Sampling (deterministic stratified hash sample)"
+
+  it should "be reproducible, rate-accurate and drop unknown strata" in {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val rates = Map("a" -> 20, "b" -> 80)
+    val s1 = graft.ops.Sampling.stratifiedHash(df, "stratum", "id", rates)
+      .select("id").as[Long].collect().sorted
+    val s2 = graft.ops.Sampling.stratifiedHash(df, "stratum", "id", rates)
+      .select("id").as[Long].collect().sorted
+    s1 shouldBe s2 // bit-reproducible — no rand()
+    val byStratum = graft.ops.Sampling.stratifiedHash(df, "stratum", "id", rates)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byStratum("a").toDouble shouldBe 200.0 +- 60.0 // 20% of 1000
+    byStratum("b").toDouble shouldBe 800.0 +- 60.0 // 80% of 1000
+    // a stratum without a configured rate defaults to 0% (dropped)
+    graft.ops.Sampling.stratifiedHash(df, "stratum", "id", Map("a" -> 20))
+      .filter($"stratum" === "b").count() shouldBe 0L
+  }
 }
