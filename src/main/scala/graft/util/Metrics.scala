@@ -41,17 +41,51 @@ final class GraftMetrics extends StreamingQueryListener {
     s.lastProcRate.set(p.processedRowsPerSecond.toLong)
     val stateRows = p.stateOperators.map(_.numRowsTotal).sum
     s.stateRows.set(stateRows)
-    // watermark position (the BoundedLatenessGenerator stats analog,
-    // reference util/BoundedLatenessGenerator.scala:44-110)
-    Option(p.eventTime.get("watermark")).foreach { wm =>
-      watermarks.put(Option(p.name).getOrElse(p.id.toString), wm)
+    val name = Option(p.name).getOrElse(p.id.toString)
+    // BoundedLatenessGenerator stats analog (reference
+    // util/BoundedLatenessGenerator.scala:44-110): watermark position, late
+    // rows actually dropped, watermark lag behind max event time, and the
+    // future-timestamp warning.
+    Option(p.eventTime.get("watermark")).foreach(watermarks.put(name, _))
+    val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+    if (dropped > 0)
+      droppedByWatermark.computeIfAbsent(name, _ => new LongAdder).add(dropped)
+    for {
+      maxTs <- Option(p.eventTime.get("max")).map(java.time.Instant.parse)
+    } {
+      Option(p.eventTime.get("watermark")).map(java.time.Instant.parse).foreach { wm =>
+        watermarkLagMs.computeIfAbsent(name,
+          _ => new java.util.concurrent.atomic.AtomicLong)
+          .set(maxTs.toEpochMilli - wm.toEpochMilli)
+      }
+      val batchTs = java.time.Instant.parse(p.timestamp)
+      if (maxTs.isAfter(batchTs.plusSeconds(futureTsWarnSeconds)))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"query $name saw FUTURE event time $maxTs (batch at $batchTs) — " +
+            "check producer clocks (reference BoundedLatenessGenerator warning)")
     }
   }
 
+  /** Threshold for the future-event-time warning (clock-skew allowance). */
+  var futureTsWarnSeconds: Long = 60L
+
   private val watermarks = new ConcurrentHashMap[String, String]()
+  private val droppedByWatermark = new ConcurrentHashMap[String, LongAdder]()
+  private val watermarkLagMs =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   /** Last observed watermark (ISO instant) per query. */
   def lastWatermark(query: String): Option[String] = Option(watermarks.get(query))
+
+  /** Total late rows dropped by the watermark across a query's lifetime —
+    * the reference's late-event counter. */
+  def lateRowsDropped(query: String): Long =
+    Option(droppedByWatermark.get(query)).map(_.sum()).getOrElse(0L)
+
+  /** Last observed (max event time − watermark) gap, ms — the reference's
+    * lateness/gap gauge. */
+  def lastWatermarkLagMs(query: String): Option[Long] =
+    Option(watermarkLagMs.get(query)).map(_.get())
 
   private val idleEvents = new ConcurrentHashMap[String, LongAdder]()
 

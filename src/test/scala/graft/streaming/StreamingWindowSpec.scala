@@ -61,6 +61,11 @@ class StreamingWindowSpec extends SparkSpec {
     // metrics listener observed the query's batches + input rows
     metrics.batches("win_out") should be >= 4L
     metrics.inputRows("win_out") shouldBe 5L
+    // BoundedLatenessGenerator-style stats: the 999.0 event was dropped by
+    // the watermark, and the watermark lag gauge observed the last batch
+    metrics.lateRowsDropped("win_out") should be >= 1L
+    metrics.lastWatermark("win_out") should not be empty
+    metrics.lastWatermarkLagMs("win_out").getOrElse(-1L) should be >= 0L
   }
 
   behavior of "generator source (deterministic batch)"
