@@ -91,4 +91,46 @@ class AggregatesSpec extends AnyFlatSpec with Matchers {
   it should "reject cross-dimension conversion" in {
     an[IllegalArgumentException] should be thrownBy UnitKernel.convert(1.0, "kg", "m")
   }
+
+  it should "cover the reference UnitMapper's dimension dispatch (sans Money)" in {
+    // reference model/UnitMapper.scala:49-147 dispatches 45 dimensions;
+    // Money is exchange-rate-dependent (excluded by design) → 44 here
+    val dims = UnitKernel.units.values.map(_.dimension).toSet
+    dims.size shouldBe 44
+    dims should contain allOf ("Acceleration", "Angle", "AngularAcceleration",
+      "AngularVelocity", "Area", "AreaDensity", "ChemicalAmount", "DataRate",
+      "Density", "Force", "Frequency", "Illuminance", "Irradiance", "Jerk",
+      "Luminance", "LuminousEnergy", "LuminousExposure", "LuminousFlux",
+      "LuminousIntensity", "MassFlow", "Momentum", "MomentOfInertia",
+      "Pressure", "PressureChange", "Radiance", "RadiantIntensity",
+      "SolidAngle", "SpectralIntensity", "SpectralIrradiance", "SpectralPower",
+      "ThermalCapacity", "Torque", "Velocity", "Volume", "VolumeFlow", "Yank")
+    dims should not contain "Money"
+  }
+
+  it should "hold golden conversions across the extended dimensions" in {
+    UnitKernel.convert(1.0, "atm", "Pa") shouldBe 101325.0 +- 1e-6
+    UnitKernel.convert(60.0, "mph", "km/h") shouldBe 96.56064 +- 1e-9
+    UnitKernel.convert(180.0, "deg", "rad") shouldBe math.Pi +- 1e-12
+    UnitKernel.convert(1.0, "hp", "W") shouldBe 745.6998715822702 +- 1e-9
+    UnitKernel.convert(1.0, "gal", "L") shouldBe 3.785411784 +- 1e-12
+    UnitKernel.convert(1.0, "acre", "m2") shouldBe 4046.8564224 +- 1e-9
+    UnitKernel.convert(1.0, "kWh", "MJ") shouldBe 3.6 +- 1e-12
+    UnitKernel.convert(3600.0, "kg/h", "kg/s") shouldBe 1.0 +- 1e-12
+    UnitKernel.convert(1.0, "Gbps", "MB/s") shouldBe 125.0 +- 1e-9
+    UnitKernel.convert(491.67, "R", "F") shouldBe 32.0 +- 1e-9
+    UnitKernel.convert(1.0, "rpm", "rad/s") shouldBe (2 * math.Pi / 60) +- 1e-12
+  }
+
+  it should "round-trip every unit through its dimension base exactly" in {
+    // convert 7 units of x -> base -> back: identity within float tolerance
+    val bases = UnitKernel.units.values.groupBy(_.dimension)
+      .map { case (d, us) => d -> us.minBy(_.factor != 1.0) }
+    UnitKernel.units.values.foreach { u =>
+      val base = bases(u.dimension)
+      val rt = UnitKernel.convert(UnitKernel.convert(7.0, u.symbol, base.symbol),
+        base.symbol, u.symbol)
+      withClue(s"${u.symbol} (${u.dimension}): ") { rt shouldBe 7.0 +- 1e-9 }
+    }
+  }
 }
