@@ -72,4 +72,59 @@ class SerdeSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       codec.decodeFramed(Array[Byte](1, 2, 3, 4, 5, 6))
   }
+
+  behavior of "AvroJson (record <-> JSON, reference AvroJsonSerializer surface)"
+
+  private val richSchemaJson =
+    """{"type":"record","name":"R","fields":[
+      |{"name":"id","type":"string"},
+      |{"name":"n","type":"long"},
+      |{"name":"tags","type":{"type":"array","items":"string"}},
+      |{"name":"attrs","type":{"type":"map","values":"long"}},
+      |{"name":"blob","type":"bytes"},
+      |{"name":"maybe","type":["null","string"],"default":null}]}""".stripMargin
+
+  private def richRecord(): org.apache.avro.generic.GenericRecord = {
+    val schema = new org.apache.avro.Schema.Parser().parse(richSchemaJson)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("id", "r\"1\"") // embedded quotes must escape
+    rec.put("n", 42L)
+    rec.put("tags", java.util.Arrays.asList("a", "b"))
+    val m = new java.util.HashMap[String, Long](); m.put("k2", 2L); m.put("k1", 1L)
+    rec.put("attrs", m)
+    rec.put("blob", java.nio.ByteBuffer.wrap(Array[Byte](1, 2, 3)))
+    rec.put("maybe", null)
+    rec
+  }
+
+  it should "emit deterministic valid JSON (bytes as base64, unions unwrapped)" in {
+    val json = AvroJson.toJson(richRecord(),
+      AvroJson.JsonOptions(sortKeys = true, endOfLine = false))
+    json shouldBe
+      """{"attrs":{"k1":1,"k2":2},"blob":"AQID","id":"r\"1\"","maybe":null,"n":42,"tags":["a","b"]}"""
+    // same record, same bytes — the dedup-stability property
+    AvroJson.toJson(richRecord(), AvroJson.JsonOptions(sortKeys = true, endOfLine = false)) shouldBe json
+  }
+
+  it should "round-trip through fromJson" in {
+    val schema = new org.apache.avro.Schema.Parser().parse(richSchemaJson)
+    val json = AvroJson.toJson(richRecord(), AvroJson.JsonOptions(sortKeys = true))
+    val back = AvroJson.fromJson(json, schema)
+    back.get("id").toString shouldBe "r\"1\""
+    back.get("n") shouldBe 42L
+    back.get("maybe") shouldBe null
+    val blob = back.get("blob").asInstanceOf[java.nio.ByteBuffer]
+    val bytes = new Array[Byte](blob.remaining()); blob.duplicate().get(bytes)
+    bytes.toSeq shouldBe Seq[Byte](1, 2, 3)
+    // and the avro binary codec accepts the reconstructed record
+    val codec = new AvroCodec(richSchemaJson)
+    codec.decode(codec.encode(back)).get("n") shouldBe 42L
+  }
+
+  it should "pretty-print with stable indentation" in {
+    val json = AvroJson.toJson(richRecord(),
+      AvroJson.JsonOptions(pretty = true, sortKeys = true, endOfLine = false))
+    json should startWith("{\n  \"attrs\": {\n")
+    json should include("\"tags\": [\n    \"a\",\n    \"b\"\n  ]")
+  }
 }

@@ -100,4 +100,15 @@ class UtilSpec extends AnyFlatSpec with Matchers {
     SqlDialect.of("jdbc:sqlite:/tmp/x.db") shouldBe SqlDialect.Sqlite
     SqlDialect.of("jdbc:h2:mem:") shouldBe SqlDialect.Generic
   }
+
+  behavior of "Strings.snakeCase"
+
+  it should "snake-case camel, pascal and acronym runs" in {
+    Strings.snakeCase("SerializedValueSize") shouldBe "serialized_value_size"
+    Strings.snakeCase("timestampType") shouldBe "timestamp_type"
+    Strings.snakeCase("HTTPServer") shouldBe "http_server"
+    Strings.snakeCase("already_snake") shouldBe "already_snake"
+    Strings.snakeCase("kebab-case name") shouldBe "kebab_case_name"
+    Strings.snakeCase("Offset") shouldBe "offset"
+  }
 }
