@@ -43,6 +43,12 @@ object SinkConfig {
           schemaJson = opts.getOrElse("avro.schema",
             sys.error(s"sinks.$name.avro.schema (JSON) required for avro format")),
           side)
+      // parquet files carrying avro-job events (reference
+      // EmbeddedAvroWriterFactory): avro.schema present + parquet format
+      case "file" if opts.contains("avro.schema") =>
+        AvroParquetSinkConfig(name,
+          path = opts.getOrElse("path", sys.error(s"sinks.$name.path required")),
+          schemaJson = opts("avro.schema"), side)
       case "file" =>
         FileSinkConfig(name,
           path = opts.getOrElse("path", sys.error(s"sinks.$name.path required")),
@@ -128,6 +134,29 @@ final case class AvroFileSinkConfig(
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.serde.AvroFileIO.write(batch, path, schemaJson,
           commitTag = Some(s"b$batchId"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
+
+/** Avro-embedded-parquet sink (reference EmbeddedAvroWriterFactory): binary
+  * avro bodies decoded to rows, written by the NATIVE parquet writer — task-
+  * committed (idempotent replays via Spark's commit protocol), splittable,
+  * column-pruned on read: the bulk format the reference itself prefers. */
+final case class AvroParquetSinkConfig(
+    name: String,
+    path: String,
+    schemaJson: String,
+    isSideOutput: Boolean) extends SinkConfig {
+
+  override def writeBatch(df: DataFrame): Unit =
+    graft.serde.AvroParquetIO.write(df, path, schemaJson)
+
+  override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.serde.AvroParquetIO.write(batch, path, schemaJson)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -68,6 +68,12 @@ object SourceConfig {
           schemaJson = opts.getOrElse("avro.schema",
             sys.error(s"sources.$name.avro.schema (JSON) required for avro format")),
           wmCol, lateness)
+      // parquet files carrying avro-job events (reference
+      // EmbeddedAvroParquetInputFormat): avro.schema present + parquet format
+      case "file" if opts.contains("avro.schema") =>
+        AvroParquetSourceConfig(name,
+          path = opts.getOrElse("path", sys.error(s"sources.$name.path required")),
+          schemaJson = opts("avro.schema"), wmCol, lateness)
       case "file" =>
         FileSourceConfig(name,
           path = opts.getOrElse("path", sys.error(s"sources.$name.path required")),
@@ -208,6 +214,20 @@ final case class AvroFileSourceConfig(
 
   override def read(spark: SparkSession, batchMode: Boolean): DataFrame =
     graft.serde.AvroFileIO.read(spark, path, schemaJson, batchMode)
+}
+
+/** Avro-embedded-parquet source (reference EmbeddedAvroParquetInputFormat):
+  * native parquet scan → narrow row→record encode → `value: binary` bodies,
+  * interchangeable with the container-file source for AvroStreamJob. */
+final case class AvroParquetSourceConfig(
+    name: String,
+    path: String,
+    schemaJson: String,
+    watermarkColumn: Option[String],
+    maxLateness: String) extends SourceConfig {
+
+  override def read(spark: SparkSession, batchMode: Boolean): DataFrame =
+    graft.serde.AvroParquetIO.read(spark, path, schemaJson, batchMode)
 }
 
 final case class SocketSourceConfig(

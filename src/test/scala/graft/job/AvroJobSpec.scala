@@ -90,6 +90,68 @@ class AvroJobSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  it should "round-trip typed events through avro-embedded PARQUET, config-driven" in {
+    val dir = Files.createTempDirectory("graft-avro-parquet").toFile
+    try {
+      val path = s"${dir.getAbsolutePath}/data"
+      val writeConf =
+        s"""runtime.mode = batch
+           |master = local[4]
+           |shuffle.partitions = 4
+           |avro.schema = $schemaJson
+           |sources.in-memory.connector = memory
+           |sinks.out-pq.connector = file
+           |sinks.out-pq.format = parquet
+           |sinks.out-pq.path = $path
+           |sinks.out-pq.avro.schema = $schemaJson
+           |sink.names = out-pq
+           |""".stripMargin
+      val writeRunner = new SparkRunner[AvroADT](GraftConfig(Array("write"), writeConf)) {
+        override def invoke(jobName: String): Unit =
+          new AvroStreamJob[AvroEventA, GenericRecord, AvroADT](this) {
+            override def transform: Dataset[AvroEventA] =
+              spark.createDataset(
+                (1 to 10).map(i => AvroEventA(s"e$i", s"k${i % 3}", i.toLong, i.toDouble)))
+          }.run()
+      }
+      writeRunner.process()
+
+      // native parquet on disk: plain spark reads it columnar, schema intact
+      val plain = spark.read.parquet(path)
+      plain.count() shouldBe 10
+      plain.columns.toSet shouldBe Set("id", "key", "ts", "amount")
+
+      // read leg: avro-parquet source -> typed events -> memory sink
+      TestSinkRegistry.clear()
+      val readConf =
+        s"""runtime.mode = batch
+           |master = local[4]
+           |shuffle.partitions = 4
+           |avro.schema = $schemaJson
+           |sources.in-pq.connector = file
+           |sources.in-pq.format = parquet
+           |sources.in-pq.path = $path
+           |sources.in-pq.avro.schema = $schemaJson
+           |sinks.out-memory.connector = memory
+           |sink.names = out-memory
+           |""".stripMargin
+      val readRunner = new SparkRunner[AvroADT](GraftConfig(Array("read"), readConf)) {
+        override def invoke(jobName: String): Unit =
+          new AvroStreamJob[AvroEventA, GenericRecord, AvroADT](this) {
+            override def transform: Dataset[AvroEventA] =
+              avroSource("in-pq").filter(_.amount <= 4.0)
+          }.run()
+      }
+      readRunner.process()
+
+      val codec = new AvroCodec(schemaJson)
+      val ids = TestSinkRegistry.get("out-memory")
+        .map(r => codec.decode(r.getAs[Array[Byte]]("value")))
+        .map(_.get("id").toString)
+      ids.sorted shouldBe Seq("e1", "e2", "e3", "e4")
+    } finally rm(dir)
+  }
+
   it should "write idempotently on micro-batch replay (commitTag-named files)" in {
     val dir = Files.createTempDirectory("graft-avro-replay").toFile
     try {

@@ -127,4 +127,42 @@ class SerdeSpec extends SparkSpec {
     json should startWith("{\n  \"attrs\": {\n")
     json should include("\"tags\": [\n    \"a\",\n    \"b\"\n  ]")
   }
+
+  behavior of "AvroParquetIO schema/row mapping"
+
+  it should "map nested avro schemas to StructType and round-trip rows" in {
+    val nested =
+      """{"type":"record","name":"N","fields":[
+        |{"name":"id","type":"string"},
+        |{"name":"maybe","type":["null","long"],"default":null},
+        |{"name":"tags","type":{"type":"array","items":"string"}},
+        |{"name":"attrs","type":{"type":"map","values":"double"}},
+        |{"name":"inner","type":{"type":"record","name":"I","fields":[
+        |  {"name":"a","type":"int"},{"name":"b","type":"bytes"}]}}]}""".stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(nested)
+    val struct = AvroParquetIO.structTypeOf(schema)
+    struct.fieldNames.toSeq shouldBe Seq("id", "maybe", "tags", "attrs", "inner")
+    struct("maybe").nullable shouldBe true
+    struct("maybe").dataType shouldBe org.apache.spark.sql.types.LongType
+    struct("inner").dataType shouldBe a[org.apache.spark.sql.types.StructType]
+
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("id", "x"); rec.put("maybe", null)
+    rec.put("tags", java.util.Arrays.asList("t1", "t2"))
+    val m = new java.util.HashMap[String, Double](); m.put("k", 1.5)
+    rec.put("attrs", m)
+    val inner = new org.apache.avro.generic.GenericData.Record(schema.getField("inner").schema())
+    inner.put("a", 7); inner.put("b", java.nio.ByteBuffer.wrap(Array[Byte](9)))
+    rec.put("inner", inner)
+
+    val row = AvroParquetIO.recordToRow(rec, schema)
+    val back = AvroParquetIO.rowToRecord(row, schema)
+    back.get("id").toString shouldBe "x"
+    back.get("maybe") shouldBe null
+    back.get("tags").asInstanceOf[java.util.List[_]].size shouldBe 2
+    back.get("inner").asInstanceOf[org.apache.avro.generic.GenericRecord].get("a") shouldBe 7
+    // binary-codec accepts the reconstruction (full fidelity)
+    val codec = new AvroCodec(nested)
+    codec.decode(codec.encode(back)).get("id").toString shouldBe "x"
+  }
 }
