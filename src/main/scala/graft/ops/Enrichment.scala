@@ -33,11 +33,29 @@ object Enrichment {
     override def fetch(key: K): Seq[V] = entries.getOrElse(key, Seq.empty)
   }
 
-  /** Per-executor caches, one per enrichment name. */
-  private val caches = new ConcurrentHashMap[String, ConcurrentHashMap[Any, Seq[Any]]]()
+  /** Bounded LRU (access-order) cache — the reference's Guava loading-cache
+    * size bound (EnrichmentAsyncFunction cache config: size/ttl). Reads and
+    * writes take the map lock; the FETCH runs outside it, so a slow remote
+    * lookup never blocks other keys (two tasks racing the same cold key may
+    * both fetch — last write wins, same as Guava's refresh race). */
+  private final class LruCache(maxSize: Int) {
+    private val m = new java.util.LinkedHashMap[Any, Seq[Any]](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Any, Seq[Any]]): Boolean =
+        size() > maxSize
+    }
+    def getOrFetch(k: Any, fetch: => Seq[Any]): Seq[Any] = {
+      val hit = m.synchronized(m.get(k))
+      if (hit != null) hit
+      else {
+        val v = fetch // outside the lock
+        m.synchronized(m.put(k, v))
+        v
+      }
+    }
+  }
 
-  private def cacheFor(name: String): ConcurrentHashMap[Any, Seq[Any]] =
-    caches.computeIfAbsent(name, _ => new ConcurrentHashMap[Any, Seq[Any]]())
+  /** Per-executor caches, one per enrichment name. */
+  private val caches = new ConcurrentHashMap[String, LruCache]()
 
   /** Enrich a dataset: emits 0..n output rows per input (flatMap semantics,
     * like the reference's asyncInvoke emitting a collection). */
@@ -49,15 +67,10 @@ object Enrichment {
       combine: (E, V) => O,
       maxCacheSize: Int = 10000): Dataset[O] =
     ds.mapPartitions { rows =>
-      val cache = cacheFor(name)
+      val cache = caches.computeIfAbsent(name, _ => new LruCache(maxCacheSize))
       rows.flatMap { e =>
         val k = keyOf(e)
-        // Size check OUTSIDE the mapping function: computeIfAbsent's contract
-        // forbids mutating other mappings inside it (two tasks over the bound
-        // on different bins could deadlock on each other's bin locks).
-        if (cache.size() > maxCacheSize) cache.clear() // crude bound; LRU overkill here
-        val vs = cache.computeIfAbsent(k.asInstanceOf[Any],
-          _ => lookup.fetch(k).asInstanceOf[Seq[Any]])
+        val vs = cache.getOrFetch(k, lookup.fetch(k).asInstanceOf[Seq[Any]])
         vs.map(v => combine(e, v.asInstanceOf[V]))
       }
     }

@@ -218,11 +218,14 @@ final case class SocketSinkConfig(name: String, host: String, port: Int, isSideO
     extends SinkConfig {
 
   private def push(df: DataFrame): Unit = {
-    val rows = df.toJSON.collect()
+    // single TCP endpoint => rows must funnel through the driver, but
+    // toLocalIterator streams one partition at a time instead of
+    // materializing the whole micro-batch in driver memory
+    val rows = df.toJSON.toLocalIterator()
     val sock = new java.net.Socket(host, port)
     try {
       val out = new java.io.PrintWriter(sock.getOutputStream, true)
-      rows.foreach(out.println)
+      rows.forEachRemaining(out.println(_))
       out.flush()
     } finally sock.close()
   }

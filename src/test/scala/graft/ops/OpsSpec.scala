@@ -67,6 +67,25 @@ class OpsSpec extends SparkSpec {
     out shouldBe Array("e1" -> "alpha", "e2" -> "beta", "e2" -> "gamma")
   }
 
+  it should "bound the cache with LRU eviction (not clear-on-full)" in {
+    Enrichment.clearCaches()
+    OpsSpecFetchCounter.n.set(0)
+    implicit val outEnc: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    // one partition, deterministic order: k1 k1 k2 k2 k3 k1 with cache size 2
+    // => misses k1, k2, k3 (evicts k1 as LRU), then k1 again = 4 fetches
+    val events = spark.createDataset(Seq(
+      SimpleA("e1", "k1", 1L, 1.0), SimpleA("e2", "k1", 2L, 1.0),
+      SimpleA("e3", "k2", 3L, 1.0), SimpleA("e4", "k2", 4L, 1.0),
+      SimpleA("e5", "k3", 5L, 1.0), SimpleA("e6", "k1", 6L, 1.0)))
+      .repartition(1)
+    val out = Enrichment.enrich[SimpleA, String, String, (String, String)](
+      events, "lru-test", _.key, OpsSpecCountingLookup, (e, v) => (e.id, v),
+      maxCacheSize = 2).collect()
+    out.length shouldBe 6
+    OpsSpecFetchCounter.n.get() shouldBe 4
+  }
+
   behavior of "Windows"
 
   it should "aggregate the commutative family over tumbling windows" in {
@@ -183,5 +202,18 @@ class OpsSpec extends SparkSpec {
     // a stratum without a configured rate defaults to 0% (dropped)
     graft.ops.Sampling.stratifiedHash(df, "stratum", "id", Map("a" -> 20))
       .filter($"stratum" === "b").count() shouldBe 0L
+  }
+}
+
+/** JVM-singleton fetch counter: survives task-closure serialization in
+  * local mode (a counter captured in the closure would be a per-task copy). */
+object OpsSpecFetchCounter {
+  val n = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+object OpsSpecCountingLookup extends graft.ops.Enrichment.Lookup[String, String] {
+  override def fetch(key: String): Seq[String] = {
+    OpsSpecFetchCounter.n.incrementAndGet()
+    Seq(s"v-$key")
   }
 }
