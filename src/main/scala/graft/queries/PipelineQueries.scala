@@ -52,9 +52,12 @@ object PipelineQueries {
     val exact = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
-    // stage 3: near-dup removal among exact survivors (keep-min-id policy)
-    val survivorDocs = quality.select(col("doc_id"), col("text"))
-      .join(exact, "doc_id")
+    // stage 3: near-dup removal among exact survivors (keep-min-id policy).
+    // survivorDocs is consumed twice inside NearDup.survivors (shingle
+    // hashing AND the anti-join keep side) — persist or the dedup groupBy +
+    // join replays.
+    val survivorDocs = graft.util.CacheBin.persist(
+      quality.select(col("doc_id"), col("text")).join(exact, "doc_id"))
     val cleaned = graft.ops.NearDup.survivors(survivorDocs, "doc_id", "text",
       JACC_T_NUM, JACC_T_DEN, TextQueries.minhashParams)
 

@@ -1,0 +1,98 @@
+package graft
+
+import graft.agg.UnitKernel
+import graft.algorithm.{HyperLogLog, StableBloomFilter}
+import graft.util.{D64, Id64, Strings}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based checks over the pure algorithm layer (the reference ships
+  * scalacheck generators and property specs — BasePropGenerators; this is
+  * the engine's counterpart for its from-scratch ports). Runs under sbt's
+  * native ScalaCheck framework, no Spark session needed.
+  */
+object AlgorithmProperties extends Properties("graft.algorithms") {
+
+  // ---- Id64 / D64 ----
+
+  property("Id64 round-trips (hi, lo) bits exactly") =
+    Prop.forAll { (hi: Long, lo: Long) =>
+      Id64.decode(Id64.encode(hi, lo)) == ((hi, lo))
+    }
+
+  property("Id64 lexicographic order follows generation time") =
+    Prop.forAll(Gen.choose(0L, 1L << 47), Gen.choose(0L, 1L << 47)) { (t1, t2) =>
+      val (a, b) = (Id64.gen(t1), Id64.gen(t2))
+      if (t1 < t2) a < b else if (t1 > t2) a > b else true // equal ts: any order
+    }
+
+  property("D64 round-trips arbitrary byte arrays") =
+    Prop.forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      bytes => D64.decode(D64.encode(bytes)).sameElements(bytes)
+    }
+
+  // ---- HyperLogLog ----
+
+  property("HLL merge == union (register-wise max is associative/commutative)") =
+    Prop.forAll(Gen.listOf(Gen.choose(0, 100000)), Gen.listOf(Gen.choose(0, 100000))) {
+      (xs, ys) =>
+        val a = HyperLogLog(8); val b = HyperLogLog(8); val u = HyperLogLog(8)
+        xs.foreach(a.add); ys.foreach(b.add)
+        (xs ++ ys).foreach(u.add)
+        a.merge(b).estimate == u.estimate
+    }
+
+  property("HLL serialization round-trips the estimate") =
+    Prop.forAll(Gen.listOf(Gen.choose(0, 1000000))) { xs =>
+      val h = HyperLogLog(10); xs.foreach(h.add)
+      HyperLogLog.fromBytes(10, h.toBytes).estimate == h.estimate
+    }
+
+  // ---- Stable Bloom filter ----
+
+  property("SBF never false-negatives the most recent insert") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { items =>
+      val sbf = StableBloomFilter(numCells = 4096, bitsPerCell = 3, numHashes = 3, decayCells = 4)
+      items.forall { it => sbf.add(it); sbf.mightContain(it) }
+    }
+
+  property("SBF serialization preserves membership answers") =
+    Prop.forAll(Gen.listOfN(50, Gen.alphaNumStr.suchThat(_.nonEmpty))) { items =>
+      val sbf = StableBloomFilter(numCells = 2048, bitsPerCell = 2, numHashes = 2, decayCells = 2)
+      items.foreach(sbf.add)
+      val back = StableBloomFilter.fromBytes(sbf.toBytes, numCells = 2048, bitsPerCell = 2, numHashes = 2, decayCells = 2)
+      items.forall(i => back.mightContain(i) == sbf.mightContain(i))
+    }
+
+  // ---- Unit kernel ----
+
+  private val unitPairs: Gen[(UnitKernel.Unit, UnitKernel.Unit)] = for {
+    a <- Gen.oneOf(UnitKernel.units.values.toSeq)
+    b <- Gen.oneOf(UnitKernel.units.values.filter(_.dimension == a.dimension).toSeq)
+  } yield (a, b)
+
+  property("unit conversion a->b->a is identity (within float tolerance)") =
+    Prop.forAll(unitPairs, Gen.choose(-1e6, 1e6)) { case ((a, b), v) =>
+      val rt = UnitKernel.convert(UnitKernel.convert(v, a.symbol, b.symbol), b.symbol, a.symbol)
+      math.abs(rt - v) <= math.max(1e-6, math.abs(v) * 1e-9)
+    }
+
+  property("unit conversion composes transitively within a dimension") =
+    Prop.forAll(unitPairs, Gen.choose(-1e4, 1e4)) { case ((a, b), v) =>
+      // a -> b -> base == a -> base (through convert only)
+      val base = UnitKernel.units.values
+        .find(u => u.dimension == a.dimension && u.factor == 1.0 && u.offset == 0.0)
+      base.forall { bu =>
+        val direct = UnitKernel.convert(v, a.symbol, bu.symbol)
+        val hop = UnitKernel.convert(UnitKernel.convert(v, a.symbol, b.symbol), b.symbol, bu.symbol)
+        math.abs(direct - hop) <= math.max(1e-6, math.abs(direct) * 1e-9)
+      }
+    }
+
+  // ---- Strings ----
+
+  property("snakeCase is idempotent") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      val once = Strings.snakeCase(s)
+      Strings.snakeCase(once) == once
+    }
+}
