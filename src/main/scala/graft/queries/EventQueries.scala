@@ -230,7 +230,32 @@ object EventQueries {
       |       count(DISTINCT user_id) users, count(*) cnt
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-user COUNT windows of 25 events (Flink countWindow assigner —
+    * [[graft.streaming.CountWindows.tumblingCount]]): window ordinal by
+    * per-key (ts, event_id) sequence, value summed in exact integer
+    * micro-units. Trailing partial windows emit (BATCH end-of-input flush,
+    * as Flink does on bounded input). */
+  def countWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts_us"), col("event_id"),
+      round(col("value") * 1000000).cast("long").as("micro"))
+    graft.streaming.CountWindows.tumblingCount(
+        ev, col("user_id"), Seq(col("ts_us"), col("event_id")), col("micro"), n = 25)
+      .select(col("key").as("user_id"), col("win_seq"), col("cnt"),
+        col("sum").as("sum_micro"))
+      .orderBy("user_id", "win_seq")
+  }
+
+  val countWindowsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(round(value*1000000) AS BIGINT) micro,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+      |  FROM events)
+      |SELECT user_id, CAST((rn - 1) // 25 AS BIGINT) win_seq,
+      |       count(*) cnt, CAST(sum(micro) AS BIGINT) sum_micro
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_count_windows" -> (countWindows _),
     "ev_tumbling_hourly" -> (tumblingHourly _),
     "ev_sliding_window" -> (slidingWindow _),
     "ev_session_windows" -> (sessionWindows _),
@@ -244,6 +269,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_count_windows" -> countWindowsSql,
     "ev_tumbling_hourly" -> tumblingHourlySql,
     "ev_sliding_window" -> slidingWindowSql,
     "ev_session_windows" -> sessionWindowsSql,

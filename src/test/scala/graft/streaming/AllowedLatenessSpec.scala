@@ -69,4 +69,50 @@ class AllowedLatenessSpec extends SparkSpec {
     k1w10.map(_.fire).sorted shouldBe Seq(1, 2, 3)
     k1w10.count(_.isFinal) shouldBe 1
   }
+
+  behavior of "CountWindows (Flink countWindow assigner)"
+
+  it should "fire exactly on every n-th event per key, across micro-batches" in {
+    import graft.streaming.CountWindows.{CountWindow, KeyedValue}
+    implicit val kvEnc: org.apache.spark.sql.Encoder[KeyedValue] =
+      org.apache.spark.sql.Encoders.product[KeyedValue]
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[KeyedValue]
+    val out = CountWindows.streaming(input.toDS(), n = 3)
+    val q = out.writeStream.format("memory").queryName("cw_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cw_ck").toString)
+      .start()
+    // 2 events — window not full, nothing fires
+    input.addData(KeyedValue("k1", 1L, 1.0), KeyedValue("k1", 2L, 2.0))
+    q.processAllAvailable()
+    spark.table("cw_out").count() shouldBe 0
+    // 3rd event fills window 0 ACROSS the batch boundary; 4th starts window 1
+    input.addData(KeyedValue("k1", 3L, 3.0), KeyedValue("k1", 4L, 10.0),
+      KeyedValue("k2", 1L, 5.0))
+    q.processAllAvailable()
+    import spark.implicits._
+    val rows = spark.table("cw_out").as[CountWindow].collect()
+    rows.toSeq shouldBe Seq(CountWindow("k1", 0L, 3L, 6.0))
+    // k2 has only 1 event, k1's window 1 has only 1: partials never fire
+    input.addData(KeyedValue("k1", 5L, 20.0), KeyedValue("k1", 6L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("cw_out").as[CountWindow].collect().sortBy(r => (r.key, r.winSeq))
+    all.toSeq shouldBe Seq(
+      CountWindow("k1", 0L, 3L, 6.0), CountWindow("k1", 1L, 3L, 60.0))
+  }
+
+  it should "match the batch assignment shape (partial trailing window emitted)" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("b", 1L, 7.0)).toDF("k", "seq", "v")
+    val out = CountWindows.tumblingCount(df, col("k"), Seq(col("seq")), col("v"), n = 2)
+      .orderBy("key", "win_seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.toSeq shouldBe Seq(
+      ("a", 0L, 2L, 3.0), ("a", 1L, 2L, 7.0), ("b", 0L, 1L, 7.0))
+  }
 }
