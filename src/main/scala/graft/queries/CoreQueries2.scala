@@ -141,7 +141,35 @@ object CoreQueries2 {
       |       CAST(flag_c AS DOUBLE) * 100.0 / CAST(total_c AS DOUBLE) pct_of_total
       |FROM f, t ORDER BY l_returnflag""".stripMargin
 
+  /** Pivot: order counts per priority pivoted on status (explicit pivot
+    * values → deterministic columns; the engine-native §2.6 extension).
+    * Exact-cents revenue pivoted alongside via conditional aggregation. */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    val base = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_c"))
+    val cnts = statuses.map(st =>
+      sum(when(col("o_orderstatus") === st, 1L).otherwise(0L)).as(s"cnt_$st"))
+    val revs = statuses.map(st =>
+      sum(when(col("o_orderstatus") === st, col("price_c")).otherwise(0L)).as(s"rev_c_$st"))
+    base.groupBy("o_orderpriority")
+      .agg(cnts.head, (cnts.tail ++ revs): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |       CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) cnt_F,
+      |       CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) cnt_O,
+      |       CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) cnt_P,
+      |       CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) rev_c_F,
+      |       CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) rev_c_O,
+      |       CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) rev_c_P
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "core_pivot_status" -> (pivotStatus _),
     "core_cube_acctbal" -> (cubeAcctBal _),
     "core_string_agg" -> (stringAgg _),
     "core_array_agg" -> (arrayAgg _),
@@ -151,6 +179,7 @@ object CoreQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "core_pivot_status" -> pivotStatusSql,
     "core_cube_acctbal" -> cubeAcctBalSql,
     "core_string_agg" -> stringAggSql,
     "core_array_agg" -> arrayAggSql,
