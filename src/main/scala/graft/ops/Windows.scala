@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * keyed stream → event-time window → aggregate family.
   *
   * In Spark the window assigner variety maps to `window` (tumbling/sliding)
-  * and `session_window`; "allowed lateness" maps to the watermark delay set
-  * at the source (semantic gap vs Flink's re-firing documented in
-  * SURVEY.md §2.8). The aggregate family is expressed as a single
-  * projection of built-in aggregates — one pass, partial aggregation
-  * (map-side combine) comes free for the whole family.
+  * and `session_window`, plus COUNT windows
+  * ([[graft.streaming.CountWindows]]). "Allowed lateness" with Flink's
+  * re-firing lifecycle is [[graft.streaming.AllowedLateness.tumblingSum]]
+  * ([[withAllowedLateness]] below adapts it to this driver's column
+  * convention); plain watermark-delay widening remains the zero-cost
+  * approximation when re-fires aren't consumed. The aggregate family is
+  * expressed as a single projection of built-in aggregates — one pass,
+  * partial aggregation (map-side combine) comes free for the whole family.
   */
 object Windows {
 
@@ -52,4 +55,22 @@ object Windows {
       valueCol: Column): DataFrame =
     ds.groupBy(session_window(tsCol, gap), keyCol).agg(aggFamily(valueCol).head,
       aggFamily(valueCol).tail: _*)
+
+  /** Tumbling windows WITH Flink allowed-lateness re-firing, adapted to this
+    * driver's column convention (string key / timestamp / double value →
+    * fired rows with fire ordinals). Streaming-only: the re-fire lifecycle
+    * is meaningful only against a live watermark. */
+  def withAllowedLateness(ds: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, sizeMs: Long, allowedLatenessMs: Long,
+      maxOutOfOrdernessMs: Long = 0L): Dataset[graft.streaming.AllowedLateness.Fired] = {
+    import org.apache.spark.sql.Encoders
+    implicit val evEnc: org.apache.spark.sql.Encoder[graft.streaming.AllowedLateness.Event] =
+      Encoders.product[graft.streaming.AllowedLateness.Event]
+    graft.streaming.AllowedLateness.tumblingSum(
+      ds.select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("value"))
+        .as[graft.streaming.AllowedLateness.Event],
+      sizeMs, allowedLatenessMs, maxOutOfOrdernessMs)
+  }
 }

@@ -70,6 +70,32 @@ class AllowedLatenessSpec extends SparkSpec {
     k1w10.count(_.isFinal) shouldBe 1
   }
 
+  it should "be reachable through the Windows driver adapter (column convention)" in {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(Long, Timestamp, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble)
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = graft.ops.Windows.withAllowedLateness(
+      input.toDF().toDF("uid", "event_ts", "v"),
+      tsCol = "event_ts", keyCol = "uid", valueCol = "v",
+      sizeMs = 10000, allowedLatenessMs = 5000)
+    val q = out.writeStream.format("memory").queryName("al_adapter")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ala_ck").toString)
+      .start()
+    input.addData((7L, new Timestamp(11000), 2.0), (7L, new Timestamp(13000), 3.0))
+    q.processAllAvailable()
+    input.addData((8L, new Timestamp(22000), 1.0)) // watermark -> fires [10s,20s)
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val fired = spark.table("al_adapter").as[Fired].collect()
+      .filter(r => r.key == "7" && r.windowStart == 10000)
+    fired.map(r => (r.fire, r.count, r.sum)) shouldBe Seq((1, 2L, 5.0))
+  }
+
   behavior of "CountWindows (Flink countWindow assigner)"
 
   it should "fire exactly on every n-th event per key, across micro-batches" in {
