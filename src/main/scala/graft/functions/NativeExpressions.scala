@@ -105,6 +105,91 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** simhash60(words): the full 60-bit SimHash of a distinct-word array in
+  * ONE narrow expression — two polynomial hashes per word (bases 31/131,
+  * mods 1e9+7 / 998244353, the TextQueries constants), ±1 votes per bit,
+  * bit set iff votes > 0. Replaces an explode → 60-aggregate groupBy
+  * (a full shuffle) with a per-row loop inside whole-stage codegen; the
+  * DuckDB oracle re-proves bit-equality every round. Array elements must be
+  * non-null (normalizer output). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val votes = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      var h1 = 0L; var h2 = 0L
+      var j = 0
+      val nb = w.numBytes()
+      while (j < nb) {
+        val b = w.getByte(j) & 0xff
+        h1 = (h1 * 31L + b) % 1000000007L
+        h2 = (h2 * 131L + b) % 998244353L
+        j += 1
+      }
+      var bb = 0
+      while (bb < 60) {
+        val hb = if (bb < 30) h1 else h2
+        votes(bb) += (if (((hb >> (bb % 30)) & 1L) == 1L) 1 else -1)
+        bb += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bb = 0
+    while (bb < 60) { if (votes(bb) > 0) fp |= (1L << bb); bb += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val bb = ctx.freshName("bb")
+      val n = ctx.freshName("n")
+      val nb = ctx.freshName("nb")
+      val w = ctx.freshName("w")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val hb = ctx.freshName("hb")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $votes = new int[60];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  UTF8String $w = $a.getUTF8String($i);
+         |  long $h1 = 0L; long $h2 = 0L;
+         |  int $nb = $w.numBytes();
+         |  for (int $j = 0; $j < $nb; $j++) {
+         |    int b = $w.getByte($j) & 0xff;
+         |    $h1 = ($h1 * 31L + b) % 1000000007L;
+         |    $h2 = ($h2 * 131L + b) % 998244353L;
+         |  }
+         |  for (int $bb = 0; $bb < 60; $bb++) {
+         |    long $hb = $bb < 30 ? $h1 : $h2;
+         |    $votes[$bb] += ((($hb >> ($bb % 30)) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $bb = 0; $bb < 60; $bb++) {
+         |  if ($votes[$bb] > 0) $fp |= (1L << $bb);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash60"
+}
+
 /** Session registration for the native expressions — callable from SQL and
   * from the DataFrame API via `call_function`. Usable either through
   * [[GraftExtensions]] (spark.sql.extensions=graft.functions.GraftExtensions)
@@ -138,6 +223,12 @@ object GraftFunctions {
         require(args.length == 2, "graft_dot(a, b)")
         DotProduct(Cast(args.head, ArrayType(DoubleType)),
           Cast(args(1), ArrayType(DoubleType)))
+      }),
+    (FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash60(words)")
+        SimHash60(Cast(args.head, ArrayType(StringType)))
       }),
   )
 

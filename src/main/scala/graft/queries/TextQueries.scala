@@ -240,24 +240,18 @@ object TextQueries {
     simhashRaw(s, dir).orderBy("doc_id")
 
   /** [[simhash]] without the output ordering — the form downstream operators
-    * (LSH banding) consume, so no global sort is paid mid-pipeline. */
-  private def simhashRaw(s: SparkSession, dir: String): DataFrame = {
-    val wh = tPar(s, dir, "documents")
+    * (LSH banding) consume, so no global sort is paid mid-pipeline.
+    *
+    * The whole fingerprint is ONE native expression
+    * ([[graft.functions.SimHash60]]) — a narrow map with NO shuffle at all
+    * (the earlier shapes paid an explode + 60-aggregate groupBy exchange);
+    * bit-equality with the vote-sum definition is re-proven by the DuckDB
+    * oracle every round and a golden spec. */
+  private def simhashRaw(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "documents")
       .select(col("doc_id"),
-        explode(array_distinct(wordsOf(normCol(col("text"))))).as("w"))
-      .select(col("doc_id"),
-        polyHash(col("w"), 31L, P1).as("h1"),
-        polyHash(col("w"), 131L, P2).as("h2"))
-    val voteAggs = (0 until 60).map { b =>
-      val hb = if (b < 30) col("h1") else col("h2")
-      sum(when(shiftright(hb, b % 30).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$b")
-    }
-    wh.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+        call_function("graft_simhash60",
+          array_distinct(wordsOf(normCol(col("text"))))).as("simhash"))
 
   private val simhashCte: String =
     s"""wrd AS (SELECT doc_id, unnest(list_distinct(string_split($normSql, ' '))) w FROM documents),

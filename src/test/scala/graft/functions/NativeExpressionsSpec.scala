@@ -65,4 +65,43 @@ class NativeExpressionsSpec extends SparkSpec {
     df.select(call_function("graft_dot", col("a"), col("b")))
       .head().getDouble(0) shouldBe 13.0
   }
+
+  behavior of "graft_simhash60"
+
+  /** Independent reimplementation of the vote-sum definition (the shape the
+    * DuckDB oracle computes) — the native expression must agree bitwise. */
+  private def simhashOracle(words: Seq[String]): Long = {
+    def poly(w: String, base: Long, p: Long): Long =
+      w.foldLeft(0L)((h, c) => (h * base + c.toInt) % p)
+    val votes = new Array[Int](60)
+    words.foreach { w =>
+      val h1 = poly(w, 31L, 1000000007L)
+      val h2 = poly(w, 131L, 998244353L)
+      (0 until 60).foreach { b =>
+        val hb = if (b < 30) h1 else h2
+        votes(b) += (if (((hb >> (b % 30)) & 1L) == 1L) 1 else -1)
+      }
+    }
+    (0 until 60).foldLeft(0L)((fp, b) => if (votes(b) > 0) fp | (1L << b) else fp)
+  }
+
+  it should "match the vote-sum definition bitwise (incl. interpreted eval)" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val samples = Seq(
+      Seq("the", "quick", "brown", "fox"),
+      Seq("a"),
+      Seq(""),
+      Seq("engine", "shuffle", "watermark", "state", "codegen", "columnar"),
+      ('a' to 'z').map(_.toString))
+    val df = samples.toDF("words")
+    val native = df.select(call_function("graft_simhash60", col("words")))
+      .collect().map(_.getLong(0))
+    native.toSeq shouldBe samples.map(simhashOracle)
+    // interpreted (non-codegen) path agrees too
+    val expr = SimHash60(org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("the", "quick"), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+    expr.eval(null) shouldBe simhashOracle(Seq("the", "quick"))
+  }
 }
