@@ -190,6 +190,66 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash60"
 }
 
+/** minhash(hs, numSigs, sigP): all MinHash signature values of a
+  * shingle-hash set in one pass — sig_i = min over h of
+  * ((2i+3)·h + (7i+1)) mod sigP, the exact arithmetic of
+  * [[graft.ops.NearDup.signatures]]'s explode → groupBy-min shape, which
+  * this expression replaces (that shape costs a full shuffle of the
+  * exploded (doc, hash) rows; this is a narrow per-row loop in whole-stage
+  * codegen). Returns array<long>(numSigs); empty input yields
+  * Long.MaxValue sentinels (normalizers never emit empty shingle sets). */
+case class MinHashSigs(child: Expression, numSigs: Int, sigP: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val mins = Array.fill(numSigs)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var s = 0
+      while (s < numSigs) {
+        val v = ((2L * s + 3) * h + (7L * s + 1)) % sigP
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$numSigs];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $s = 0; $s < $numSigs; $s++) {
+         |    long $v = ((2L * $s + 3) * $h + (7L * $s + 1)) % ${sigP}L;
+         |    if ($v < $mins[$s]) $mins[$s] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash"
+}
+
 /** Session registration for the native expressions — callable from SQL and
   * from the DataFrame API via `call_function`. Usable either through
   * [[GraftExtensions]] (spark.sql.extensions=graft.functions.GraftExtensions)
@@ -229,6 +289,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash60(words)")
         SimHash60(Cast(args.head, ArrayType(StringType)))
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_minhash(hashes, numSigs, sigP)")
+        MinHashSigs(Cast(args.head, ArrayType(LongType)),
+          longLit(args(1), "numSigs").toInt, longLit(args(2), "sigP"))
       }),
   )
 

@@ -69,15 +69,16 @@ object NearDup {
         array_distinct(transform(shinglesOf(col("words"), col("norm"), p.shingleK),
           sh => polyHash(sh, p.hashBase, p.hashP))).as("hs"))
 
-  /** MinHash signatures in the explode → groupBy-min shape: numSigs tiny
-    * arithmetic aggregates over (doc, shingle-hash) rows — vectorizable,
-    * map-side combined, no per-row array lambdas. */
+  /** MinHash signatures as ONE native expression per row
+    * ([[graft.functions.MinHashSigs]]) — a narrow map, no explode and no
+    * groupBy shuffle; sig_i = min over the hash set of
+    * ((2i+3)·h + (7i+1)) mod sigP, bit-identical to the previous
+    * explode → groupBy-min shape (the DuckDB oracle re-proves it). */
   def signatures(hs: DataFrame, p: Params = Params()): DataFrame = {
-    val hx = hs.select(col("doc_id"), explode(col("hs")).as("h"))
-    val sigAggs = (0 until p.numSigs).map { i =>
-      min((lit(2L * i + 3) * col("h") + lit(7L * i + 1)) % lit(p.sigP)).as(s"s$i")
-    }
-    hx.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = call_function("graft_minhash", col("hs"),
+      lit(p.numSigs), lit(p.sigP))
+    hs.select(col("doc_id") +: (0 until p.numSigs)
+      .map(i => element_at(sigs, i + 1).as(s"s$i")): _*)
   }
 
   /** LSH banding: (doc_id, band, k) — one row per band per doc. */

@@ -104,4 +104,27 @@ class NativeExpressionsSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)))
     expr.eval(null) shouldBe simhashOracle(Seq("the", "quick"))
   }
+
+  behavior of "graft_minhash"
+
+  it should "equal the per-hash min definition for every signature slot" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val p = 2147483647L
+    val samples = Seq(Seq(5L, 999999999L, 31L, 123456789L), Seq(7L), Seq(0L, 1L))
+    val df = samples.toDF("hs")
+    val out = df.select(call_function("graft_minhash", col("hs"), lit(9), lit(p)))
+      .collect().map(_.getSeq[Long](0))
+    val expected = samples.map { hs =>
+      (0 until 9).map(i => hs.map(h => ((2L * i + 3) * h + (7L * i + 1)) % p).min)
+    }
+    out.map(_.toSeq).toSeq shouldBe expected
+    // interpreted path
+    val expr = MinHashSigs(org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(5L, 31L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)), 3, p)
+    expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq shouldBe
+      (0 until 3).map(i => Seq(5L, 31L).map(h => ((2L * i + 3) * h + (7L * i + 1)) % p).min)
+  }
 }
