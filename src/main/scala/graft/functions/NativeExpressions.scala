@@ -250,6 +250,51 @@ case class MinHashSigs(child: Expression, numSigs: Int, sigP: Long)
   override def prettyName: String = "graft_minhash"
 }
 
+/** intersect_size(a, b): |A ∩ B| of two distinct-element long arrays
+  * WITHOUT materializing the intersection array —
+  * `size(array_intersect(a, b))` allocates and copies per pair, which on a
+  * candidate-pair frame is the hot loop. Sort-and-merge (two clones, no
+  * boxing, no hash table): O(n log n) per pair. Inputs must be sets
+  * (distinct elements), which the shingle-hash frames guarantee. */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    IntersectSize.count(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntersectSize.count(" +
+        s"$a.toLongArray(), $b.toLongArray());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_intersect_size"
+}
+
+object IntersectSize {
+  /** Shared by interpreted eval and generated code. Sorts copies in place
+    * and merges; arrays are per-pair clones already (toLongArray copies). */
+  def count(x: Array[Long], y: Array[Long]): Long = {
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var c = 0L
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** Session registration for the native expressions — callable from SQL and
   * from the DataFrame API via `call_function`. Usable either through
   * [[GraftExtensions]] (spark.sql.extensions=graft.functions.GraftExtensions)
@@ -296,6 +341,13 @@ object GraftFunctions {
         require(args.length == 3, "graft_minhash(hashes, numSigs, sigP)")
         MinHashSigs(Cast(args.head, ArrayType(LongType)),
           longLit(args(1), "numSigs").toInt, longLit(args(2), "sigP"))
+      }),
+    (FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_intersect_size(a, b)")
+        IntersectSize(Cast(args.head, ArrayType(LongType)),
+          Cast(args(1), ArrayType(LongType)))
       }),
   )
 

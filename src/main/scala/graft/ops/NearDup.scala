@@ -129,7 +129,10 @@ object NearDup {
       size(col("hs")).cast("long").as("n_b"))
     cand.join(ha, col("doc_a") === col("da")).join(hb, col("doc_b") === col("db"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter_cnt"),
+        // native count-only intersection: no per-pair result-array
+        // allocation (graft.functions.IntersectSize)
+        call_function("graft_intersect_size", col("hs_a"), col("hs_b"))
+          .as("inter_cnt"),
         (col("n_a") + col("n_b")).as("nab"))
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
         (col("nab") - col("inter_cnt")).as("union_cnt"))

@@ -127,4 +127,22 @@ class NativeExpressionsSpec extends SparkSpec {
       .toLongArray().toSeq shouldBe
       (0 until 3).map(i => Seq(5L, 31L).map(h => ((2L * i + 3) * h + (7L * i + 1)) % p).min)
   }
+
+  behavior of "graft_intersect_size"
+
+  it should "equal size(array_intersect) on distinct-element arrays" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 5L, 9L, 12L), Seq(5L, 12L, 99L)),
+      (Seq(3L, 4L), Seq(5L, 6L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(7L), Seq(7L))).toDF("a", "b")
+    val out = df.select(
+      call_function("graft_intersect_size", col("a"), col("b")).as("native"),
+      org.apache.spark.sql.functions.size(array_intersect(col("a"), col("b")))
+        .cast("long").as("builtin"))
+      .collect()
+    out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
 }
