@@ -203,6 +203,33 @@ class OpsSpec extends SparkSpec {
     graft.ops.Sampling.stratifiedHash(df, "stratum", "id", Map("a" -> 20))
       .filter($"stratum" === "b").count() shouldBe 0L
   }
+  behavior of "VecDedup (embedding-cosine near-dup removal)"
+
+  it should "drop planted near-duplicates and keep distinct vectors" in {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    // 10 distinct random unit-ish vectors; ids 100+i are near-copies of i
+    // (tiny perturbation => cosine ~0.9999); id 500 is a fresh distinct one
+    val bases = (0 until 10).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian()))
+    val copies = bases.map { case (i, v) =>
+      (100L + i) -> v.map(x => x + rnd.nextGaussian() * 0.001)
+    }
+    val extra = Seq(500L -> Array.fill(dim)(rnd.nextGaussian()))
+    val df = (bases ++ copies ++ extra)
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+
+    val kept = graft.ops.VecDedup.survivors(df, "vec_id", "embedding", dim,
+        cosT = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    graft.util.CacheBin.unpersistAll(spark)
+
+    (0L until 10L).foreach(i => kept should contain(i)) // originals kept
+    (100L until 110L).foreach(i => kept should not contain i) // copies dropped
+    kept should contain(500L)
+    kept.size shouldBe 11
+  }
 }
 
 /** JVM-singleton fetch counter: survives task-closure serialization in
