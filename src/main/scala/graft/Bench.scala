@@ -36,9 +36,8 @@ object Bench {
     Seq("core_pricing_summary", "ev_session_windows", "join_interval_pairs",
       "text_minhash_pairs", "vec_ann_lsh", "text_simhash")
       .foreach { q =>
-        try SparkEntry.queries(q)(spark, sfDir).count()
+        try graft.util.CacheBin.withScope { SparkEntry.queries(q)(spark, sfDir).count() }
         catch { case _: Throwable => }
-        finally graft.util.CacheBin.unpersistAll(spark)
       }
 
     // Each query is executed twice (fresh plan each time) and reports the
@@ -52,9 +51,8 @@ object Bench {
       case (name, fn) if !SKIP(name) =>
         val times = (1 to RUNS).map { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
+          try graft.util.CacheBin.withScope { fn(spark, sfDir).count() }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-          finally graft.util.CacheBin.unpersistAll(spark)
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min

@@ -159,6 +159,7 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       val h2 = ctx.freshName("h2")
       val hb = ctx.freshName("hb")
       val fp = ctx.freshName("fp")
+      val byt = ctx.freshName("byt")
       s"""
          |int[] $votes = new int[60];
          |int $n = $a.numElements();
@@ -167,9 +168,9 @@ case class SimHash60(child: Expression) extends UnaryExpression {
          |  long $h1 = 0L; long $h2 = 0L;
          |  int $nb = $w.numBytes();
          |  for (int $j = 0; $j < $nb; $j++) {
-         |    int b = $w.getByte($j) & 0xff;
-         |    $h1 = ($h1 * 31L + b) % 1000000007L;
-         |    $h2 = ($h2 * 131L + b) % 998244353L;
+         |    int $byt = $w.getByte($j) & 0xff;
+         |    $h1 = ($h1 * 31L + $byt) % 1000000007L;
+         |    $h2 = ($h2 * 131L + $byt) % 998244353L;
          |  }
          |  for (int $bb = 0; $bb < 60; $bb++) {
          |    long $hb = $bb < 30 ? $h1 : $h2;

@@ -73,12 +73,21 @@ object NearDup {
     * ([[graft.functions.MinHashSigs]]) — a narrow map, no explode and no
     * groupBy shuffle; sig_i = min over the hash set of
     * ((2i+3)·h + (7i+1)) mod sigP, bit-identical to the previous
-    * explode → groupBy-min shape (the DuckDB oracle re-proves it). */
+    * explode → groupBy-min shape (the DuckDB oracle re-proves it).
+    *
+    * Docs with an EMPTY shingle set are dropped (cheap narrow filter) —
+    * matching the old explode → groupBy-min shape, which never emitted a
+    * row for them. Without the guard they would all carry Long.MaxValue
+    * sentinel signatures, band-collide with each other, and surface as
+    * candidate pairs with union_cnt=0 / jaccard=NaN for arbitrary callers
+    * (the engine's own normalizers never emit empty sets, but the operator
+    * must not rely on that convention). */
   def signatures(hs: DataFrame, p: Params = Params()): DataFrame = {
     val sigs = call_function("graft_minhash", col("hs"),
       lit(p.numSigs), lit(p.sigP))
-    hs.select(col("doc_id") +: (0 until p.numSigs)
-      .map(i => element_at(sigs, i + 1).as(s"s$i")): _*)
+    hs.filter(size(col("hs")) > 0)
+      .select(col("doc_id") +: (0 until p.numSigs)
+        .map(i => element_at(sigs, i + 1).as(s"s$i")): _*)
   }
 
   /** LSH banding: (doc_id, band, k) — one row per band per doc. */
@@ -110,8 +119,8 @@ object NearDup {
     *
     * The shingle-hash frame feeds both the signature aggregation and the
     * Jaccard join, so it is persisted through [[graft.util.CacheBin]] —
-    * query-loop callers release it with `CacheBin.unpersistAll(spark)`
-    * after the consuming action. The union count is derived as
+    * query-loop callers wrap the consuming action in `CacheBin.withScope`
+    * (or call `CacheBin.unpersistAll(spark)` when running serially). The union count is derived as
     * |A| + |B| − |A∩B| (exact: `hs` is a distinct set), which skips
     * materializing the per-pair union array — on skewed corpora the
     * candidate set is the big side and this halves the per-pair work. */

@@ -79,8 +79,13 @@ object AvroFileIO {
     * and the writer OVERWRITES — a replayed micro-batch after failure/restart
     * rewrites the same files instead of duplicating records, making the
     * checkpointed foreachBatch sink idempotent (effectively exactly-once,
-    * like the reference's checkpointed avro file sink). Without a tag (plain
-    * batch append) names are fresh UUIDs.
+    * like the reference's checkpointed avro file sink). Overwrite-by-name
+    * alone is not enough: empty partitions skip writing and AQE can change
+    * the partition count between a failed attempt and its replay, leaving
+    * stale higher-pid files from the first attempt — so a tagged write first
+    * deletes every existing `part-<tag>-*.avro` under the path (driver-side
+    * glob) before the executors write. Without a tag (plain batch append)
+    * names are fresh UUIDs.
     *
     * Filesystem access uses the SESSION's Hadoop configuration captured on
     * the driver (spark.hadoop.* — s3a credentials, hdfs overrides), not a
@@ -90,6 +95,14 @@ object AvroFileIO {
     val dir = path
     val hconf = new graft.util.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    commitTag.foreach { tag =>
+      val fs = FileSystem.get(new Path(dir).toUri, hconf.value)
+      val dirPath = new Path(dir)
+      if (fs.exists(dirPath)) {
+        fs.globStatus(new Path(dirPath, s"part-$tag-*.avro"))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+    }
     df.select(col("value")).as(Encoders.BINARY).foreachPartition {
       (rows: Iterator[Array[Byte]]) =>
         if (rows.hasNext) {

@@ -24,17 +24,28 @@ import org.apache.spark.sql.functions._
   */
 object KafkaHeaders {
 
-  /** Typed metadata fields, named like the reference's headerFieldName. */
+  /** Typed metadata fields, named like the reference's headerFieldName.
+    *
+    * Parity details matched to the reference deserializer: a null key/value
+    * reports serialized size -1 (the reference's
+    * `Option(record.key).map(_.length).getOrElse(-1)`), and
+    * `kafka_timestamp_type` carries the Kafka enum NAME string
+    * (NO_TIMESTAMP_TYPE/CREATE_TIME/LOG_APPEND_TIME — the reference's
+    * headerValueMapper stringifies the enum), mapped from the relation's
+    * int code (-1/0/1). */
   val metaFields: Seq[(String, Column)] = Seq(
     "kafka_topic" -> col("topic"),
     "kafka_partition" -> col("partition").cast("int"),
     "kafka_offset" -> col("offset").cast("long"),
     "kafka_timestamp" -> col("timestamp").cast("timestamp"),
-    "kafka_timestamp_type" -> col("timestampType").cast("int"),
+    "kafka_timestamp_type" ->
+      when(col("timestampType") === 0, lit("CREATE_TIME"))
+        .when(col("timestampType") === 1, lit("LOG_APPEND_TIME"))
+        .otherwise(lit("NO_TIMESTAMP_TYPE")),
     "kafka_serialized_key_size" ->
-      when(col("key").isNull, lit(0)).otherwise(octet_length(col("key"))).cast("int"),
+      when(col("key").isNull, lit(-1)).otherwise(octet_length(col("key"))).cast("int"),
     "kafka_serialized_value_size" ->
-      when(col("value").isNull, lit(0)).otherwise(octet_length(col("value"))).cast("int"))
+      when(col("value").isNull, lit(-1)).otherwise(octet_length(col("value"))).cast("int"))
 
   /** Add the (selected) typed metadata columns to a kafka-relation frame. */
   def withKafkaMetaFields(df: DataFrame,

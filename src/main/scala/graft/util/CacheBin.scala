@@ -3,19 +3,27 @@ package graft.util
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
-import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
-/** Session-scoped registry for operator-internal persisted frames.
+/** Scoped registry for operator-internal persisted frames.
   *
   * Operators like [[graft.ops.NearDup.pairsWithJaccard]] persist an
   * intermediate (the shingle-hash frame) because it feeds both the signature
   * aggregation and the exact-Jaccard join. Spark offers no "unpersist after
   * the consuming action" hook, so in a long-lived session each invocation
   * would otherwise pin another copy in executor storage for the life of the
-  * app. This registry makes the lifecycle explicit: operators persist through
-  * [[persist]], and driver-loop callers (bench harness, Verify, any
-  * query-at-a-time service) call [[unpersistAll]] between queries.
+  * app. This registry makes the lifecycle explicit — and SAFE under
+  * concurrent queries: registrations go to the calling thread's active
+  * [[Scope]] (opened with [[withScope]]), so two queries running on
+  * different driver threads of the same session release only their own
+  * intermediates, never each other's in-flight caches.
+  *
+  * Query plans are BUILT on the caller's thread (where operators call
+  * [[persist]]); only task execution is multi-threaded — so a thread-local
+  * scope captures exactly the frames of the query being constructed.
+  * Frames persisted with no scope open fall back to a session-global bin
+  * released by [[unpersistAll]]; that fallback retains the old caveat
+  * (serialized query execution per session) and exists for ad-hoc callers.
   *
   * Frames are persisted MEMORY_AND_DISK so an unusually large intermediate
   * spills instead of evicting or OOMing — at 100 TB the shingle frame of a
@@ -23,25 +31,58 @@ import scala.jdk.CollectionConverters._
   */
 object CacheBin {
 
-  private val bin = new ConcurrentHashMap[SparkSession, java.util.List[DataFrame]]()
+  /** A caller-owned registration bin; release() unpersists only frames
+    * persisted while this scope was the thread's active one. */
+  final class Scope private[CacheBin] () {
+    private[CacheBin] val frames =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+    /** Blocking so storage is actually free before the next query runs. */
+    def release(): Unit = {
+      frames.asScala.foreach(_.unpersist(blocking = true))
+      frames.clear()
+    }
+  }
 
-  /** Persist `df` (MEMORY_AND_DISK) and register it for later release. */
+  private val active = new ThreadLocal[Scope]()
+
+  private val global =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.List[DataFrame]]()
+
+  /** Run `body` with a fresh scope active on this thread; frames persisted
+    * inside are unpersisted when it completes (also on failure). */
+  def withScope[T](body: => T): T = {
+    val outer = active.get()
+    val s = new Scope
+    active.set(s)
+    try body
+    finally {
+      active.set(outer)
+      s.release()
+    }
+  }
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for later release —
+    * into the thread's active scope, else the session-global bin. */
   def persist(df: DataFrame): DataFrame = {
     // Re-persisting an identical plan logs "Asked to cache already cached
     // data" and double-registers nothing — guard on current storage level.
     if (df.storageLevel == StorageLevel.NONE) {
       df.persist(StorageLevel.MEMORY_AND_DISK)
-      bin.computeIfAbsent(df.sparkSession,
-        _ => java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]()))
-        .add(df)
+      Option(active.get()) match {
+        case Some(scope) => scope.frames.add(df)
+        case None =>
+          global.computeIfAbsent(df.sparkSession,
+            _ => java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]()))
+            .add(df)
+      }
     }
     df
   }
 
-  /** Release every frame registered against `spark`. Blocking so storage is
-    * actually free before the caller's next query runs. */
+  /** Release every UNSCOPED frame registered against `spark`. Safe only when
+    * queries on this session run serially; scoped callers use [[withScope]]. */
   def unpersistAll(spark: SparkSession): Unit = {
-    val l = bin.remove(spark)
+    val l = global.remove(spark)
     if (l != null) l.asScala.foreach(_.unpersist(blocking = true))
   }
 }

@@ -173,6 +173,14 @@ class AvroJobSpec extends SparkSpec {
       AvroFileIO.read(spark, path, schemaJson, batchMode = true).count() shouldBe 6
       val names = new java.io.File(path).listFiles().map(_.getName).filter(_.endsWith(".avro"))
       all(names) should startWith("part-b7-p")
+      // replay with FEWER partitions (AQE re-plan after a failed attempt):
+      // stale higher-pid files from the wide first attempt must not survive
+      AvroFileIO.write(df.repartition(4), path, schemaJson, commitTag = Some("b8"))
+      AvroFileIO.write(df.repartition(1), path, schemaJson, commitTag = Some("b8"))
+      AvroFileIO.read(spark, path, schemaJson, batchMode = true).count() shouldBe 12
+      val b8 = new java.io.File(path).listFiles().map(_.getName)
+        .filter(_.startsWith("part-b8-"))
+      b8.length shouldBe 1
     } finally rm(dir)
   }
 

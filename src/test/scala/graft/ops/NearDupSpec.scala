@@ -35,6 +35,18 @@ class NearDupSpec extends SparkSpec {
     rows.keys.flatMap(p => Seq(p._1, p._2)) should not contain 5L
   }
 
+  it should "drop empty-shingle docs instead of sentinel-colliding them" in {
+    import spark.implicits._
+    // an arbitrary caller may feed signatures() hash sets it built itself —
+    // empty sets must be dropped, not given all-sentinel signatures that
+    // band-collide every empty doc into jaccard=NaN candidate pairs
+    val hs = Seq(
+      (1L, Seq(101L, 202L, 303L)),
+      (10L, Seq.empty[Long]), (11L, Seq.empty[Long])).toDF("doc_id", "hs")
+    val sigs = NearDup.signatures(hs).collect()
+    sigs.map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
+
   it should "keep the smallest id of each near-dup cluster" in {
     val kept = NearDup.survivors(docs, "doc_id", "text", jaccNum = 1, jaccDen = 2)
       .collect().map(_.getLong(0)).toSet

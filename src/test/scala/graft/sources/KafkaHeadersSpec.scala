@@ -47,9 +47,9 @@ class KafkaHeadersSpec extends SparkSpec {
     r.getAs[java.sql.Timestamp]("kafka_timestamp").toString should startWith("2026-01-02")
     r.getAs[Int]("kafka_serialized_key_size") shouldBe 2
     r.getAs[Int]("kafka_serialized_value_size") shouldBe 11
-    // null key -> size 0 (reference mapper yields None -> null; we keep 0
-    // like kafka's serializedKeySize for an absent key is -1/0-ish: document 0)
-    out(0).getAs[Int]("kafka_serialized_key_size") shouldBe 0
+    r.getAs[String]("kafka_timestamp_type") shouldBe "CREATE_TIME"
+    // null key -> -1, the reference's getOrElse(-1) for an absent key
+    out(0).getAs[Int]("kafka_serialized_key_size") shouldBe -1
   }
 
   it should "select only requested metadata fields" in {

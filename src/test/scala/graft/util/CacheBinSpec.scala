@@ -1,0 +1,58 @@
+package graft.util
+
+import graft.SparkSpec
+import org.apache.spark.storage.StorageLevel
+
+/** CacheBin scoping: a scope releases exactly the frames persisted inside
+  * it, so two concurrent query loops on one session never unpersist each
+  * other's in-flight intermediates. */
+class CacheBinSpec extends SparkSpec {
+
+  behavior of "CacheBin"
+
+  it should "release frames persisted inside a scope when it closes" in {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    CacheBin.withScope {
+      CacheBin.persist(df)
+      df.count()
+      df.storageLevel should not be StorageLevel.NONE
+    }
+    df.storageLevel shouldBe StorageLevel.NONE
+  }
+
+  it should "not release another thread's in-flight frames" in {
+    import spark.implicits._
+    val other = Seq(4, 5).toDF("y")
+    // a concurrent query on a different driver thread persists its own
+    // intermediate inside its own scope and holds it past ours
+    val otherThreadDone = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => CacheBin.withScope {
+      CacheBin.persist(other)
+      other.count()
+      otherThreadDone.countDown()
+      release.await()
+    })
+    t.start()
+    otherThreadDone.await()
+    val mine = Seq(6, 7).toDF("z")
+    CacheBin.withScope { CacheBin.persist(mine); mine.count() }
+    // my scope closed; the other query's cache must still be live
+    other.storageLevel should not be StorageLevel.NONE
+    release.countDown()
+    t.join()
+    other.storageLevel shouldBe StorageLevel.NONE
+    mine.storageLevel shouldBe StorageLevel.NONE
+  }
+
+  it should "fall back to the session-global bin with no scope open" in {
+    import spark.implicits._
+    val df = Seq(8, 9).toDF("w")
+    CacheBin.persist(df)
+    df.count()
+    df.storageLevel should not be StorageLevel.NONE
+    CacheBin.unpersistAll(spark)
+    df.storageLevel shouldBe StorageLevel.NONE
+  }
+}
