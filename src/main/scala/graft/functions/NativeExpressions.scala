@@ -296,6 +296,66 @@ object IntersectSize {
   }
 }
 
+/** max_run(sorted): longest run of equal adjacent elements in a SORTED
+  * string array — on a sorted word list this is the count of the most
+  * frequent word, making the top-word repetition signal a pure narrow map
+  * (array_sort + this) instead of an explode → groupBy → max shuffle chain.
+  * Empty array yields 0. Inputs must be pre-sorted (array_sort). */
+case class MaxRunLength(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n == 0) 0L
+    else {
+      var best = 1L; var run = 1L
+      var prev = arr.getUTF8String(0)
+      var i = 1
+      while (i < n) {
+        val cur = arr.getUTF8String(i)
+        if (cur.equals(prev)) { run += 1; if (run > best) best = run }
+        else run = 1
+        prev = cur
+        i += 1
+      }
+      best
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val run = ctx.freshName("run")
+      val prev = ctx.freshName("prev")
+      val cur = ctx.freshName("cur")
+      s"""
+         |int $n = $a.numElements();
+         |long $best = 0L;
+         |if ($n > 0) {
+         |  $best = 1L;
+         |  long $run = 1L;
+         |  UTF8String $prev = $a.getUTF8String(0);
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    UTF8String $cur = $a.getUTF8String($i);
+         |    if ($cur.equals($prev)) { $run++; if ($run > $best) $best = $run; }
+         |    else $run = 1L;
+         |    $prev = $cur;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MaxRunLength =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_max_run"
+}
+
 /** Session registration for the native expressions — callable from SQL and
   * from the DataFrame API via `call_function`. Usable either through
   * [[GraftExtensions]] (spark.sql.extensions=graft.functions.GraftExtensions)
@@ -349,6 +409,12 @@ object GraftFunctions {
         require(args.length == 2, "graft_intersect_size(a, b)")
         IntersectSize(Cast(args.head, ArrayType(LongType)),
           Cast(args(1), ArrayType(LongType)))
+      }),
+    (FunctionIdentifier("graft_max_run"),
+      new ExpressionInfo(classOf[MaxRunLength].getName, "graft_max_run"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_max_run(sorted_array)")
+        MaxRunLength(Cast(args.head, ArrayType(StringType)))
       }),
   )
 

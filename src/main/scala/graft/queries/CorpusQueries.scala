@@ -26,15 +26,22 @@ object CorpusQueries {
     * same inverted-index construction pattern as any search indexer. */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
+    // ONE shuffle of the exploded words, on doc_id alone: hash-partitioning
+    // by doc_id satisfies the (doc_id, term) groupBy's distribution AND the
+    // per-doc ranking window downstream, so neither inserts another exchange
+    // over the big term table.
     val words = docs.select(col("doc_id"),
       explode(graft.ops.NearDup.wordsOf(graft.ops.NearDup.normCol(col("text")))).as("term"))
+      .repartition(col("doc_id"))
     // feeds both the df aggregation and the scoring join
     val tf = graft.util.CacheBin.persist(
       words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    // df table = one row per DISTINCT term — vocabulary-sized, broadcast it
+    // so scoring never shuffles tf
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("nd"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term").crossJoin(broadcast(nd))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nd))
       .withColumn("score", col("tf") * expr("(nd * 1000000) div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
@@ -79,13 +86,158 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-style repetition signals, per document — the quality heuristics
+    * a training pipeline runs before dedup (Rae et al. 2021 §A1.1: fraction
+    * of duplicate words/n-grams, top-word dominance). All counts are exact
+    * integers; the entire query is a NARROW MAP over the scan — top-word
+    * count comes from `graft_max_run` over the sorted word list (a native
+    * codegen expression), not an explode → groupBy → max shuffle chain. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val norm = graft.ops.NearDup.normCol(col("text"))
+    tPar(s, dir, "documents")
+      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"),
+        graft.ops.NearDup.wordsOf(col("norm")).as("words"), col("norm"))
+      .select(col("doc_id"), col("words"),
+        graft.ops.NearDup.shinglesOf(col("words"), col("norm"), 2).as("bg"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        size(array_distinct(col("words"))).cast("long").as("n_distinct"),
+        call_function("graft_max_run", array_sort(col("words"))).as("top_word_cnt"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
+      .withColumn("repetitive",
+        col("top_word_cnt") * 10 > col("n_words") ||
+          (col("n_bigrams") - col("n_distinct_bigrams")) * 2 > col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  private def shinglesSql(words: String, norm: String, k: Int): String =
+    s"CASE WHEN len($words) >= $k THEN list_transform(generate_series(1, len($words)-${k - 1}), j -> array_to_string($words[j:j+${k - 1}], ' ')) ELSE [$norm] END"
+
+  val repetitionSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) w FROM n),
+       |wc AS (SELECT doc_id, w, count(*) c FROM w GROUP BY 1, 2),
+       |tops AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_words,
+       |                CAST(count(*) AS BIGINT) n_distinct,
+       |                CAST(max(c) AS BIGINT) top_word_cnt
+       |         FROM wc GROUP BY 1),
+       |bgs AS (SELECT doc_id,
+       |               CAST(len(bg) AS BIGINT) n_bigrams,
+       |               CAST(len(list_distinct(bg)) AS BIGINT) n_distinct_bigrams
+       |        FROM (SELECT doc_id,
+       |                     ${shinglesSql("string_split(norm, ' ')", "norm", 2)} bg
+       |              FROM n))
+       |SELECT t.doc_id, t.n_words, t.n_distinct, t.top_word_cnt,
+       |       b.n_bigrams, b.n_distinct_bigrams,
+       |       (t.top_word_cnt * 10 > t.n_words OR
+       |        (b.n_bigrams - b.n_distinct_bigrams) * 2 > b.n_bigrams) repetitive
+       |FROM tops t JOIN bgs b ON t.doc_id = b.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** Corpus-level boilerplate discovery: the 20 word-trigrams appearing in
+    * the most DISTINCT documents (CCNet-style repeated-content detection —
+    * at scale this list is what a line/paragraph-level boilerplate filter is
+    * seeded from). Shape: narrow shingle map → explode distinct trigrams →
+    * ONE map-side-combined groupBy — the inverted-index pattern. */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val norm = graft.ops.NearDup.normCol(col("text"))
+    tPar(s, dir, "documents")
+      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"),
+        graft.ops.NearDup.wordsOf(col("norm")).as("words"), col("norm"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.ops.NearDup.shinglesOf(col("words"), col("norm"), 3))).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(20)
+  }
+
+  val boilerplateSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |sh AS (SELECT doc_id,
+       |              unnest(list_distinct(
+       |                ${shinglesSql("string_split(norm, ' ')", "norm", 3)})) shingle
+       |       FROM n)
+       |SELECT shingle, CAST(count(*) AS BIGINT) df
+       |FROM sh GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin
+
+  /** Per-source data-mixing report: document/kept counts, kept token mass,
+    * each source's parts-per-million share of the kept corpus, and a
+    * deterministic doc quota from a fixed total budget allocated
+    * proportionally to token share (all integer arithmetic — the
+    * reproducible "mixture weights" table a pretraining run is configured
+    * from). Shape: one narrow quality map → one groupBy(source) → a
+    * broadcast single-row total. */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val BUDGET = 200L
+    val norm = graft.ops.NearDup.normCol(col("text"))
+    val words = graft.ops.NearDup.wordsOf(norm)
+    val stop = Seq("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
+    val flagged = tPar(s, dir, "documents")
+      .select(col("source"),
+        size(words).cast("long").as("n_words"),
+        size(filter(words, w => w.isin(stop: _*))).cast("long").as("stop_cnt"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars_t"))
+      .withColumn("kept",
+        col("n_words") >= 20 && col("stop_cnt") * 100 >= col("n_words") * 2 &&
+          col("n_punct") * 100 <= col("n_chars_t") * 10)
+    val perSource = flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+      sum(when(col("kept"), col("n_words")).otherwise(0L)).as("kept_words"))
+    val total = perSource.agg(sum("kept_words").as("total_kept_words"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        expr("(kept_words * 1000000) div total_kept_words"))
+      .withColumn("quota_docs",
+        least(col("kept_docs"), expr(s"($BUDGET * share_ppm) div 1000000")))
+      .select(col("source"), col("n_docs"), col("kept_docs"), col("kept_words"),
+        col("share_ppm"), col("quota_docs"))
+      .orderBy("source")
+  }
+
+  val sourceMixSql: String =
+    s"""WITH b AS (
+       |  SELECT source,
+       |         CAST(len(string_split($normSql, ' ')) AS BIGINT) n_words,
+       |         CAST(len(list_filter(string_split($normSql, ' '),
+       |              w -> w IN ('the','and','of','to','in','a','is','for','on','with'))) AS BIGINT) stop_cnt,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) n_punct,
+       |         CAST(length(text) AS BIGINT) n_chars_t
+       |  FROM documents),
+       |f AS (SELECT source, n_words,
+       |             (n_words >= 20 AND stop_cnt*100 >= n_words*2 AND
+       |              n_punct*100 <= n_chars_t*10) kept
+       |      FROM b),
+       |ps AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+       |              CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) kept_docs,
+       |              CAST(sum(CASE WHEN kept THEN n_words ELSE 0 END) AS BIGINT) kept_words
+       |       FROM f GROUP BY 1),
+       |t AS (SELECT CAST(sum(kept_words) AS BIGINT) total_kept_words FROM ps)
+       |SELECT source, n_docs, kept_docs, kept_words,
+       |       (kept_words * 1000000) // total_kept_words share_ppm,
+       |       least(kept_docs, (200 * ((kept_words * 1000000) // total_kept_words)) // 1000000) quota_docs
+       |FROM ps, t ORDER BY source""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "text_tfidf" -> (tfidf _),
     "text_stratified_sample" -> (stratifiedSample _),
+    "text_repetition" -> (repetition _),
+    "text_boilerplate" -> (boilerplate _),
+    "pipe_source_mix" -> (sourceMix _),
   )
 
   val oracle: Map[String, String] = Map(
     "text_tfidf" -> tfidfSql,
     "text_stratified_sample" -> stratifiedSampleSql,
+    "text_repetition" -> repetitionSql,
+    "text_boilerplate" -> boilerplateSql,
+    "pipe_source_mix" -> sourceMixSql,
   )
 }

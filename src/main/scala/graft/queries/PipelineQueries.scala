@@ -48,16 +48,20 @@ object PipelineQueries {
   def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val quality = graft.util.CacheBin.persist(qualityKept(s, dir))
 
-    // stage 2: exact dedup — canonical = min doc_id per content hash
-    val exact = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-
+    // stage 2: exact dedup — canonical = min doc_id per content hash.
+    // A keyed min-window + filter keeps the canonical ROW in one shuffle on
+    // fp; the groupBy-then-join-back shape costs that same shuffle PLUS a
+    // join of the full quality set against the survivor ids.
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     // stage 3: near-dup removal among exact survivors (keep-min-id policy).
     // survivorDocs is consumed twice inside NearDup.survivors (shingle
-    // hashing AND the anti-join keep side) — persist or the dedup groupBy +
-    // join replays.
+    // hashing AND the anti-join keep side) — persist or the dedup window
+    // replays.
     val survivorDocs = graft.util.CacheBin.persist(
-      quality.select(col("doc_id"), col("text")).join(exact, "doc_id"))
+      quality.select(col("doc_id"), col("text"), col("fp"))
+        .withColumn("min_id", min("doc_id").over(wFp))
+        .filter(col("doc_id") === col("min_id"))
+        .select("doc_id", "text"))
     val cleaned = graft.ops.NearDup.survivors(survivorDocs, "doc_id", "text",
       JACC_T_NUM, JACC_T_DEN, TextQueries.minhashParams)
 

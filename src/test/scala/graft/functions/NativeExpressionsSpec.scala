@@ -145,4 +145,42 @@ class NativeExpressionsSpec extends SparkSpec {
       .collect()
     out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
+
+  behavior of "graft_max_run"
+
+  it should "equal the explode-groupBy max word count on sorted words" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("b", "a", "b", "c", "b", "a")), // b appears 3x
+      (2L, Seq("x")),
+      (3L, Seq("z", "z", "z", "z")),
+      (4L, Seq.empty[String]), // empty -> 0
+      (5L, Seq("m", "n", "o"))).toDF("id", "words")
+    val native = docs.select(col("id"),
+        call_function("graft_max_run", array_sort(col("words"))).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaGroupBy = docs.select(col("id"), explode(col("words")).as("w"))
+      .groupBy("id", "w").count()
+      .groupBy("id").agg(max("count").as("top"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaGroupBy.foreach { case (id, top) => native(id) shouldBe top }
+    native(4L) shouldBe 0L
+  }
+
+  it should "participate in whole-stage codegen and interpreted eval alike" in {
+    GraftFunctions.register(spark)
+    val df = spark.range(50).select(
+      call_function("graft_max_run",
+        array_sort(split(concat(lit("a a b "), col("id").cast("string")), " "))).as("r"))
+    df.queryExecution.executedPlan.toString should include("graft_max_run")
+    df.agg(min("r")).head().getLong(0) shouldBe 2L // "a a" run in every row
+    // interpreted path
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array("p", "p", "p", "q").map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+    MaxRunLength(org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType),
+      nullable = false)).eval(row) shouldBe 3L
+  }
 }
