@@ -225,12 +225,58 @@ object CorpusQueries {
        |       least(kept_docs, (200 * ((kept_words * 1000000) // total_kept_words)) // 1000000) quota_docs
        |FROM ps, t ORDER BY source""".stripMargin
 
+  /** Eval-set decontamination — the n-gram-overlap check a training corpus
+    * runs against its benchmark/eval sets before training (the docs with
+    * doc_id < 10 stand in as the eval set): for every corpus document, how
+    * many of its distinct word 5-grams appear anywhere in the eval set, as
+    * exact integers. Shape at scale: the eval shingle set is tiny BY
+    * DESIGN (eval sets are small) and broadcast into the overlap join, so
+    * the corpus side — narrow shingle map + explode — never shuffles; one
+    * final groupBy(doc_id) with map-side combine. Reports contaminated
+    * documents only. */
+  def decontam(s: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val norm = graft.ops.NearDup.normCol(col("text"))
+    val shingled = tPar(s, dir, "documents")
+      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"),
+        graft.ops.NearDup.wordsOf(col("norm")).as("words"), col("norm"))
+      .select(col("doc_id"),
+        array_distinct(graft.ops.NearDup.shinglesOf(col("words"), col("norm"), K)).as("sh"))
+    val evalSet = shingled.filter(col("doc_id") < 10)
+      .select(explode(col("sh")).as("esh")).distinct()
+    val corpus = shingled.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("csh"))
+    corpus.join(broadcast(evalSet), col("csh") === col("esh"))
+      .groupBy("doc_id")
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("overlap_cnt"))
+      .withColumn("overlap_pct", expr("(overlap_cnt * 100) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val decontamSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |sh AS (SELECT doc_id,
+       |              list_distinct(${shinglesSql("string_split(norm, ' ')", "norm", 5)}) sh
+       |       FROM n),
+       |ev AS (SELECT DISTINCT unnest(sh) esh FROM sh WHERE doc_id < 10),
+       |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) n_shingles, unnest(sh) csh
+       |      FROM sh WHERE doc_id >= 10)
+       |SELECT doc_id, CAST(min(n_shingles) AS BIGINT) n_shingles,
+       |       CAST(count(*) AS BIGINT) overlap_cnt,
+       |       (CAST(count(*) AS BIGINT) * 100) // CAST(min(n_shingles) AS BIGINT) overlap_pct
+       |FROM c JOIN ev ON c.csh = ev.esh
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "text_tfidf" -> (tfidf _),
     "text_stratified_sample" -> (stratifiedSample _),
     "text_repetition" -> (repetition _),
     "text_boilerplate" -> (boilerplate _),
     "pipe_source_mix" -> (sourceMix _),
+    "text_decontam" -> (decontam _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -239,5 +285,6 @@ object CorpusQueries {
     "text_repetition" -> repetitionSql,
     "text_boilerplate" -> boilerplateSql,
     "pipe_source_mix" -> sourceMixSql,
+    "text_decontam" -> decontamSql,
   )
 }
