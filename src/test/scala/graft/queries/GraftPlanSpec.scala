@@ -90,6 +90,36 @@ class GraftPlanSpec extends SparkSpec {
     opPlan should not include "BroadcastNestedLoopJoin"
   }
 
+  it should "broadcast the eval-set shingles in decontamination" in {
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = CorpusQueries.decontam(spark, dir)
+      q.count() // materialize so the AQE final plan reflects the join choice
+      q
+    })
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "assign k-means clusters as a narrow map (no per-vector join)" in {
+    val q = VectorQueries.kmeans(spark, dir)
+    val plan = planOf(q)
+    // assignment is a closure over the collected codebook: the final plan
+    // has exactly the output aggregation — no join, no window, no cross
+    plan should not include "Join"
+    plan should not include "Window"
+    "HashAggregate".r.findAllIn(plan).length should be >= 2 // partial+final
+  }
+
+  it should "keep the repetition signals shuffle-free up to the output sort" in {
+    val plan = planOf(CorpusQueries.repetition(spark, dir))
+    // narrow map over the (locally repartitioned) scan: the only exchanges
+    // are tPar's fan-out and the final orderBy range partitioning
+    plan should not include "Join"
+    plan should not include "HashAggregate"
+    plan should include("graft_max_run") // native expression in the plan
+  }
+
   behavior of "scan parallelism gating (tPar)"
 
   it should "not insert an exchange over an already-parallel multi-file scan" in {
