@@ -45,6 +45,37 @@ class StreamingSpec extends SparkSpec {
     k2.ema shouldBe 5.0
   }
 
+  behavior of "corpus quality signals on a stream"
+
+  it should "run the repetition/quality narrow maps unchanged over a stream" in {
+    // the text-pipeline narrow maps (normalize, words, max-run repetition)
+    // are stateless projections, so the SAME expressions run on a
+    // readStream frame with no operator changes — the batch/streaming
+    // unification the engine promises for its text stage
+    graft.functions.GraftFunctions.register(spark)
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    implicit val tEnc: Encoder[(Long, String)] = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val input = MemoryStream[(Long, String)]
+    val norm = graft.ops.NearDup.normCol(col("text"))
+    val out = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.NearDup.wordsOf(norm).as("words"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("words")).cast("long").as("n_words"),
+        call_function("graft_max_run", array_sort(col("words"))).as("top_word_cnt"))
+    val q = out.writeStream.format("memory").queryName("rep_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rep_ck").toString)
+      .start()
+    input.addData((1L, "spam spam spam ham"), (2L, "all distinct words here"))
+    runToCompletion(q)
+    val rows = spark.table("rep_out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows(1L) shouldBe ((4L, 3L))
+    rows(2L) shouldBe ((4L, 1L))
+  }
+
   behavior of "TtlDedup (transformWithState, Spark 4 state API)"
 
   it should "dedup across micro-batches with RocksDB transformWithState state" in {
