@@ -235,30 +235,11 @@ object CorpusQueries {
     * final groupBy(doc_id) with map-side combine. Reports contaminated
     * documents only. */
   def decontam(s: SparkSession, dir: String): DataFrame = {
-    val K = 5
-    val norm = graft.ops.NearDup.normCol(col("text"))
-    // Persisted for two reasons: the frame feeds both the eval-set and the
-    // corpus branch, and the materialization boundary stops the optimizer's
-    // InferFiltersFromGenerate output (`size(sh) > 0`) from substituting the
-    // whole norm + 5-gram expression into a pre-exchange filter — without
-    // it the shingle pipeline is re-evaluated per inferred predicate on the
-    // scan partition (measured 8× slower at sf0.1).
-    val shingled = graft.util.CacheBin.persist(tPar(s, dir, "documents")
-      .select(col("doc_id"), norm.as("norm"))
-      .select(col("doc_id"),
-        graft.ops.NearDup.wordsOf(col("norm")).as("words"), col("norm"))
-      .select(col("doc_id"),
-        array_distinct(graft.ops.NearDup.shinglesOf(col("words"), col("norm"), K)).as("sh")))
-    val evalSet = shingled.filter(col("doc_id") < 10)
-      .select(explode(col("sh")).as("esh")).distinct()
-    val corpus = shingled.filter(col("doc_id") >= 10)
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        explode(col("sh")).as("csh"))
-    corpus.join(broadcast(evalSet), col("csh") === col("esh"))
-      .groupBy("doc_id")
-      .agg(first(col("n_shingles")).as("n_shingles"),
-        count(lit(1)).as("overlap_cnt"))
-      .withColumn("overlap_pct", expr("(overlap_cnt * 100) div n_shingles"))
+    val docs = tPar(s, dir, "documents")
+    graft.ops.Decontam.overlap(
+        corpus = docs.filter(col("doc_id") >= 10),
+        evalDocs = docs.filter(col("doc_id") < 10),
+        idCol = "doc_id", textCol = "text", k = 5)
       .orderBy("doc_id")
   }
 
@@ -276,6 +257,34 @@ object CorpusQueries {
        |FROM c JOIN ev ON c.csh = ev.esh
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-language token-length profile — the distribution table length
+    * filters are calibrated from (min/median/p90/max word counts per
+    * language, exact interpolated percentiles over integer counts). One
+    * narrow count map + one map-side-combined groupBy. */
+  def lengthProfile(s: SparkSession, dir: String): DataFrame = {
+    val words = graft.ops.NearDup.wordsOf(graft.ops.NearDup.normCol(col("text")))
+    tPar(s, dir, "documents")
+      .select(col("lang"), size(words).cast("long").as("n_words"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_words").as("min_words"),
+        expr("percentile(n_words, 0.5)").as("p50_words"),
+        expr("percentile(n_words, 0.9)").as("p90_words"),
+        max("n_words").as("max_words"))
+      .orderBy("lang")
+  }
+
+  val lengthProfileSql: String =
+    s"""WITH w AS (SELECT lang,
+       |                  CAST(len(string_split($normSql, ' ')) AS BIGINT) n_words
+       |           FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+       |       min(n_words) min_words,
+       |       quantile_cont(n_words, 0.5) p50_words,
+       |       quantile_cont(n_words, 0.9) p90_words,
+       |       max(n_words) max_words
+       |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "text_tfidf" -> (tfidf _),
     "text_stratified_sample" -> (stratifiedSample _),
@@ -283,6 +292,7 @@ object CorpusQueries {
     "text_boilerplate" -> (boilerplate _),
     "pipe_source_mix" -> (sourceMix _),
     "text_decontam" -> (decontam _),
+    "text_length_profile" -> (lengthProfile _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -292,5 +302,6 @@ object CorpusQueries {
     "text_boilerplate" -> boilerplateSql,
     "pipe_source_mix" -> sourceMixSql,
     "text_decontam" -> decontamSql,
+    "text_length_profile" -> lengthProfileSql,
   )
 }
