@@ -31,18 +31,24 @@ object Decontam {
     * (id, n_shingles, overlap_cnt, overlap_pct) for contaminated documents
     * only — integer arithmetic, deterministic.
     *
-    * Both frames must carry `idCol` and `textCol`. The corpus shingle frame
-    * is persisted when `persistShingles` (default): it stops the
-    * optimizer's inferred explode filters from re-evaluating the whole
-    * normalize + k-gram chain (see SCALE.md "Optimizer hazards"), at the
-    * cost of materializing (id, shingles). Callers release it via their
-    * [[graft.util.CacheBin]] scope. */
+    * Both frames must carry `idCol` and `textCol`. BOTH shingle frames are
+    * persisted when `persistShingles` (default): the materialization
+    * boundary stops the optimizer's inferred explode filters
+    * (`size(sh) > 0 AND isnotnull(sh)`) from substituting the whole
+    * normalize + k-gram chain into a scan-side filter — the expression
+    * appears in two conjuncts, so codegen subexpression elimination
+    * evaluates it UNCONDITIONALLY per scan row, before any short-circuit
+    * on the cheap predicates (measured 14 s single-threaded vs 0.1 s at
+    * sf0.1 on the eval branch; see SCALE.md "Optimizer hazards"). Callers
+    * release both via their [[graft.util.CacheBin]] scope. */
   def overlap(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, k: Int = 5, persistShingles: Boolean = true): DataFrame = {
-    val corpusSh0 = shingleSets(corpus, idCol, textCol, k)
-    val corpusSh =
-      if (persistShingles) graft.util.CacheBin.persist(corpusSh0) else corpusSh0
-    val evalSet = shingleSets(evalDocs, idCol, textCol, k)
+    def shingles(df: DataFrame): DataFrame = {
+      val sh = shingleSets(df, idCol, textCol, k)
+      if (persistShingles) graft.util.CacheBin.persist(sh) else sh
+    }
+    val corpusSh = shingles(corpus)
+    val evalSet = shingles(evalDocs)
       .select(explode(col("sh")).as("__esh")).distinct()
     corpusSh
       .select(col(idCol), size(col("sh")).cast("long").as("n_shingles"),
