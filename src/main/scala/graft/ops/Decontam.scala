@@ -69,4 +69,33 @@ object Decontam {
       .select(col(idCol).as("__bad_id"))
     corpus.join(bad, corpus(idCol) === col("__bad_id"), "left_anti")
   }
+
+  /** Streaming decontamination: screen documents ARRIVING ON A STREAM
+    * against a static eval set. Overlap is a per-document property, so no
+    * cross-document state is needed — the eval shingle set (small by
+    * design) is collected once on the driver and closed over in a pure
+    * narrow filter, which Structured Streaming runs per micro-batch with
+    * zero state store and zero shuffle. Works identically on a batch frame
+    * (one config switch, like every operator in this engine). */
+  def cleanStreaming(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, maxPct: Long = 0L): DataFrame = {
+    val evalShingles: Set[String] = shingleSets(evalDocs, idCol, textCol, k)
+      .select(explode(col("sh")).as("esh")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val keepUdf = udf { (sh: Seq[String]) =>
+      if (sh == null || sh.isEmpty) true
+      else {
+        var overlap = 0
+        sh.foreach(s => if (evalShingles.contains(s)) overlap += 1)
+        overlap * 100L / sh.length <= maxPct
+      }
+    }
+    val norm = NearDup.normCol(col(textCol))
+    corpus
+      .withColumn("__norm", norm)
+      .withColumn("__sh", array_distinct(
+        NearDup.shinglesOf(NearDup.wordsOf(col("__norm")), col("__norm"), k)))
+      .filter(keepUdf(col("__sh")))
+      .drop("__norm", "__sh")
+  }
 }

@@ -174,19 +174,9 @@ object CorpusQueries {
     * broadcast single-row total. */
   def sourceMix(s: SparkSession, dir: String): DataFrame = {
     val BUDGET = 200L
-    val norm = graft.ops.NearDup.normCol(col("text"))
-    val words = graft.ops.NearDup.wordsOf(norm)
-    val stop = Seq("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
-    val flagged = tPar(s, dir, "documents")
-      .select(col("source"),
-        size(words).cast("long").as("n_words"),
-        size(filter(words, w => w.isin(stop: _*))).cast("long").as("stop_cnt"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
-          .cast("long").as("n_punct"),
-        length(col("text")).cast("long").as("n_chars_t"))
-      .withColumn("kept",
-        col("n_words") >= 20 && col("stop_cnt") * 100 >= col("n_words") * 2 &&
-          col("n_punct") * 100 <= col("n_chars_t") * 10)
+    val flagged = graft.ops.Quality.withSignals(
+        tPar(s, dir, "documents").select(col("source"), col("text")))
+      .withColumn("kept", graft.ops.Quality.keepFlag)
     val perSource = flagged.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),

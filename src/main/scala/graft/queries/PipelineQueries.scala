@@ -20,22 +20,14 @@ object PipelineQueries {
   private val JACC_T_NUM = 1L // threshold 1/2 as exact integers
   private val JACC_T_DEN = 2L
 
-  /** Quality-filtered doc ids (same thresholds as text_quality_score). */
-  private def qualityKept(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
-    val words = split(norm, " ")
-    val stop = Seq("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
-    tPar(s, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"),
-        size(words).cast("long").as("n_words"),
-        size(filter(words, w => w.isin(stop: _*))).cast("long").as("stop_cnt"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
-          .cast("long").as("n_punct"),
-        length(col("text")).cast("long").as("n_chars_t"),
-        md5(norm).as("fp"))
-      .filter(col("n_words") >= 20 && col("stop_cnt") * 100 >= col("n_words") * 2 &&
-        col("n_punct") * 100 <= col("n_chars_t") * 10)
-  }
+  /** Quality-filtered docs with content fingerprints — stage 1 is the
+    * shared [[graft.ops.Quality]] signals + canonical keep rule (same
+    * thresholds as text_quality_score, defined once). */
+  private def qualityKept(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.withSignals(
+        tPar(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")))
+      .withColumn("fp", md5(graft.ops.NearDup.normCol(col("text"))))
+      .filter(graft.ops.Quality.keepFlag)
 
   /** Clean-corpus survivors with per-stage accounting.
     *

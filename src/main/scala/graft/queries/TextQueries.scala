@@ -71,24 +71,18 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Quality scoring: word/letter/punct/stopword counts (all integers) and a
-    * boolean keep-flag from integer threshold comparisons. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
-    val words = wordsOf(normCol(col("text")))
-    tPar(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(words).cast("long").as("n_words"),
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_alpha"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
-          .cast("long").as("n_punct"),
-        size(filter(words, w => w.isin(stop: _*))).cast("long").as("stop_cnt"),
-        length(col("text")).cast("long").as("n_chars_t"))
+    * boolean keep-flag from integer threshold comparisons — the shared
+    * [[graft.ops.Quality]] signals + canonical keep rule. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.withSignals(
+        tPar(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
+      .withColumn("n_alpha",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
       .withColumn("avg_word_len", col("n_alpha").cast("double") / col("n_words").cast("double"))
-      .withColumn("quality_ok",
-        col("n_words") >= 20 && col("stop_cnt") * 100 >= col("n_words") * 2 &&
-          col("n_punct") * 100 <= col("n_chars_t") * 10)
+      .withColumn("quality_ok", graft.ops.Quality.keepFlag)
+      .select("doc_id", "lang", "n_words", "n_alpha", "n_punct", "stop_cnt",
+        "n_chars_t", "avg_word_len", "quality_ok")
       .orderBy("doc_id")
-  }
 
   val qualityScoreSql: String =
     s"""WITH b AS (

@@ -45,4 +45,36 @@ class DecontamSpec extends SparkSpec {
     kept should contain(2L)
     kept should not contain 3L
   }
+
+  behavior of "Decontam.cleanStreaming"
+
+  it should "screen a micro-batch stream against the static eval set" in {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val sq = spark.sqlContext
+    implicit val tEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val (_, evalDocs) = fixtures
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val cleaned = Decontam.cleanStreaming(
+      input.toDF().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
+      k = 5, maxPct = 10L)
+    val q = cleaned.writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dc_ck").toString)
+      .start()
+    input.addData(
+      (11L, "an unrelated training document about shuffle partitions and broadcast joins in engines"),
+      (12L, "completely separate benchmark question about watermark semantics")) // eval copy
+    q.processAllAvailable()
+    input.addData(
+      (13L, "noise words then the quick brown fox jumps over the lazy dog and more filler content"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("decontam_out").collect().map(_.getLong(0)).toSet
+    kept should contain(11L) // clean doc passes
+    kept should not contain 12L // verbatim eval copy dropped in-flight
+    kept should not contain 13L // partial contamination above threshold dropped
+  }
 }
