@@ -296,6 +296,93 @@ object IntersectSize {
   }
 }
 
+/** shingle_hashes(text, k, base, mod): the ENTIRE shingle-hash frontend of
+  * the near-dup operators in one narrow expression — lowercase, normalize
+  * to [a-z0-9 ] runs, word k-grams, polynomial hash of each space-joined
+  * shingle, first-occurrence-distinct — replacing the
+  * regex → split → transform(slice+concat) → transform(hash) →
+  * array_distinct chain (two regex passes plus three intermediate string
+  * arrays per row). Bit-identical by construction: lowercasing is the same
+  * UTF8String.toLowerCase `lower()` uses; a token is a maximal [a-z0-9]
+  * byte run (every other character — ASCII whitespace, punctuation, or any
+  * non-ASCII byte — separates, exactly what the
+  * `[^a-z0-9\s]`→space, `\s+`→space, trim, split(' ') chain produces); the
+  * per-shingle hash folds (h·base + byte) mod m over the joined bytes with
+  * the space byte between words, identical to PolyHash over concat_ws.
+  * Fewer than k words hash the whole normalized string (the `[norm]`
+  * fallback), including the empty one. NativeExpressionsSpec proves
+  * equivalence against the composed chain on adversarial inputs. */
+case class ShingleHashes(child: Expression, k: Int, base: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k, base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $k, ${base}L, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+object ShingleHashes {
+
+  private def isTokenByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, k: Int, base: Long, mod: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    // token boundaries: maximal [a-z0-9] runs
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < bytes.length) {
+      if (isTokenByte(bytes(i))) {
+        val st = i
+        while (i < bytes.length && isTokenByte(bytes(i))) i += 1
+        starts.add(st); ends.add(i)
+      } else i += 1
+    }
+    val n = starts.size()
+    def windowHash(from: Int, len: Int): Long = {
+      var h = 0L
+      var w = from
+      while (w < from + len) {
+        if (w > from) h = (h * base + ' '.toLong) % mod
+        var p = starts.get(w)
+        val e = ends.get(w)
+        while (p < e) { h = (h * base + (bytes(p) & 0xff)) % mod; p += 1 }
+        w += 1
+      }
+      h
+    }
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    if (n >= k) {
+      var w = 0
+      while (w <= n - k) {
+        val h = windowHash(w, k)
+        if (seen.add(h)) out.add(h)
+        w += 1
+      }
+    } else {
+      // fewer than k words: hash the whole normalized string (or "" if none)
+      out.add(windowHash(0, n))
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+}
+
 /** max_run(sorted): longest run of equal adjacent elements in a SORTED
   * string array — on a sorted word list this is the count of the most
   * frequent word, making the top-word repetition signal a pure narrow map
@@ -415,6 +502,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_max_run(sorted_array)")
         MaxRunLength(Cast(args.head, ArrayType(StringType)))
+      }),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_shingle_hashes(text, k, base, mod)")
+        ShingleHashes(Cast(args.head, StringType),
+          longLit(args(1), "k").toInt, longLit(args(2), "base"), longLit(args(3), "mod"))
       }),
   )
 

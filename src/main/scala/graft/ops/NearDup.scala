@@ -59,15 +59,16 @@ object NearDup {
 
   // ---- MinHash + LSH ----
 
-  /** id → distinct shingle-hash set: (id, hs: array<long>). Narrow map. */
+  /** id → distinct shingle-hash set: (id, hs: array<long>). ONE narrow
+    * native expression ([[graft.functions.ShingleHashes]]) fusing
+    * normalize → tokenize → k-gram → hash → distinct, replacing the
+    * two-regex-pass + three-intermediate-array HOF chain (bit-equivalence
+    * proven in NativeExpressionsSpec and by every LSH oracle). */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
       p: Params = Params()): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), normCol(col(textCol)).as("norm"))
-      .select(col("doc_id"), wordsOf(col("norm")).as("words"), col("norm"))
-      .select(col("doc_id"),
-        array_distinct(transform(shinglesOf(col("words"), col("norm"), p.shingleK),
-          sh => polyHash(sh, p.hashBase, p.hashP))).as("hs"))
+    docs.select(col(idCol).as("doc_id"),
+      call_function("graft_shingle_hashes", col(textCol),
+        lit(p.shingleK), lit(p.hashBase), lit(p.hashP)).as("hs"))
 
   /** MinHash signatures as ONE native expression per row
     * ([[graft.functions.MinHashSigs]]) — a narrow map, no explode and no

@@ -146,6 +146,47 @@ class NativeExpressionsSpec extends SparkSpec {
     out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
 
+  behavior of "graft_shingle_hashes"
+
+  it should "match the regex/HOF shingle-hash chain bit-for-bit" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val texts = Seq(
+      "The quick brown Fox jumps over the lazy dog and runs far away",
+      "short doc", // fewer than k words -> whole-norm hash
+      "", // empty -> hash("") = 0
+      "!!! ??? ...", // punctuation-only -> norm "" -> [0]
+      "tabs\tand\nnewlinesseparate  multiple   spaces collapse too here",
+      "digits 123 mix4ed tokens 00 7", // digit runs are tokens
+      "répété unicode Ünïcode chars become separators between runs",
+      "dup dup dup dup dup dup dup", // duplicate shingles -> distinct once
+      "Kelvin sign lowercases into ascii k") // 'K' -> 'k'
+    val df = texts.toDF("text")
+    val p = graft.ops.NearDup.Params()
+    val chain = {
+      val norm = graft.ops.NearDup.normCol(col("text"))
+      val words = graft.ops.NearDup.wordsOf(norm)
+      array_distinct(transform(
+        graft.ops.NearDup.shinglesOf(words, norm, p.shingleK),
+        sh => graft.ops.NearDup.polyHash(sh, p.hashBase, p.hashP)))
+    }
+    val out = df.select(
+      call_function("graft_shingle_hashes", col("text"),
+        lit(p.shingleK), lit(p.hashBase), lit(p.hashP)).as("fused"),
+      chain.as("chain")).collect()
+    out.foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
+  }
+
+  it should "stay inside whole-stage codegen" in {
+    GraftFunctions.register(spark)
+    val df = spark.range(200).select(
+      call_function("graft_shingle_hashes",
+        concat(lit("alpha beta gamma delta epsilon word"), col("id").cast("string")),
+        lit(3), lit(31L), lit(1000000007L)).as("hs"))
+    df.queryExecution.executedPlan.toString should include("graft_shingle_hashes")
+    df.selectExpr("size(hs) n").agg(min("n")).head().getInt(0) should be >= 1
+  }
+
   behavior of "graft_max_run"
 
   it should "equal the explode-groupBy max word count on sorted words" in {
