@@ -95,4 +95,37 @@ object AlgorithmProperties extends Properties("graft.algorithms") {
       val once = Strings.snakeCase(s)
       Strings.snakeCase(once) == once
     }
+
+  // ---- fused shingle hashing (graft.functions.ShingleHashes) ----
+
+  private val textGen: Gen[String] = {
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("the", "Fox", "123", "mix3d", "!!", "—", "ünï", "\t", "  ", ".", ""))
+    Gen.listOf(token).map(_.mkString(" "))
+  }
+
+  /** Reference semantics: the regex/HOF chain the fused expression replaced,
+    * re-expressed in plain Scala (same lowercasing, same regexes, same
+    * split/sliding/join/hash/distinct). */
+  private def chainShingleHashes(text: String, k: Int, base: Long, mod: Long): Seq[Long] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val lower = UTF8String.fromString(text).toLowerCase.toString
+    val norm = lower.replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+    val words = norm.split(" ", -1).toSeq
+    val shingles =
+      if (words.length >= k) words.sliding(k).map(_.mkString(" ")).toSeq else Seq(norm)
+    def h(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * base + (b & 0xff)) % mod)
+    shingles.map(h).distinct
+  }
+
+  property("ShingleHashes.compute matches the regex-chain semantics") =
+    Prop.forAll(textGen, Gen.choose(1, 5)) { (text, k) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val fused = graft.functions.ShingleHashes
+        .compute(UTF8String.fromString(text), k, 31L, 1000000007L)
+        .toLongArray().toSeq
+      fused == chainShingleHashes(text, k, 31L, 1000000007L)
+    }
 }
