@@ -76,6 +76,55 @@ class StreamingSpec extends SparkSpec {
     rows(2L) shouldBe ((4L, 1L))
   }
 
+  behavior of "streaming corpus-cleaning pipeline (quality -> dedup -> decontam)"
+
+  it should "compose the batch cleaning stages unchanged on a stream" in {
+    graft.functions.GraftFunctions.register(spark)
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    implicit val tEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+
+    val goodA = "the data pipeline reads events and writes clean partitioned tables for " +
+      "training runs in the warehouse, and every stage is checked against the oracle."
+    val evalText = "the benchmark asks about watermark semantics in structured streaming " +
+      "and the exactly once delivery guarantees of the checkpointed sinks in a cluster."
+    import spark.implicits._
+    val evalDocs = Seq((900L, evalText)).toDF("doc_id", "text")
+
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // stage 1: quality gate (same signals + keep rule as the batch pipeline)
+    val quality = graft.ops.Quality.withSignals(stream)
+      .filter(graft.ops.Quality.keepFlag)
+      .select(col("doc_id"), col("text"),
+        md5(graft.ops.NearDup.normCol(col("text"))).as("fp"))
+    // stage 2: exact content dedup across micro-batches (keyed state on fp)
+    val deduped = quality.dropDuplicates("fp")
+    // stage 3: decontamination against the static eval set
+    val cleaned = graft.ops.Decontam.cleanStreaming(
+      deduped, evalDocs, "doc_id", "text", k = 5, maxPct = 10L)
+
+    val q = cleaned.writeStream.format("memory").queryName("pipe_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("pipe_ck").toString)
+      .start()
+    input.addData(
+      (1L, goodA),
+      (2L, "too short to pass"), // quality-dropped
+      (3L, evalText)) // contaminated (verbatim eval copy)
+    q.processAllAvailable()
+    input.addData(
+      (4L, goodA), // exact duplicate of 1, arrives a batch later -> deduped
+      (5L, goodA.replace("warehouse", "lakehouse"))) // near-dup but content-distinct
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("pipe_out").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 5L)
+  }
+
   behavior of "TtlDedup (transformWithState, Spark 4 state API)"
 
   it should "dedup across micro-batches with RocksDB transformWithState state" in {
