@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Distributed running sums over a global order — the primitive behind
+  * sequence packing (documents → fixed token-budget training sequences)
+  * and any "cut a globally-ordered corpus into budgeted bins" stage.
+  *
+  * A bare `sum(...).over(Window.orderBy(id))` collapses the whole input
+  * into ONE partition (Spark warns exactly that) — a non-starter at scale.
+  * This operator is the textbook two-pass distributed prefix sum instead:
+  *   1. range-partition by the order column + local sort (one shuffle —
+  *      range partitioning preserves the global order across partitions);
+  *   2. per-partition totals collected to the driver (one tiny array, one
+  *      value per partition);
+  *   3. a narrow second pass adds each partition's prefix offset to its
+  *      local running sum.
+  * The result is bit-identical to the single-partition window (exact
+  * integer sums; the oracle SQL mirrors it with a plain window cumsum) but
+  * every pass is parallel and the only driver state is #partitions longs.
+  */
+object Packing {
+
+  /** (id, value) → (id, value, cum) with `cum` = running sum of `value` in
+    * ascending `idCol` order. Ids must be distinct (a total order). */
+  def runningSum(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    implicit val tEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val ds = df.select(col(idCol).cast("long"), col(valueCol).cast("long"))
+      .as[(Long, Long)]
+    // both passes must see the same partition layout — persist the
+    // range-partitioned sort (released by the caller's CacheBin scope)
+    val parts = graft.util.CacheBin.persist(
+      ds.repartitionByRange(col(idCol)).sortWithinPartitions(idCol).toDF())
+      .as[(Long, Long)]
+    val totals = parts.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(p) = sum of partitions < p
+    implicit val oEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    parts.mapPartitions { it =>
+      var acc = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (id, v) => acc += v; (id, v, acc) }
+    }.toDF(idCol, valueCol, "cum")
+  }
+}

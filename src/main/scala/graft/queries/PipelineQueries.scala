@@ -92,11 +92,90 @@ object PipelineQueries {
        |GROUP BY q.lang ORDER BY q.lang""".stripMargin
   }
 
+  /** Deterministic output sharding — the final stage of a training-data
+    * pipeline: every document lands in a reproducible shard
+    * (portable_hash(doc_id) mod n), so re-runs, retries and different
+    * engines produce byte-identical shard assignments; within-shard order
+    * is the hash (a deterministic pseudo-random permutation, which is what
+    * training wants — no coordinated global shuffle step). The report is
+    * per-shard counts + token mass + hash range. One narrow map + one
+    * map-side-combined groupBy; writing is `partitionBy(shard)` on top. */
+  def shardPlan(s: SparkSession, dir: String): DataFrame = {
+    val N_SHARDS = 16
+    val words = graft.ops.NearDup.wordsOf(graft.ops.NearDup.normCol(col("text")))
+    tPar(s, dir, "documents")
+      .select(col("doc_id"), size(words).cast("long").as("n_words"),
+        graft.ops.NearDup.polyHash(concat(lit("shard:"), col("doc_id").cast("string")),
+          31L, 1000000007L).as("h"))
+      .withColumn("shard", col("h") % N_SHARDS)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"),
+        min("h").as("min_h"), max("h").as("max_h"))
+      .orderBy("shard")
+  }
+
+  val shardPlanSql: String = {
+    val normSql =
+      """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+    val hashSql =
+      "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(concat('shard:', CAST(doc_id AS VARCHAR)),''), c -> ascii(c)::BIGINT)), (a,x) -> (a*31+x) % 1000000007)"
+    s"""WITH d AS (SELECT doc_id,
+       |                  CAST(len(string_split($normSql, ' ')) AS BIGINT) n_words,
+       |                  $hashSql h
+       |           FROM documents)
+       |SELECT h % 16 shard, CAST(count(*) AS BIGINT) n_docs,
+       |       CAST(sum(n_words) AS BIGINT) n_tokens,
+       |       min(h) min_h, max(h) max_h
+       |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
+  /** Sequence packing plan — group documents into fixed token-budget
+    * training sequences: documents in deterministic doc_id order, running
+    * token cumsum, sequence = (cumsum - n_words) div budget (each doc
+    * joins the sequence its first token falls in). The cumsum is the
+    * DISTRIBUTED two-pass prefix sum ([[graft.ops.Packing.runningSum]]) —
+    * never the single-partition global window — then one groupBy for the
+    * per-sequence report; the cumsum-binning approximation of greedy
+    * packing, reproducible on any engine/partitioning (the oracle mirrors
+    * it with a plain window cumsum: identical values). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val BUDGET = 2048L
+    val words = graft.ops.NearDup.wordsOf(graft.ops.NearDup.normCol(col("text")))
+    val counted = tPar(s, dir, "documents")
+      .select(col("doc_id"), size(words).cast("long").as("n_words"))
+    graft.ops.Packing.runningSum(counted, "doc_id", "n_words")
+      .withColumn("seq_id", expr(s"(cum - n_words) div $BUDGET"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  }
+
+  val packSequencesSql: String = {
+    val normSql =
+      """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+    s"""WITH d AS (SELECT doc_id,
+       |                  CAST(len(string_split($normSql, ' ')) AS BIGINT) n_words
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_words,
+       |             CAST(sum(n_words) OVER (ORDER BY doc_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum
+       |      FROM d)
+       |SELECT (cum - n_words) // 2048 seq_id, CAST(count(*) AS BIGINT) n_docs,
+       |       CAST(sum(n_words) AS BIGINT) n_tokens,
+       |       min(doc_id) first_doc, max(doc_id) last_doc
+       |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "pipe_clean_corpus" -> (cleanCorpus _),
+    "pipe_shard_plan" -> (shardPlan _),
+    "pipe_pack_sequences" -> (packSequences _),
   )
 
   val oracle: Map[String, String] = Map(
     "pipe_clean_corpus" -> cleanCorpusSql,
+    "pipe_shard_plan" -> shardPlanSql,
+    "pipe_pack_sequences" -> packSequencesSql,
   )
 }
