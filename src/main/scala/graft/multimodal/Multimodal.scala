@@ -210,18 +210,22 @@ object Multimodal {
       MediaMeta("image", "image/jpeg", 0, 0, 0, 0L)
     }
 
-    /** Walk RIFF chunks: fmt → sample rate/byte rate, data → duration. */
+    /** Walk RIFF chunks: fmt → sample rate/byte rate, data → duration.
+      * Chunk lengths come from untrusted bytes — a length that would step
+      * backwards or past the buffer ends the walk instead of looping. */
     private def sniffWav(b: Array[Byte]): MediaMeta = {
       var o = 12
       var rate = 0; var byteRate = 0; var dataLen = -1L
-      while (o + 8 <= b.length) {
+      var done = false
+      while (!done && o + 8 <= b.length) {
         val id = ascii(b, o, 4)
         val len = leInt(b, o + 4).toLong & 0xffffffffL
         if (id == "fmt " && o + 24 <= b.length) {
           rate = leInt(b, o + 12)
           byteRate = leInt(b, o + 16)
         } else if (id == "data") dataLen = len
-        o += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        val step = 8L + len + (len & 1L) // chunks are word-aligned
+        if (o + step > b.length) done = true else o += step.toInt
       }
       val durMs = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
       MediaMeta("audio", "audio/wav", 0, 0, rate, durMs)

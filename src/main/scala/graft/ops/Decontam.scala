@@ -82,11 +82,15 @@ object Decontam {
     val evalShingles: Set[String] = shingleSets(evalDocs, idCol, textCol, k)
       .select(explode(col("sh")).as("esh")).distinct()
       .collect().map(_.getString(0)).toSet
+    // a real broadcast variable, not a closure capture: the set ships to
+    // each executor once per query, not serialized into every task
+    val bc = corpus.sparkSession.sparkContext.broadcast(evalShingles)
     val keepUdf = udf { (sh: Seq[String]) =>
       if (sh == null || sh.isEmpty) true
       else {
+        val eval = bc.value
         var overlap = 0
-        sh.foreach(s => if (evalShingles.contains(s)) overlap += 1)
+        sh.foreach(s => if (eval.contains(s)) overlap += 1)
         overlap * 100L / sh.length <= maxPct
       }
     }

@@ -74,6 +74,14 @@ class MultimodalSpec extends SparkSpec {
     MediaSniffer.sniff(Array.emptyByteArray).kind shouldBe "binary"
   }
 
+  it should "terminate on malformed RIFF chunk lengths" in {
+    // a WAV header whose first chunk claims a length far past the buffer
+    val junk = "RIFF1234WAVEfmt ".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, -1) ++ Array.fill[Byte](16)(0)
+    val m = MediaSniffer.sniff(junk) // must return, not loop
+    m.kind shouldBe "audio"
+  }
+
   behavior of "RealDecoder (JDK codecs)"
 
   it should "decode real pixels into the deterministic 8x8 luma thumbnail" in {
