@@ -383,6 +383,83 @@ object ShingleHashes {
   }
 }
 
+/** shingles(text, k): distinct word k-gram STRINGS — the string-valued twin
+  * of [[ShingleHashes]] for operators that need the shingles themselves
+  * (cross-document equality joins: decontamination, boilerplate discovery,
+  * n-gram Jaccard). Same tokenization contract (lowercase, [a-z0-9] runs,
+  * space-joined windows, `[norm]` fallback under k words), first-occurrence
+  * distinct; replaces the regex → split → transform(slice+concat) →
+  * array_distinct chain. */
+case class Shingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Shingles.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Shingles.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+object Shingles {
+
+  private def isTokenByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < bytes.length) {
+      if (isTokenByte(bytes(i))) {
+        val st = i
+        while (i < bytes.length && isTokenByte(bytes(i))) i += 1
+        starts.add(st); ends.add(i)
+      } else i += 1
+    }
+    val n = starts.size()
+    def window(from: Int, len: Int): UTF8String = {
+      var size = 0
+      var w = from
+      while (w < from + len) { size += ends.get(w) - starts.get(w); w += 1 }
+      if (len > 1) size += len - 1
+      val out = new Array[Byte](size)
+      var p = 0
+      w = from
+      while (w < from + len) {
+        if (w > from) { out(p) = ' '; p += 1 }
+        val st = starts.get(w); val e = ends.get(w)
+        System.arraycopy(bytes, st, out, p, e - st)
+        p += e - st
+        w += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+    val out = new java.util.ArrayList[UTF8String]()
+    val seen = new java.util.HashSet[UTF8String]()
+    if (n >= k) {
+      var w = 0
+      while (w <= n - k) {
+        val sh = window(w, k)
+        if (seen.add(sh)) out.add(sh)
+        w += 1
+      }
+    } else {
+      out.add(window(0, n)) // whole normalized string ("" when no tokens)
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
 /** max_run(sorted): longest run of equal adjacent elements in a SORTED
   * string array — on a sorted word list this is the count of the most
   * frequent word, making the top-word repetition signal a pure narrow map
@@ -509,6 +586,12 @@ object GraftFunctions {
         require(args.length == 4, "graft_shingle_hashes(text, k, base, mod)")
         ShingleHashes(Cast(args.head, StringType),
           longLit(args(1), "k").toInt, longLit(args(2), "base"), longLit(args(3), "mod"))
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(text, k)")
+        Shingles(Cast(args.head, StringType), longLit(args(1), "k").toInt)
       }),
   )
 

@@ -18,14 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Distinct word-k-gram sets: (idCol, sh: array<string>). Narrow map. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val norm = NearDup.normCol(col(textCol))
-    docs.select(col(idCol), norm.as("__norm"))
-      .select(col(idCol), NearDup.wordsOf(col("__norm")).as("__words"), col("__norm"))
-      .select(col(idCol),
-        array_distinct(NearDup.shinglesOf(col("__words"), col("__norm"), k)).as("sh"))
-  }
+  /** Distinct word-k-gram sets: (idCol, sh: array<string>) — one narrow
+    * native expression ([[graft.functions.Shingles]], fused normalize →
+    * tokenize → k-gram → distinct). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol),
+      call_function("graft_shingles", col(textCol), lit(k)).as("sh"))
 
   /** Per-document overlap of `corpus` against `evalDocs`:
     * (id, n_shingles, overlap_cnt, overlap_pct) for contaminated documents
@@ -94,12 +92,9 @@ object Decontam {
         overlap * 100L / sh.length <= maxPct
       }
     }
-    val norm = NearDup.normCol(col(textCol))
     corpus
-      .withColumn("__norm", norm)
-      .withColumn("__sh", array_distinct(
-        NearDup.shinglesOf(NearDup.wordsOf(col("__norm")), col("__norm"), k)))
+      .withColumn("__sh", call_function("graft_shingles", col(textCol), lit(k)))
       .filter(keepUdf(col("__sh")))
-      .drop("__norm", "__sh")
+      .drop("__sh")
   }
 }

@@ -141,20 +141,14 @@ object CorpusQueries {
     * at scale this list is what a line/paragraph-level boilerplate filter is
     * seeded from). Shape: narrow shingle map → explode distinct trigrams →
     * ONE map-side-combined groupBy — the inverted-index pattern. */
-  def boilerplate(s: SparkSession, dir: String): DataFrame = {
-    val norm = graft.ops.NearDup.normCol(col("text"))
+  def boilerplate(s: SparkSession, dir: String): DataFrame =
     tPar(s, dir, "documents")
-      .select(col("doc_id"), norm.as("norm"))
       .select(col("doc_id"),
-        graft.ops.NearDup.wordsOf(col("norm")).as("words"), col("norm"))
-      .select(col("doc_id"),
-        explode(array_distinct(
-          graft.ops.NearDup.shinglesOf(col("words"), col("norm"), 3))).as("shingle"))
+        explode(call_function("graft_shingles", col("text"), lit(3))).as("shingle"))
       .groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle"))
       .limit(20)
-  }
 
   val boilerplateSql: String =
     s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),

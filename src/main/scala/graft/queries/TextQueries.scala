@@ -334,11 +334,9 @@ object TextQueries {
   /** Word-bigram Jaccard near-dup within language partitions: top-50 most
     * similar same-language pairs (brute-force oracle for the LSH path). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val norm = normCol(col("text"))
     val bg = tPar(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), norm.as("norm"))
       .select(col("doc_id"), col("lang"),
-        array_distinct(shinglesOf(wordsOf(col("norm")), col("norm"), 2)).as("bg"))
+        call_function("graft_shingles", col("text"), lit(2)).as("bg"))
     val a = bg.select(col("lang"), col("doc_id").as("doc_a"), col("bg").as("bg_a"))
     val b = bg.select(col("lang").as("lang2"), col("doc_id").as("doc_b"), col("bg").as("bg_b"))
     a.join(b, col("lang") === col("lang2") && col("doc_a") < col("doc_b"))

@@ -128,4 +128,23 @@ object AlgorithmProperties extends Properties("graft.algorithms") {
         .toLongArray().toSeq
       fused == chainShingleHashes(text, k, 31L, 1000000007L)
     }
+
+  /** String twin: the regex chain without the hashing step. */
+  private def chainShingles(text: String, k: Int): Seq[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val lower = UTF8String.fromString(text).toLowerCase.toString
+    val norm = lower.replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+    val words = norm.split(" ", -1).toSeq
+    val shingles =
+      if (words.length >= k) words.sliding(k).map(_.mkString(" ")).toSeq else Seq(norm)
+    shingles.distinct
+  }
+
+  property("Shingles.compute matches the regex-chain semantics") =
+    Prop.forAll(textGen, Gen.choose(1, 5)) { (text, k) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val fused = graft.functions.Shingles.compute(UTF8String.fromString(text), k)
+      val got = (0 until fused.numElements()).map(i => fused.getUTF8String(i).toString)
+      got == chainShingles(text, k)
+    }
 }
