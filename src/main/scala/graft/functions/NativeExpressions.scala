@@ -460,6 +460,51 @@ object Shingles {
   }
 }
 
+/** words(text): the normalized token list IN ORDER WITH DUPLICATES — the
+  * tokenization half of [[Shingles]] for counting consumers (quality
+  * signals, repetition, tf-idf, length profiles). Contract matches
+  * `split(norm, ' ')` over the regex-normalized string exactly, including
+  * the single-empty-string result for token-free input. */
+case class WordsOf(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordsOf.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordsOf.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordsOf =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_words"
+}
+
+object WordsOf {
+
+  private def isTokenByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < bytes.length) {
+      if (isTokenByte(bytes(i))) {
+        val st = i
+        while (i < bytes.length && isTokenByte(bytes(i))) i += 1
+        out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, st, i)))
+      } else i += 1
+    }
+    if (out.isEmpty) out.add(UTF8String.EMPTY_UTF8) // split("", " ") == [""]
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
 /** max_run(sorted): longest run of equal adjacent elements in a SORTED
   * string array — on a sorted word list this is the count of the most
   * frequent word, making the top-word repetition signal a pure narrow map
@@ -592,6 +637,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_shingles(text, k)")
         Shingles(Cast(args.head, StringType), longLit(args(1), "k").toInt)
+      }),
+    (FunctionIdentifier("graft_words"),
+      new ExpressionInfo(classOf[WordsOf].getName, "graft_words"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_words(text)")
+        WordsOf(Cast(args.head, StringType))
       }),
   )
 

@@ -18,9 +18,10 @@ object Quality {
     Seq("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
 
   /** Append the integer quality-signal columns
-    * (n_words, stop_cnt, n_punct, n_chars_t) for `textCol`. Narrow map. */
+    * (n_words, stop_cnt, n_punct, n_chars_t) for `textCol`. Narrow map;
+    * tokenization is the native [[graft.functions.WordsOf]] expression. */
   def withSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = NearDup.wordsOf(NearDup.normCol(col(textCol)))
+    val words = call_function("graft_words", col(textCol))
     df.withColumn("n_words", size(words).cast("long"))
       .withColumn("stop_cnt",
         size(filter(words, w => w.isin(stopwords: _*))).cast("long"))

@@ -31,7 +31,7 @@ object CorpusQueries {
     // per-doc ranking window downstream, so neither inserts another exchange
     // over the big term table.
     val words = docs.select(col("doc_id"),
-      explode(graft.ops.NearDup.wordsOf(graft.ops.NearDup.normCol(col("text")))).as("term"))
+      explode(call_function("graft_words", col("text"))).as("term"))
       .repartition(col("doc_id"))
     // feeds both the df aggregation and the scoring join
     val tf = graft.util.CacheBin.persist(
@@ -93,13 +93,14 @@ object CorpusQueries {
     * count comes from `graft_max_run` over the sorted word list (a native
     * codegen expression), not an explode → groupBy → max shuffle chain. */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val norm = graft.ops.NearDup.normCol(col("text"))
     tPar(s, dir, "documents")
-      .select(col("doc_id"), norm.as("norm"))
       .select(col("doc_id"),
-        graft.ops.NearDup.wordsOf(col("norm")).as("words"), col("norm"))
+        call_function("graft_words", col("text")).as("words"))
+      // bigrams keep duplicates (total vs distinct mass is the signal);
+      // norm == the tokens rejoined, which feeds the short-doc fallback
       .select(col("doc_id"), col("words"),
-        graft.ops.NearDup.shinglesOf(col("words"), col("norm"), 2).as("bg"))
+        graft.ops.NearDup.shinglesOf(col("words"),
+          concat_ws(" ", col("words")), 2).as("bg"))
       .select(col("doc_id"),
         size(col("words")).cast("long").as("n_words"),
         size(array_distinct(col("words"))).cast("long").as("n_distinct"),
@@ -246,7 +247,7 @@ object CorpusQueries {
     * language, exact interpolated percentiles over integer counts). One
     * narrow count map + one map-side-combined groupBy. */
   def lengthProfile(s: SparkSession, dir: String): DataFrame = {
-    val words = graft.ops.NearDup.wordsOf(graft.ops.NearDup.normCol(col("text")))
+    val words = call_function("graft_words", col("text"))
     tPar(s, dir, "documents")
       .select(col("lang"), size(words).cast("long").as("n_words"))
       .groupBy("lang")

@@ -107,7 +107,7 @@ object TextQueries {
       "s_de" -> Seq("der", "die", "und", "das", "ist"),
       "s_es" -> Seq("el", "los", "que", "por", "con"),
       "s_fr" -> Seq("le", "les", "et", "des", "une"))
-    val words = array_distinct(wordsOf(normCol(col("text"))))
+    val words = call_function("graft_shingles", col("text"), lit(1))
     val base = tPar(s, dir, "documents").select(
       col("doc_id") +: col("lang") +:
         markers.map { case (n, ws) =>
@@ -245,7 +245,7 @@ object TextQueries {
     tPar(s, dir, "documents")
       .select(col("doc_id"),
         call_function("graft_simhash60",
-          array_distinct(wordsOf(normCol(col("text"))))).as("simhash"))
+          call_function("graft_shingles", col("text"), lit(1))).as("simhash"))
 
   private val simhashCte: String =
     s"""wrd AS (SELECT doc_id, unnest(list_distinct(string_split($normSql, ' '))) w FROM documents),

@@ -147,4 +147,15 @@ object AlgorithmProperties extends Properties("graft.algorithms") {
       val got = (0 until fused.numElements()).map(i => fused.getUTF8String(i).toString)
       got == chainShingles(text, k)
     }
+
+  property("WordsOf.compute matches split(norm, ' ') exactly (incl. [\"\"])") =
+    Prop.forAll(textGen) { text =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val lower = UTF8String.fromString(text).toLowerCase.toString
+      val norm = lower.replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+      val expected = norm.split(" ", -1).toSeq
+      val fused = graft.functions.WordsOf.compute(UTF8String.fromString(text))
+      val got = (0 until fused.numElements()).map(i => fused.getUTF8String(i).toString)
+      got == expected
+    }
 }
