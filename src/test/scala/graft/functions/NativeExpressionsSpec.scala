@@ -187,6 +187,20 @@ class NativeExpressionsSpec extends SparkSpec {
     df.selectExpr("size(hs) n").agg(min("n")).head().getInt(0) should be >= 1
   }
 
+  behavior of "graft_shingles / graft_words"
+
+  it should "be SQL-callable and agree with their HOF definitions" in {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_shingles('The quick brown fox; the quick brown fox', 3) sh,
+        |       graft_words('Tabs	and  SPACES 42!') w,
+        |       graft_words('...') empty_w""".stripMargin).head()
+    r.getSeq[String](0) shouldBe Seq(
+      "the quick brown", "quick brown fox", "brown fox the", "fox the quick")
+    r.getSeq[String](1) shouldBe Seq("tabs", "and", "spaces", "42")
+    r.getSeq[String](2) shouldBe Seq("")
+  }
+
   behavior of "graft_max_run"
 
   it should "equal the explode-groupBy max word count on sorted words" in {
