@@ -51,8 +51,21 @@ object SourceConfig {
   def apply(name: String, config: GraftConfig): SourceConfig = {
     val opts = config.subConfig(s"sources.$name")
     val connector = opts.getOrElse("connector", infer(name))
-    val wmCol = opts.get("watermark.column")
-    val lateness = opts.getOrElse("max.lateness", "5 minutes")
+    // named watermark strategies, matching the reference's per-source set
+    // (SourceConfig.scala:53-96): "bounded out of orderness" (default,
+    // max.lateness delay), "ascending timestamps" (zero delay), "none"
+    // (no watermark at all — processing-time-ish). The custom
+    // bounded-lateness generator maps onto bounded + GraftMetrics stats.
+    val strategy = opts.getOrElse("watermark.strategy", "bounded")
+      .toLowerCase.replaceAll("[^a-z]", "")
+    val wmCol = strategy match {
+      case "none" => None
+      case _ => opts.get("watermark.column")
+    }
+    val lateness = strategy match {
+      case "ascending" | "ascendingtimestamps" => "0 seconds"
+      case _ => opts.getOrElse("max.lateness", "5 minutes")
+    }
     val idleness = opts.get("max.idleness")
     connector match {
       case "hybrid" =>

@@ -69,6 +69,24 @@ class ConfigSpec extends AnyFlatSpec with Matchers {
     f.format shouldBe "json"
   }
 
+  it should "map the reference's named watermark strategies" in {
+    val base =
+      """sources.a-file.path = /tmp/in
+        |sources.a-file.watermark.column = ts
+        |""".stripMargin
+    // ascending timestamps -> zero-delay watermark
+    val asc = SourceConfig("a-file", GraftConfig(Array("j"),
+        base + "sources.a-file.watermark.strategy = \"ascending timestamps\"\n"))
+      .asInstanceOf[FileSourceConfig]
+    asc.maxLateness shouldBe "0 seconds"
+    asc.watermarkColumn shouldBe Some("ts")
+    // none -> no watermark even with a column configured
+    val none = SourceConfig("a-file", GraftConfig(Array("j"),
+        base + "sources.a-file.watermark.strategy = none\n"))
+      .asInstanceOf[FileSourceConfig]
+    none.watermarkColumn shouldBe None
+  }
+
   behavior of "SinkConfig dispatch"
 
   it should "dispatch connectors and side-output flags" in {

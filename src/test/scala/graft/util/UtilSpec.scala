@@ -10,6 +10,26 @@ class UtilSpec extends AnyFlatSpec with Matchers {
 
   private val rnd = new Random(42)
 
+  behavior of "UuidUtils"
+
+  it should "round-trip uuids through big-endian bytes" in {
+    (0 until 200).foreach { _ =>
+      val u = new java.util.UUID(rnd.nextLong(), rnd.nextLong())
+      UuidUtils.fromBytes(UuidUtils.bytes(u)) shouldBe u
+    }
+  }
+
+  it should "generate RFC 4122 v5 name-based uuids deterministically" in {
+    // RFC 4122 / public test vector: v5(DNS, "www.example.org")
+    UuidUtils.v5(UuidUtils.NameSpaceDns, "www.example.org").toString shouldBe
+      "74738ff5-5367-5958-9aee-98fffdcd1876"
+    val a = UuidUtils.v5(UuidUtils.NameSpaceUrl, "https://example.com/x")
+    a shouldBe UuidUtils.v5(UuidUtils.NameSpaceUrl, "https://example.com/x")
+    a.version() shouldBe 5
+    a.variant() shouldBe 2 // RFC 4122 variant
+    a should not be UuidUtils.v5(UuidUtils.NameSpaceDns, "https://example.com/x")
+  }
+
   behavior of "Id64"
 
   it should "produce 22-char ids whose sort order follows time" in {
