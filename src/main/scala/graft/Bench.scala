@@ -40,23 +40,28 @@ object Bench {
         catch { case _: Throwable => }
       }
 
-    // Each query is executed twice (fresh plan each time) and reports the
-    // MINIMUM of the two runs — steady-state engine time. Rationale: this
-    // host is a shared VM with transient CPU-steal bursts (observed 4×
-    // inflation of identical runs minutes apart); min-of-2 rejects a burst
-    // unless it covers both runs, while a genuinely slow plan stays slow in
-    // both. Methodology is declared in the output ("runs"/"agg").
-    val RUNS = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).collect {
-      case (name, fn) if !SKIP(name) =>
-        val times = (1 to RUNS).map { _ =>
-          val t0 = System.nanoTime()
-          try graft.util.CacheBin.withScope { fn(spark, sfDir).count() }
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+    // Each query is executed once per PASS (fresh plan each time) and
+    // reports the per-query MINIMUM across passes — steady-state engine
+    // time. Rationale: this host is a shared VM with transient CPU-steal
+    // bursts (observed 2-4× inflation of identical runs minutes apart).
+    // Passes are INTERLEAVED — the full query list runs once, then again —
+    // so the repeats of any one query are separated by a whole pass
+    // (~30 s): a burst that inflates query X in pass 1 has usually passed
+    // by the time X runs in pass 2, whereas back-to-back repeats both land
+    // inside the same burst. A genuinely slow plan stays slow in every
+    // pass. Methodology is declared in the output ("runs"/"agg").
+    val RUNS = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => SKIP(q._1))
+    val best = scala.collection.mutable.LinkedHashMap[String, Double](
+      ordered.map(_._1 -> Double.MaxValue): _*)
+    for (_ <- 1 to RUNS; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try graft.util.CacheBin.withScope { fn(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val t = (System.nanoTime() - t0) / 1e9
+      if (t < best(name)) best(name) = t
     }
+    val results = best.toSeq
     // Locale-independent number formatting: f"" uses the JVM default locale,
     // which in comma-decimal locales would emit invalid JSON.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

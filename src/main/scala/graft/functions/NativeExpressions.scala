@@ -281,11 +281,23 @@ case class IntersectSize(left: Expression, right: Expression)
 }
 
 object IntersectSize {
+
+  private def ensureSorted(a: Array[Long]): Unit = {
+    var i = 1
+    while (i < a.length) {
+      if (a(i - 1) > a(i)) { java.util.Arrays.sort(a); return }
+      i += 1
+    }
+  }
+
   /** Shared by interpreted eval and generated code. Sorts copies in place
-    * and merges; arrays are per-pair clones already (toLongArray copies). */
+    * and merges; arrays are per-pair clones already (toLongArray copies).
+    * Callers that pre-sort per row (one `sort_array` per document instead
+    * of a sort per candidate pair — see NearDup.pairsWithJaccard) hit the
+    * O(n) already-sorted check and skip the sort entirely. */
   def count(x: Array[Long], y: Array[Long]): Long = {
-    java.util.Arrays.sort(x)
-    java.util.Arrays.sort(y)
+    ensureSorted(x)
+    ensureSorted(y)
     var i = 0; var j = 0; var c = 0L
     while (i < x.length && j < y.length) {
       if (x(i) == y(j)) { c += 1; i += 1; j += 1 }

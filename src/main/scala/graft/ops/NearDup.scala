@@ -133,11 +133,16 @@ object NearDup {
     // runs twice
     val sigs = graft.util.CacheBin.persist(signatures(hs, p))
     val cand = candidatePairs(bandKeys(sigs, p))
-    val ha = hs.select(col("doc_id").as("da"), col("hs").as("hs_a"),
+    // sort_array here: ONE sort per document instead of a sort per candidate
+    // pair inside the intersection (IntersectSize detects sorted input and
+    // merges directly) — candidates outnumber documents by orders of
+    // magnitude on any corpus with duplication
+    val ha = hs.select(col("doc_id").as("da"), sort_array(col("hs")).as("hs_a"),
       size(col("hs")).cast("long").as("n_a"))
-    val hb = hs.select(col("doc_id").as("db"), col("hs").as("hs_b"),
+    val hb = hs.select(col("doc_id").as("db"), sort_array(col("hs")).as("hs_b"),
       size(col("hs")).cast("long").as("n_b"))
-    cand.join(ha, col("doc_a") === col("da")).join(hb, col("doc_b") === col("db"))
+    val pairs = cand
+      .join(ha, col("doc_a") === col("da")).join(hb, col("doc_b") === col("db"))
       .select(col("doc_a"), col("doc_b"),
         // native count-only intersection: no per-pair result-array
         // allocation (graft.functions.IntersectSize)
@@ -148,6 +153,11 @@ object NearDup {
         (col("nab") - col("inter_cnt")).as("union_cnt"))
       .withColumn("jaccard",
         col("inter_cnt").cast("double") / col("union_cnt").cast("double"))
+    // persist the (tiny: one row per candidate pair) result: callers filter
+    // and join on inter_cnt/union_cnt, and without the materialization
+    // barrier Catalyst pushes those filters into the join condition and
+    // re-evaluates the per-pair intersection two or three times
+    graft.util.CacheBin.persist(pairs)
   }
 
   /** Near-dup removal with the keep-smallest-id policy: docs whose id never
