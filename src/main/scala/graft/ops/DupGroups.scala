@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster discovery: connected components over the near-duplicate
+  * pair graph — the step every large-scale dedup pipeline runs AFTER LSH
+  * candidate generation (pairs say "a~b"; removal policies need the whole
+  * cluster: transitivity means a~b, b~c puts a and c in one group even when
+  * LSH never paired them directly). The reference has no graph machinery at
+  * all; this is a training-data-pipeline extension, built scale-first.
+  *
+  * Algorithm: iterative min-label propagation to a fixpoint — each round
+  * every node adopts the smallest component label among itself and its
+  * neighbors; when a round changes nothing, labels equal the minimum node id
+  * reachable in the component (the canonical cluster representative).
+  *
+  * Scale shape (the 100 TB contract):
+  *   - per round: ONE equi-join shuffle (labels into the adjacency list on
+  *     src) + ONE map-side-combined groupBy(min) — state is O(V) rows, edges
+  *     are never materialized beyond the input pair list (×2 for symmetry);
+  *   - rounds = component diameter. Near-dup clusters produced by a Jaccard
+  *     threshold are dense (near-cliques — every member pairs with most
+  *     others), so diameter is 1-3 and the loop exits after 2-4 rounds with
+  *     one cheap driver-side convergence count per round. For adversarial
+  *     long-chain graphs the large-star/small-star alternation (Kiveris et
+  *     al. 2014, "Connected Components in MapReduce and Beyond") bounds
+  *     rounds at O(log n) — the propagation loop below is the right default
+  *     for dedup workloads and stays a fixpoint computation, so its OUTPUT
+  *     is identical and oracle-checkable regardless of round count;
+  *   - each round's label frame is persisted and the previous round's is
+  *     released, so lineage stays one round deep (no exponential replay).
+  *
+  * Determinism: the fixpoint (id → min reachable id) is a pure function of
+  * the edge set — independent of partitioning, iteration order, or how many
+  * rounds convergence took — so the result hash-matches a DuckDB recursive
+  * transitive-closure oracle exactly.
+  */
+object DupGroups {
+
+  /** Connected components of the undirected graph given by an edge-list
+    * DataFrame. Returns one row per distinct node appearing in any edge:
+    * (`id`, `comp`) with `comp` = smallest node id in the component.
+    *
+    * @param edges   edge list; self-loops and duplicate/reversed edges are
+    *                fine (symmetrized and deduplicated internally)
+    * @param aCol    source id column (integral type)
+    * @param bCol    target id column (integral type)
+    * @param maxIter safety cap on propagation rounds; exceeding it throws
+    *                (an incomplete fixpoint must never be returned silently)
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val fwd = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    // symmetric adjacency — one shuffle to dedup; reused every round
+    val adj = graft.util.CacheBin.persist(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+
+    // round 0: each node starts from min(self, direct neighbors) — one
+    // groupBy over the adjacency (no join); for the dense near-clique
+    // clusters LSH thresholds produce, this IS already the fixpoint, so the
+    // loop usually exits after a single confirming round
+    var comp = graft.util.CacheBin.persist(
+      adj.groupBy("src").agg(least(col("src"), min("dst")).as("comp"))
+        .select(col("src").as("id"), col("comp")))
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      if (iter >= maxIter)
+        sys.error(s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds the cap — raise maxIter)")
+      // push every node's label to its neighbors, keep own label, take min
+      val prop = adj.join(comp, adj("src") === comp("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = graft.util.CacheBin.persist(
+        comp.unionByName(prop).groupBy("id").agg(min("comp").as("comp")))
+      // one small driver-side count per round; fixpoint ⇒ done
+      converged = next.join(comp.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      comp = next
+      iter += 1
+    }
+    comp
+  }
+
+  /** Cluster summary of a near-dup pair list: one row per duplicate cluster
+    * with its representative (min doc id), member count and the full sorted
+    * member list as a comma-joined string (hashable cross-engine). */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("comp").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("doc_ids"))
+      .select(col("cluster"), col("n_docs"), col("doc_ids"))
+}

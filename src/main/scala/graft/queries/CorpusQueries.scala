@@ -210,6 +210,78 @@ object CorpusQueries {
        |       least(kept_docs, (200 * ((kept_words * 1000000) // total_kept_words)) // 1000000) quota_docs
        |FROM ps, t ORDER BY source""".stripMargin
 
+  /** Apply the mixture: materialize [[sourceMix]]'s per-source doc quotas as
+    * an actual deterministic document selection — the step that turns the
+    * mixing report into a training corpus. Selection is the first
+    * `quota_docs` kept documents per source in portable-hash order
+    * (hash, doc_id): reproducible across engines, retries and partitionings,
+    * and statistically uniform within each source (the hash is a
+    * deterministic pseudo-random permutation).
+    *
+    * Shape at scale: quality signals are a narrow map; the quota table is
+    * sources-sized and broadcast; per-source ranking is one shuffle on
+    * source — with heavily skewed sources the same selection is computable
+    * as a per-source hash THRESHOLD (take h < quota/kept scaled) found by
+    * quantile sketch, which avoids the full sort; the rank form is kept here
+    * because it is exact for any quota and oracle-checkable. */
+  def applyMix(s: SparkSession, dir: String): DataFrame = {
+    val BUDGET = 200L
+    val kept = graft.ops.Quality.withSignals(
+        tPar(s, dir, "documents").select(col("doc_id"), col("source"), col("text")))
+      .filter(graft.ops.Quality.keepFlag)
+      .withColumn("h", graft.ops.NearDup.polyHash(
+        concat(lit("mix:"), col("doc_id").cast("string")), 31L, 1000000007L))
+    val perSource = kept.groupBy("source").agg(
+      count(lit(1)).as("kept_docs"), sum("n_words").as("kept_words"))
+    val total = perSource.agg(sum("kept_words").as("total_kept_words"))
+    val quotas = perSource.crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        expr("(kept_words * 1000000) div total_kept_words"))
+      .withColumn("quota_docs",
+        least(col("kept_docs"), expr(s"($BUDGET * share_ppm) div 1000000")))
+      .select(col("source").as("qsource"), col("quota_docs"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    kept.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), col("source") === col("qsource"))
+      .filter(col("rn") <= col("quota_docs"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("sel_docs"), sum("n_words").as("sel_words"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source")
+  }
+
+  val applyMixSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split($normSql, ' ')) AS BIGINT) n_words,
+       |         CAST(len(list_filter(string_split($normSql, ' '),
+       |              w -> w IN ('the','and','of','to','in','a','is','for','on','with'))) AS BIGINT) stop_cnt,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) n_punct,
+       |         CAST(length(text) AS BIGINT) n_chars_t
+       |  FROM documents),
+       |kept AS (SELECT doc_id, source, n_words,
+       |                ${polyHashSql("concat('mix:', CAST(doc_id AS VARCHAR))")} h
+       |         FROM b
+       |         WHERE n_words >= 20 AND stop_cnt*100 >= n_words*2 AND
+       |               n_punct*100 <= n_chars_t*10),
+       |ps AS (SELECT source, CAST(count(*) AS BIGINT) kept_docs,
+       |              CAST(sum(n_words) AS BIGINT) kept_words
+       |       FROM kept GROUP BY 1),
+       |t AS (SELECT CAST(sum(kept_words) AS BIGINT) total_kept_words FROM ps),
+       |q AS (SELECT source,
+       |             least(kept_docs,
+       |                   (200 * ((kept_words * 1000000) // total_kept_words)) // 1000000) quota_docs
+       |      FROM ps, t),
+       |r AS (SELECT doc_id, source, n_words,
+       |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) rn
+       |      FROM kept)
+       |SELECT r.source, CAST(count(*) AS BIGINT) sel_docs,
+       |       CAST(sum(n_words) AS BIGINT) sel_words,
+       |       min(doc_id) first_doc, max(doc_id) last_doc
+       |FROM r JOIN q ON r.source = q.source
+       |WHERE rn <= quota_docs
+       |GROUP BY 1 ORDER BY r.source""".stripMargin
+
   /** Eval-set decontamination — the n-gram-overlap check a training corpus
     * runs against its benchmark/eval sets before training (the docs with
     * doc_id < 10 stand in as the eval set): for every corpus document, how
@@ -276,6 +348,7 @@ object CorpusQueries {
     "text_repetition" -> (repetition _),
     "text_boilerplate" -> (boilerplate _),
     "pipe_source_mix" -> (sourceMix _),
+    "pipe_apply_mix" -> (applyMix _),
     "text_decontam" -> (decontam _),
     "text_length_profile" -> (lengthProfile _),
   )
@@ -286,6 +359,7 @@ object CorpusQueries {
     "text_repetition" -> repetitionSql,
     "text_boilerplate" -> boilerplateSql,
     "pipe_source_mix" -> sourceMixSql,
+    "pipe_apply_mix" -> applyMixSql,
     "text_decontam" -> decontamSql,
     "text_length_profile" -> lengthProfileSql,
   )

@@ -410,8 +410,39 @@ object TextQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Duplicate CLUSTERS: connected components over the minhash-LSH pair
+    * graph at Jaccard ≥ 1/2 (exact integer threshold) — the transitive
+    * grouping step a removal policy needs (a~b, b~c ⇒ {a,b,c} even when LSH
+    * never paired a,c directly). [[graft.ops.DupGroups]] runs min-label
+    * propagation to a fixpoint (one join + one groupBy per round, rounds =
+    * component diameter); the DuckDB oracle recomputes the same fixpoint as
+    * a recursive transitive closure — identical by construction, so the
+    * iterative distributed algorithm is hash-checked end to end. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.NearDup.pairsWithJaccard(
+        tPar(s, dir, "documents"), "doc_id", "text", minhashParams)
+      .filter(col("inter_cnt") * 2 >= col("union_cnt"))
+    graft.ops.DupGroups.clusters(pairs, "doc_a", "doc_b").orderBy("cluster")
+  }
+
+  val dupClustersSql: String = {
+    val mp = minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE mp AS ($mp),
+       |near AS (SELECT doc_a, doc_b FROM mp WHERE inter_cnt * 2 >= union_cnt),
+       |e AS (SELECT doc_a a, doc_b b FROM near
+       |      UNION SELECT doc_b a, doc_a b FROM near),
+       |r AS (SELECT a, a b FROM (SELECT DISTINCT a FROM e)
+       |      UNION
+       |      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+       |c AS (SELECT a doc_id, min(b) comp FROM r GROUP BY a)
+       |SELECT comp AS "cluster", CAST(count(*) AS BIGINT) n_docs,
+       |       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') doc_ids
+       |FROM c GROUP BY comp ORDER BY "cluster"""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "text_token_counts" -> (tokenCounts _),
+    "text_dup_clusters" -> (dupClusters _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
@@ -426,6 +457,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "text_token_counts" -> tokenCountsSql,
+    "text_dup_clusters" -> dupClustersSql,
     "text_quality_score" -> qualityScoreSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
