@@ -53,10 +53,11 @@ object DupGroups {
       maxIter: Int = 25): DataFrame = {
     val fwd = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    // symmetric adjacency — one shuffle to dedup; reused every round
+    // symmetric adjacency; duplicate edges are harmless under min()
+    // aggregation, so no dedup shuffle is spent on them
     val adj = graft.util.CacheBin.persist(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct())
+        .filter(col("src") =!= col("dst")))
 
     // round 0: each node starts from min(self, direct neighbors) — one
     // groupBy over the adjacency (no join); for the dense near-clique
@@ -71,15 +72,17 @@ object DupGroups {
       if (iter >= maxIter)
         sys.error(s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter exceeds the cap — raise maxIter)")
-      // push every node's label to its neighbors, keep own label, take min
+      // push every node's label to its neighbors, keep own label, take min;
+      // the pre-update label rides along (`prev`) so convergence is read off
+      // the SAME cached frame — one action per round, no comparison join
       val prop = adj.join(comp, adj("src") === comp("id"))
-        .select(col("dst").as("id"), col("comp"))
+        .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
       val next = graft.util.CacheBin.persist(
-        comp.unionByName(prop).groupBy("id").agg(min("comp").as("comp")))
-      // one small driver-side count per round; fixpoint ⇒ done
-      converged = next.join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      comp = next
+        comp.withColumn("own", lit(true)).unionByName(prop)
+          .groupBy("id").agg(min("comp").as("comp"),
+            min(when(col("own"), col("comp"))).as("prev")))
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      comp = next.select("id", "comp")
       iter += 1
     }
     comp
