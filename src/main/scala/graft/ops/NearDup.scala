@@ -163,13 +163,14 @@ object NearDup {
   /** Near-dup removal with the keep-smallest-id policy: docs whose id never
     * appears as the larger end of a pair with jaccard ≥ num/den (exact
     * integer threshold arithmetic — no float comparison drift). Returns the
-    * surviving (id) column under the original name. */
+    * surviving rows with every column of `docs` except the text (id under
+    * its original name) — callers keep their metadata without a join back. */
   def survivors(docs: DataFrame, idCol: String, textCol: String,
       jaccNum: Long, jaccDen: Long, p: Params = Params()): DataFrame = {
     val drop = pairsWithJaccard(docs, idCol, textCol, p)
       .filter(col("inter_cnt") * jaccDen >= col("union_cnt") * jaccNum)
       .select(col("doc_b").as("drop_id")).distinct()
-    docs.select(col(idCol))
+    docs.drop(textCol)
       .join(drop, col(idCol) === col("drop_id"), "left_anti")
   }
 

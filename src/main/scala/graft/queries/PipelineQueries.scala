@@ -50,15 +50,14 @@ object PipelineQueries {
     // hashing AND the anti-join keep side) — persist or the dedup window
     // replays.
     val survivorDocs = graft.util.CacheBin.persist(
-      quality.select(col("doc_id"), col("text"), col("fp"))
+      quality.select(col("doc_id"), col("text"), col("lang"), col("fp"))
         .withColumn("min_id", min("doc_id").over(wFp))
         .filter(col("doc_id") === col("min_id"))
-        .select("doc_id", "text"))
-    val cleaned = graft.ops.NearDup.survivors(survivorDocs, "doc_id", "text",
-      JACC_T_NUM, JACC_T_DEN, TextQueries.minhashParams)
-
-    cleaned
-      .join(quality.select(col("doc_id").as("qid"), col("lang")), col("doc_id") === col("qid"))
+        .select("doc_id", "text", "lang"))
+    // survivors carries the metadata columns (lang) through the anti-join,
+    // so no join back to the quality set is needed for the report
+    graft.ops.NearDup.survivors(survivorDocs, "doc_id", "text",
+        JACC_T_NUM, JACC_T_DEN, TextQueries.minhashParams)
       .groupBy("lang")
       .agg(count(lit(1)).as("kept_docs"), min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
