@@ -139,6 +139,28 @@ class GraftPlanSpec extends SparkSpec {
     planOf(df) should include("Exchange") // explicit round-robin fan-out
   }
 
+  it should "bucket embedding dedup candidates through an equi-join" in {
+    val e = Q.t(spark, dir, "embeddings")
+    val plan = planOf(graft.util.CacheBin.withScope {
+      graft.ops.VecDedup.dropped(e, "vec_id", "embedding", 64, 0.999)
+    })
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "run each connected-components round as equi-join + partial agg" in {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    graft.util.CacheBin.withScope {
+      val comp = graft.ops.DupGroups.connectedComponents(edges, "a", "b")
+      val plan = planOf(comp)
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+      comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    }
+  }
+
   it should "run the as-of join as one windowed pass, not a range join" in {
     val plan = planOf(JoinQueries.asofControl(spark, dir))
     plan should include("Window ")
