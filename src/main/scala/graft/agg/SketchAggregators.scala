@@ -1,7 +1,8 @@
 package graft.agg
 
-import graft.algorithm.HyperLogLog
+import graft.algorithm.{HyperLogLog, SpaceSaving}
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Sketch-backed Aggregators: the ported algorithms surfaced as typed Spark
@@ -35,5 +36,33 @@ object SketchAggregators {
 
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** One reported heavy hitter: `count` overestimates the true frequency by
+    * at most `error` (≤ N/capacity). */
+  final case class HeavyHitter(item: String, count: Long, error: Long)
+
+  /** Approximate top-`topN` frequent items via the SpaceSaving summary —
+    * fixed `capacity` counters per partial regardless of vocabulary size,
+    * merged like any algebraic aggregate. The buffer stays a live object
+    * inside ObjectHashAggregate (kryo only at shuffle boundaries). */
+  class HeavyHittersAggregator[IN](key: IN => String, capacity: Int,
+      topN: Int) extends Aggregator[IN, SpaceSaving, Seq[HeavyHitter]] {
+
+    override def zero: SpaceSaving = new SpaceSaving(capacity)
+
+    override def reduce(buf: SpaceSaving, a: IN): SpaceSaving =
+      buf.offer(key(a))
+
+    override def merge(x: SpaceSaving, y: SpaceSaving): SpaceSaving =
+      x.merge(y)
+
+    override def finish(buf: SpaceSaving): Seq[HeavyHitter] =
+      buf.topK(topN).map { case (it, c, e) => HeavyHitter(it, c, e) }
+
+    override def bufferEncoder: Encoder[SpaceSaving] =
+      Encoders.kryo[SpaceSaving]
+    override def outputEncoder: Encoder[Seq[HeavyHitter]] =
+      ExpressionEncoder[Seq[HeavyHitter]]()
   }
 }

@@ -226,11 +226,15 @@ object CorpusQueries {
     * because it is exact for any quota and oracle-checkable. */
   def applyMix(s: SparkSession, dir: String): DataFrame = {
     val BUDGET = 200L
-    val kept = graft.ops.Quality.withSignals(
+    // kept feeds the quota aggregation (twice — once via the per-source
+    // rollup, once via its total) AND the ranked-selection branch: persist
+    // or the quality narrow map runs three times over the scan
+    val kept = graft.util.CacheBin.persist(graft.ops.Quality.withSignals(
         tPar(s, dir, "documents").select(col("doc_id"), col("source"), col("text")))
       .filter(graft.ops.Quality.keepFlag)
       .withColumn("h", graft.ops.NearDup.polyHash(
         concat(lit("mix:"), col("doc_id").cast("string")), 31L, 1000000007L))
+      .drop("text"))
     val perSource = kept.groupBy("source").agg(
       count(lit(1)).as("kept_docs"), sum("n_words").as("kept_words"))
     val total = perSource.agg(sum("kept_words").as("total_kept_words"))

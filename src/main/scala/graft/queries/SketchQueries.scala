@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.agg.SketchAggregators.HllAggregator
+import graft.agg.SketchAggregators.{HeavyHittersAggregator, HllAggregator}
 import graft.model.GraftEvent
 import graft.ops.Dedup
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
@@ -60,9 +60,35 @@ object SketchQueries {
       .orderBy("event_id")
   }
 
+  /** Approximate top-20 word-trigrams by document frequency via the
+    * SpaceSaving summary (256 counters per partial — fixed memory no matter
+    * how large the trigram vocabulary grows) — the bounded-memory twin of
+    * the exact `text_boilerplate` groupBy. At 100 TB the exact top-k needs a
+    * full vocabulary-sized shuffle; the sketch ships 256 counters per
+    * partition and merges algebraically. Counts are upper bounds with a
+    * per-item recorded error ≤ N/capacity (order-dependent like every
+    * counter sketch → rows-only beside the exact twin). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val hh = new HeavyHittersAggregator[String](identity, capacity = 256,
+      topN = 20)
+    val shingles = tPar(s, dir, "documents")
+      .select(explode(call_function("graft_shingles", col("text"), lit(3)))
+        .as("sh"))
+      .as[String]
+    shingles.select(hh.toColumn).toDF("hh")
+      .select(posexplode(col("hh")).as(Seq("i", "h")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("h.item").as("shingle"),
+        col("h.count").as("est_df"),
+        col("h.error").as("max_err"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sk_hll_users" -> (hllUsers _),
     "sk_sbf_dedup" -> (sbfDedup _),
+    "sk_heavy_hitters" -> (heavyHitters _),
   )
 
   /** Rows-only (see object doc). */
