@@ -85,10 +85,28 @@ object SketchQueries {
         col("h.error").as("max_err"))
   }
 
+  /** Bounded-memory quantiles beside the exact computation — the fourth
+    * classic sketch family (distinct=HLL, membership=SBF, frequency=
+    * SpaceSaving, rank=this): Spark's percentile_approx keeps an
+    * accuracy-bounded summary per group (state independent of group size;
+    * error ≤ 1/accuracy of the rank) where exact percentile buffers every
+    * value. At 100 TB the exact form is a per-group sort of the full data;
+    * the sketch is the shape that survives. Approximate values are
+    * engine-local → rows-only beside the exact twin `core_median_prices`. */
+  def quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+      expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+      expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
+      expr("percentile_approx(l_extendedprice, 0.9, 1000)").as("approx_p90"),
+      count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, QueryFn] = Map(
     "sk_hll_users" -> (hllUsers _),
     "sk_sbf_dedup" -> (sbfDedup _),
     "sk_heavy_hitters" -> (heavyHitters _),
+    "sk_quantiles" -> (quantiles _),
   )
 
   /** Rows-only (see object doc). */

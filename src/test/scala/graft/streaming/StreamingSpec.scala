@@ -180,4 +180,35 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("sbf_out").as[SimpleA].collect().map(_.id).sorted
     ids shouldBe Array("e1", "e2", "e3")
   }
+
+  behavior of "heavy hitters on a stream"
+
+  it should "accumulate the SpaceSaving summary across micro-batches" in {
+    // the typed aggregator is a streaming aggregation like any other: the
+    // summary IS the aggregation buffer, carried in the state store between
+    // micro-batches — bounded-memory approximate top-k over an unbounded
+    // stream with zero extra machinery
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val hh = new graft.agg.SketchAggregators.HeavyHittersAggregator[(Int, String)](
+      _._2, capacity = 64, topN = 2)
+    val input = MemoryStream[String]
+    val out = input.toDS().map(s => (0, s)).groupByKey(_._1).agg(hh.toColumn)
+    val q = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("hh_ck").toString)
+      .start()
+    input.addData("h", "h", "a", "b")
+    q.processAllAvailable()
+    input.addData("h", "c", "c", "h") // state must carry: h now 4, c 2
+    runToCompletion(q)
+    val row = spark.table("hh_out").collect().head
+    val top = row.getSeq[org.apache.spark.sql.Row](1)
+    top.head.getString(0) shouldBe "h"
+    top.head.getLong(1) shouldBe 4L
+    top.head.getLong(2) shouldBe 0L // capacity never exceeded -> exact
+    top(1).getString(0) shouldBe "c"
+    top(1).getLong(1) shouldBe 2L
+  }
 }
