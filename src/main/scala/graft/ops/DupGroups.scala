@@ -63,9 +63,9 @@ object DupGroups {
     // groupBy over the adjacency (no join); for the dense near-clique
     // clusters LSH thresholds produce, this IS already the fixpoint, so the
     // loop usually exits after a single confirming round
-    var comp = graft.util.CacheBin.persist(
-      adj.groupBy("src").agg(least(col("src"), min("dst")).as("comp"))
-        .select(col("src").as("id"), col("comp")))
+    var comp = adj.groupBy("src").agg(least(col("src"), min("dst")).as("comp"))
+      .select(col("src").as("id"), col("comp"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged) {
@@ -74,18 +74,90 @@ object DupGroups {
           "(component diameter exceeds the cap — raise maxIter)")
       // push every node's label to its neighbors, keep own label, take min;
       // the pre-update label rides along (`prev`) so convergence is read off
-      // the SAME cached frame — one action per round, no comparison join
+      // the materialized frame — one action per round, no comparison join.
+      // localCheckpoint TRUNCATES LINEAGE: each round's plan references the
+      // previous round's twice (propagation + own labels), so without the
+      // cut the logical plan doubles per round — exponential analysis cost
+      // long before any data is big. (On a cluster with executor loss,
+      // swap in reliable checkpointing via spark.sparkContext.setCheckpointDir.)
       val prop = adj.join(comp, adj("src") === comp("id"))
         .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
-      val next = graft.util.CacheBin.persist(
-        comp.withColumn("own", lit(true)).unionByName(prop)
-          .groupBy("id").agg(min("comp").as("comp"),
-            min(when(col("own"), col("comp"))).as("prev")))
+      val next = comp.withColumn("own", lit(true)).unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"),
+          min(when(col("own"), col("comp"))).as("prev"))
+        .localCheckpoint(true)
       converged = next.filter(col("comp") < col("prev")).isEmpty
       comp = next.select("id", "comp")
       iter += 1
     }
     comp
+  }
+
+  /** Connected components via alternating large-star / small-star edge
+    * rewrites (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the variant whose round count is O(log n) in the component
+    * size instead of the diameter, for adversarial long-chain graphs where
+    * [[connectedComponents]]'s propagation would need diameter rounds.
+    *
+    * Each step is ONE shuffle (a per-node window over the symmetrized edge
+    * list) + a distinct; the edge set contracts toward stars centered at
+    * each component's minimum id, and the loop stops when a full
+    * large+small round leaves the edge set unchanged (exact set compare —
+    * the frames are pair-list-sized). Output is identical to
+    * [[connectedComponents]]: (id, comp = min reachable id) for every node
+    * on a non-self-loop edge — the same fixpoint by construction, so the
+    * two implementations cross-check each other (DupGroupsSpec does,
+    * against a driver-side union-find as the third witness). */
+  def connectedComponentsLogN(edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    // large-star: every strictly-larger neighbor of u connects to the
+    // minimum of u's closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy("src")
+      sym(e).withColumn("m", min(least(col("src"), col("dst"))).over(w))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: u and its ≤-neighbors all connect to their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val le = sym(e).filter(col("dst") <= col("src"))
+      val w = Window.partitionBy("src")
+      val withMin = le.withColumn("m", least(min(col("dst")).over(w), col("src")))
+      withMin.select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(withMin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // localCheckpoint per round: each star step embeds its input TWICE
+    // (the symmetrize union), so an uncut plan quadruples per round —
+    // lineage truncation is what makes the iteration viable at any size
+    var cur = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var stable = false
+    while (!stable) {
+      if (round >= maxRounds)
+        sys.error(s"connectedComponentsLogN did not converge in $maxRounds rounds")
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      stable = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur = next
+      round += 1
+    }
+    // stars: every remaining edge points node -> component min; centers map
+    // to themselves
+    cur.select(col("src").as("id"), col("dst").as("comp"))
+      .unionByName(cur.select(col("dst").as("id"), col("dst").as("comp")))
+      .distinct()
   }
 
   /** Cluster summary of a near-dup pair list: one row per duplicate cluster

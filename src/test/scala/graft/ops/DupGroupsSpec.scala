@@ -47,6 +47,53 @@ class DupGroupsSpec extends SparkSpec {
     e.getMessage should include("did not converge")
   }
 
+  behavior of "DupGroups.connectedComponentsLogN (large-star/small-star)"
+
+  it should "agree with min-label propagation and a union-find on random graphs" in {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find as the independent witness
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map { v =>
+        // component rep = min node id in the component
+        val r = find(v.toInt)
+        v -> nodes.filter(u => find(u.toInt) == r).min
+      }.toMap
+      val df = edges.toDF("a", "b")
+      graft.util.CacheBin.withScope {
+        DupGroups.connectedComponents(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
+      }
+      graft.util.CacheBin.withScope {
+        DupGroups.connectedComponentsLogN(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
+      }
+    }
+  }
+
+  it should "converge on a diameter-59 chain in logarithmic rounds" in {
+    import spark.implicits._
+    // propagation would need 59 rounds (past its default cap); the
+    // star-contraction variant collapses the chain in a handful
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = graft.util.CacheBin.withScope {
+      DupGroups.connectedComponentsLogN(chain, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    comp.size shouldBe 60
+    comp.values.toSet shouldBe Set(0L)
+  }
+
   behavior of "DupGroups.clusters"
 
   it should "summarize clusters with numerically sorted member lists" in {
