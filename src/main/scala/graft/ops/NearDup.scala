@@ -207,7 +207,9 @@ object NearDup {
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the multi-chunk-collision dedup: far-apart pairs never
+      // reach the distinct shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
