@@ -34,7 +34,8 @@ object Bench {
     // scan paths, HOF lambdas and the native expressions are all compiled
     // before timing starts
     Seq("core_pricing_summary", "ev_session_windows", "join_interval_pairs",
-      "text_minhash_pairs", "vec_ann_lsh", "text_simhash")
+      "text_minhash_pairs", "vec_ann_lsh", "text_simhash",
+      "text_dup_clusters", "sk_heavy_hitters")
       .foreach { q =>
         try graft.util.CacheBin.withScope { SparkEntry.queries(q)(spark, sfDir).count() }
         catch { case _: Throwable => }

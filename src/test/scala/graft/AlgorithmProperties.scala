@@ -158,4 +158,47 @@ object AlgorithmProperties extends Properties("graft.algorithms") {
       val got = (0 until fused.numElements()).map(i => fused.getUTF8String(i).toString)
       got == expected
     }
+
+  // ---- SpaceSaving ----
+
+  private val streamGen: Gen[List[String]] =
+    Gen.listOf(Gen.frequency(
+      5 -> Gen.const("hot"),
+      3 -> Gen.choose(0, 8).map(i => s"warm$i"),
+      2 -> Gen.choose(0, 500).map(i => s"cold$i")))
+
+  property("SpaceSaving counts are overestimates within recorded error") =
+    Prop.forAll(streamGen, Gen.choose(4, 64)) { (xs, cap) =>
+      val ss = new graft.algorithm.SpaceSaving(cap)
+      xs.foreach(ss.offer(_))
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      ss.n == xs.size.toLong &&
+        ss.topK(cap).forall { case (item, count, err) =>
+          val t = exact.getOrElse(item, 0L)
+          count >= t && count - err <= t && err <= (if (cap > 0) ss.n else 0L)
+        }
+    }
+
+  property("SpaceSaving items above n/capacity are always present") =
+    Prop.forAll(streamGen, Gen.choose(4, 64)) { (xs, cap) =>
+      val ss = new graft.algorithm.SpaceSaving(cap)
+      xs.foreach(ss.offer(_))
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.forall { case (item, t) => t * cap <= ss.n || ss.contains(item) }
+    }
+
+  property("SpaceSaving merge keeps both guarantees for the combined stream") =
+    Prop.forAll(streamGen, streamGen, Gen.choose(4, 32)) { (xs, ys, cap) =>
+      val a = new graft.algorithm.SpaceSaving(cap)
+      val b = new graft.algorithm.SpaceSaving(cap)
+      xs.foreach(a.offer(_)); ys.foreach(b.offer(_))
+      val m = a.merge(b)
+      val exact = (xs ++ ys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      m.n == (xs.size + ys.size).toLong &&
+        m.topK(cap).forall { case (item, count, err) =>
+          val t = exact.getOrElse(item, 0L)
+          count >= t && count - err <= t
+        } &&
+        exact.forall { case (item, t) => t * cap <= m.n || m.contains(item) }
+    }
 }
