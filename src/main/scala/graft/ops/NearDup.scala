@@ -128,10 +128,11 @@ object NearDup {
   def pairsWithJaccard(docs: DataFrame, idCol: String, textCol: String,
       p: Params = Params()): DataFrame = {
     val hs = graft.util.CacheBin.persist(shingleHashes(docs, idCol, textCol, p))
-    // both sides of the band-bucket self-join read the signatures — persist
-    // the (tiny: one row per doc) frame or the explode→groupBy aggregation
-    // runs twice
-    val sigs = graft.util.CacheBin.persist(signatures(hs, p))
+    // both sides of the band-bucket self-join read the signatures, but since
+    // the graft_minhash native expression they are a pure NARROW map over the
+    // cached hs — recomputing them per side is cheaper than materializing a
+    // second cache
+    val sigs = signatures(hs, p)
     val cand = candidatePairs(bandKeys(sigs, p))
     // sort_array here: ONE sort per document instead of a sort per candidate
     // pair inside the intersection (IntersectSize detects sorted input and
