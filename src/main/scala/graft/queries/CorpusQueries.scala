@@ -172,10 +172,12 @@ object CorpusQueries {
     val flagged = graft.ops.Quality.withSignals(
         tPar(s, dir, "documents").select(col("source"), col("text")))
       .withColumn("kept", graft.ops.Quality.keepFlag)
-    val perSource = flagged.groupBy("source").agg(
+    // perSource feeds both the total aggregation and the report join —
+    // persist the (sources-sized) frame or the quality pass runs twice
+    val perSource = graft.util.CacheBin.persist(flagged.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
-      sum(when(col("kept"), col("n_words")).otherwise(0L)).as("kept_words"))
+      sum(when(col("kept"), col("n_words")).otherwise(0L)).as("kept_words")))
     val total = perSource.agg(sum("kept_words").as("total_kept_words"))
     perSource.crossJoin(broadcast(total))
       .withColumn("share_ppm",

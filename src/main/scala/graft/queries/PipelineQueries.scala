@@ -38,7 +38,9 @@ object PipelineQueries {
     * with survivors — provably the same rows) while never paying shingle
     * hashing or the LSH shuffle for rows stages 1-2 already dropped. */
   def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val quality = graft.util.CacheBin.persist(qualityKept(s, dir))
+    // single-use since survivors() carries lang through the anti-join — no
+    // cache needed (the window dedup below is its only consumer)
+    val quality = qualityKept(s, dir)
 
     // stage 2: exact dedup — canonical = min doc_id per content hash.
     // A keyed min-window + filter keeps the canonical ROW in one shuffle on
