@@ -52,6 +52,7 @@ object Bench {
     // inside the same burst. A genuinely slow plan stays slow in every
     // pass. Methodology is declared in the output ("runs"/"agg").
     val RUNS = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(RUNS >= 1, s"SPARK_GRAFT_BENCH_RUNS=$RUNS — need at least one pass")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => SKIP(q._1))
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       ordered.map(_._1 -> Double.MaxValue): _*)

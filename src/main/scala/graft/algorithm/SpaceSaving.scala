@@ -33,7 +33,26 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     * counter the item displaced; error is that floor (0 for never-evicted
     * entries). Invariant: size ≤ capacity. */
   private val counters = mutable.HashMap.empty[String, (Long, Long)]
+
+  /** count → items at that count, the Stream-Summary bucket index: eviction
+    * reads the first bucket's first item (deterministic min-count/min-item)
+    * in O(log buckets) instead of scanning all `capacity` counters per cold
+    * item — on a heavy-tail stream almost every offer past the first
+    * `capacity` distinct items evicts, so the scan would dominate. */
+  private val buckets = new java.util.TreeMap[Long, mutable.TreeSet[String]]()
   private var total = 0L
+
+  private def bucketAdd(c: Long, item: String): Unit = {
+    var set = buckets.get(c)
+    if (set == null) { set = mutable.TreeSet.empty[String]; buckets.put(c, set) }
+    set.add(item)
+  }
+
+  private def bucketRemove(c: Long, item: String): Unit = {
+    val set = buckets.get(c)
+    set.remove(item)
+    if (set.isEmpty) buckets.remove(c)
+  }
 
   /** Items observed (sum of increments), exact. */
   def n: Long = total
@@ -43,21 +62,23 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
   def offer(item: String, inc: Long = 1L): this.type = {
     total += inc
     counters.get(item) match {
-      case Some((c, e)) => counters.update(item, (c + inc, e))
+      case Some((c, e)) =>
+        counters.update(item, (c + inc, e))
+        bucketRemove(c, item)
+        bucketAdd(c + inc, item)
       case None if counters.size < capacity =>
         counters.update(item, (inc, 0L))
+        bucketAdd(inc, item)
       case None =>
-        // displace the minimum counter (deterministic tie-break on item so
-        // equal-count eviction does not depend on hash-map iteration order)
-        var minItem: String = null
-        var minC = Long.MaxValue
-        counters.foreach { case (it, (c, _)) =>
-          if (c < minC || (c == minC && (minItem == null || it < minItem))) {
-            minItem = it; minC = c
-          }
-        }
-        counters.remove(minItem)
+        // displace the minimum counter (min count, then min item — the
+        // bucket index keeps the tie-break deterministic)
+        val minEntry = buckets.firstEntry()
+        val minC = minEntry.getKey
+        val victim = minEntry.getValue.head
+        bucketRemove(minC, victim)
+        counters.remove(victim)
         counters.update(item, (minC + inc, minC))
+        bucketAdd(minC + inc, item)
     }
     this
   }
@@ -66,8 +87,7 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     * an item ABSENT from a full summary has true count ≤ this floor. 0 when
     * never full — absence then means a true count of 0. */
   private def absentFloor: Long =
-    if (counters.size < capacity) 0L
-    else counters.valuesIterator.map(_._1).min
+    if (counters.size < capacity) 0L else buckets.firstKey()
 
   /** Combine two summaries (Mergeable Summaries, Agarwal et al. 2012; same
     * rule as Apache DataSketches' frequent-items merge): item-wise sums
@@ -93,7 +113,10 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     combined.toSeq
       .sortBy { case (it, (c, _)) => (-c, it) }
       .take(capacity)
-      .foreach { case (it, ce) => out.counters.update(it, ce) }
+      .foreach { case (it, (c, e)) =>
+        out.counters.update(it, (c, e))
+        out.bucketAdd(c, it)
+      }
     out
   }
 

@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   *     rounds at O(log n) — the propagation loop below is the right default
   *     for dedup workloads and stays a fixpoint computation, so its OUTPUT
   *     is identical and oracle-checkable regardless of round count;
-  *   - each round's label frame is persisted and the previous round's is
-  *     released, so lineage stays one round deep (no exponential replay).
+  *   - each round's label frame is eagerly localCheckpoint'ed (truncating
+  *     lineage — iterative plans otherwise double per round) and the
+  *     superseded round's cached RDD is dropped as soon as its successor is
+  *     materialized, so peak storage stays one round deep; the FINAL frame's
+  *     release is handed to the caller's [[graft.util.CacheBin]] scope.
   *
   * Determinism: the fixpoint (id → min reachable id) is a pure function of
   * the edge set — independent of partitioning, iteration order, or how many
@@ -38,12 +41,28 @@ import org.apache.spark.sql.functions._
   */
 object DupGroups {
 
+  /** Drop the cached RDD behind an eager localCheckpoint. Plain
+    * `Dataset.unpersist` only consults the SQL cache manager, which knows
+    * nothing about checkpoint RDDs — reach through the LogicalRDD instead. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Register `df`'s checkpoint storage with the caller's CacheBin scope. */
+  private def releaseWithScope(df: DataFrame): DataFrame = {
+    graft.util.CacheBin.registerRelease(df.sparkSession)(() => releaseCheckpoint(df))
+    df
+  }
+
   /** Connected components of the undirected graph given by an edge-list
-    * DataFrame. Returns one row per distinct node appearing in any edge:
-    * (`id`, `comp`) with `comp` = smallest node id in the component.
+    * DataFrame. Returns one row per distinct node appearing on at least one
+    * NON-self-loop edge: (`id`, `comp`) with `comp` = smallest node id in
+    * the component. Self-loops and duplicate/reversed edges are tolerated
+    * (symmetrized internally; a node whose only edges are self-loops carries
+    * no dedup information and is excluded, like a node absent from the pair
+    * list entirely).
     *
-    * @param edges   edge list; self-loops and duplicate/reversed edges are
-    *                fine (symmetrized and deduplicated internally)
     * @param aCol    source id column (integral type)
     * @param bCol    target id column (integral type)
     * @param maxIter safety cap on propagation rounds; exceeding it throws
@@ -63,15 +82,17 @@ object DupGroups {
     // groupBy over the adjacency (no join); for the dense near-clique
     // clusters LSH thresholds produce, this IS already the fixpoint, so the
     // loop usually exits after a single confirming round
-    var comp = adj.groupBy("src").agg(least(col("src"), min("dst")).as("comp"))
+    var compChk = adj.groupBy("src").agg(least(col("src"), min("dst")).as("comp"))
       .select(col("src").as("id"), col("comp"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged) {
-      if (iter >= maxIter)
+      if (iter >= maxIter) {
+        releaseCheckpoint(compChk)
         sys.error(s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter exceeds the cap — raise maxIter)")
+      }
       // push every node's label to its neighbors, keep own label, take min;
       // the pre-update label rides along (`prev`) so convergence is read off
       // the materialized frame — one action per round, no comparison join.
@@ -80,6 +101,7 @@ object DupGroups {
       // cut the logical plan doubles per round — exponential analysis cost
       // long before any data is big. (On a cluster with executor loss,
       // swap in reliable checkpointing via spark.sparkContext.setCheckpointDir.)
+      val comp = compChk.select("id", "comp")
       val prop = adj.join(comp, adj("src") === comp("id"))
         .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
       val next = comp.withColumn("own", lit(true)).unionByName(prop)
@@ -87,10 +109,11 @@ object DupGroups {
           min(when(col("own"), col("comp"))).as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("comp") < col("prev")).isEmpty
-      comp = next.select("id", "comp")
+      releaseCheckpoint(compChk) // next is materialized; drop the old round
+      compChk = next
       iter += 1
     }
-    comp
+    releaseWithScope(compChk).select("id", "comp")
   }
 
   /** Connected components via alternating large-star / small-star edge
@@ -138,7 +161,8 @@ object DupGroups {
 
     // localCheckpoint per round: each star step embeds its input TWICE
     // (the symmetrize union), so an uncut plan quadruples per round —
-    // lineage truncation is what makes the iteration viable at any size
+    // lineage truncation is what makes the iteration viable at any size;
+    // superseded rounds drop their cached RDDs immediately
     var cur = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
@@ -146,15 +170,19 @@ object DupGroups {
     var round = 0
     var stable = false
     while (!stable) {
-      if (round >= maxRounds)
+      if (round >= maxRounds) {
+        releaseCheckpoint(cur)
         sys.error(s"connectedComponentsLogN did not converge in $maxRounds rounds")
+      }
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       stable = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      releaseCheckpoint(cur)
       cur = next
       round += 1
     }
     // stars: every remaining edge points node -> component min; centers map
     // to themselves
+    releaseWithScope(cur)
     cur.select(col("src").as("id"), col("dst").as("comp"))
       .unionByName(cur.select(col("dst").as("id"), col("dst").as("comp")))
       .distinct()

@@ -237,8 +237,10 @@ object CorpusQueries {
       .withColumn("h", graft.ops.NearDup.polyHash(
         concat(lit("mix:"), col("doc_id").cast("string")), 31L, 1000000007L))
       .drop("text"))
-    val perSource = kept.groupBy("source").agg(
-      count(lit(1)).as("kept_docs"), sum("n_words").as("kept_words"))
+    // feeds both its own total and the quota projection (same pattern as
+    // sourceMix) — persist the sources-sized frame
+    val perSource = graft.util.CacheBin.persist(kept.groupBy("source").agg(
+      count(lit(1)).as("kept_docs"), sum("n_words").as("kept_words")))
     val total = perSource.agg(sum("kept_words").as("total_kept_words"))
     val quotas = perSource.crossJoin(broadcast(total))
       .withColumn("share_ppm",

@@ -36,10 +36,14 @@ object CacheBin {
   final class Scope private[CacheBin] () {
     private[CacheBin] val frames =
       java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+    private[CacheBin] val releasers =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[() => Unit]())
     /** Blocking so storage is actually free before the next query runs. */
     def release(): Unit = {
       frames.asScala.foreach(_.unpersist(blocking = true))
       frames.clear()
+      releasers.asScala.foreach(f => f())
+      releasers.clear()
     }
   }
 
@@ -79,10 +83,28 @@ object CacheBin {
     df
   }
 
+  /** Register a custom release action with the thread's active scope (e.g.
+    * dropping a localCheckpoint's cached RDD, which plain
+    * `Dataset.unpersist` cannot reach). No-scope callers get the action run
+    * on [[unpersistAll]]. */
+  def registerRelease(spark: SparkSession)(f: () => Unit): Unit =
+    Option(active.get()) match {
+      case Some(scope) => scope.releasers.add(f)
+      case None =>
+        globalReleasers.computeIfAbsent(spark,
+          _ => java.util.Collections.synchronizedList(new java.util.ArrayList[() => Unit]()))
+          .add(f)
+    }
+
+  private val globalReleasers =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.List[() => Unit]]()
+
   /** Release every UNSCOPED frame registered against `spark`. Safe only when
     * queries on this session run serially; scoped callers use [[withScope]]. */
   def unpersistAll(spark: SparkSession): Unit = {
     val l = global.remove(spark)
     if (l != null) l.asScala.foreach(_.unpersist(blocking = true))
+    val r = globalReleasers.remove(spark)
+    if (r != null) r.asScala.foreach(f => f())
   }
 }
