@@ -55,4 +55,20 @@ class CacheBinSpec extends SparkSpec {
     CacheBin.unpersistAll(spark)
     df.storageLevel shouldBe StorageLevel.NONE
   }
+
+  it should "run registered release actions on scope close (checkpoint hook)" in {
+    // the hook DupGroups uses to hand its final localCheckpoint's storage
+    // to the caller's scope — plain unpersist can't reach checkpoint RDDs
+    val released = new java.util.concurrent.atomic.AtomicInteger(0)
+    CacheBin.withScope {
+      CacheBin.registerRelease(spark)(() => released.incrementAndGet())
+      released.get() shouldBe 0 // deferred until the scope closes
+    }
+    released.get() shouldBe 1
+
+    // no scope open -> runs on unpersistAll
+    CacheBin.registerRelease(spark)(() => released.incrementAndGet())
+    CacheBin.unpersistAll(spark)
+    released.get() shouldBe 2
+  }
 }
