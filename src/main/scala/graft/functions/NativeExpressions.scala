@@ -577,6 +577,107 @@ case class MaxRunLength(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_max_run"
 }
 
+/** nearest_codes(vec, codebook, k, metric): the top-k nearest codebook
+  * entries of a double vector in ONE narrow codegen'd loop — the broadcast-
+  * codebook assignment step of every IVF / k-means / product-quantization
+  * pipeline, replacing the per-row Scala UDF (Seq boxing + encoder
+  * round-trip per row) the vector queries used before. The codebook is a
+  * driver-computed literal (tiny BY DESIGN — that is what makes coarse
+  * quantization work) captured at construction and shipped inside the
+  * expression, so assignment stays a pure narrow map.
+  *
+  * Metrics, bit-identical to the UDFs they replace (and their DuckDB
+  * window-rank oracle mirrors):
+  *   - `l2`: sequential fold of (v_i − c_i)², ascending, strict `<` — ties
+  *     keep the LOWER code index;
+  *   - `cosine`: sequential-fold dot products, score =
+  *     dot(v,c) / (sqrt(v·v) · sqrt(c·c)) in exactly that IEEE op order,
+  *     descending, strict `>` — ties keep the lower index. The per-code
+  *     self-dots are precomputed once at construction with the same fold.
+  *
+  * Returns array<long>(k) of 0-based codebook indices (callers map indices
+  * to external ids with element_at over a literal lookup array). */
+case class NearestCodes(child: Expression, codebook: Array[Array[Double]],
+    k: Int, cosine: Boolean) extends UnaryExpression {
+
+  require(codebook.nonEmpty && k >= 1 && k <= codebook.length,
+    s"graft_nearest_codes needs 1 <= k (=$k) <= codebook size (=${codebook.length})")
+
+  @transient private lazy val cn2: Array[Double] =
+    if (cosine) codebook.map(c => NearestCodes.selfDot(c)) else null
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCodes.topK(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codebook, cn2, k, cosine)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("codebook", codebook, "double[][]")
+      val cn2Ref =
+        if (cosine) ctx.addReferenceObj("cn2", cn2, "double[]") else "null"
+      s"${ev.value} = graft.functions.NearestCodes.topK(" +
+        s"$v, $cbRef, $cn2Ref, $k, $cosine);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCodes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_nearest_codes"
+}
+
+object NearestCodes {
+
+  /** Sequential self-dot — the same left fold as graft_dot(c, c). */
+  def selfDot(a: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc = acc + a(i) * a(i); i += 1 }
+    acc
+  }
+
+  /** Shared by interpreted eval and generated code. `cn2` is the
+    * precomputed per-code self-dot array (cosine only, else null). */
+  def topK(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cb: Array[Array[Double]], cn2: Array[Double],
+      k: Int, cosine: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val va = v.toDoubleArray()
+    val n = va.length
+    var n2 = 0.0
+    if (cosine) {
+      var i = 0
+      while (i < n) { n2 = n2 + va(i) * va(i); i += 1 }
+    }
+    val bi = new Array[Long](k)
+    val bs = new Array[Double](k)
+    java.util.Arrays.fill(bs,
+      if (cosine) Double.NegativeInfinity else Double.PositiveInfinity)
+    var j = 0
+    while (j < cb.length) {
+      val c = cb(j)
+      var acc = 0.0
+      var i = 0
+      if (cosine) {
+        while (i < n) { acc = acc + va(i) * c(i); i += 1 }
+        acc = acc / (java.lang.Math.sqrt(n2) * java.lang.Math.sqrt(cn2(j)))
+      } else {
+        while (i < n) { val d = va(i) - c(i); acc = acc + d * d; i += 1 }
+      }
+      // strict comparison: equal scores keep the earlier (lower) index
+      var p = k
+      while (p > 0 && (if (cosine) acc > bs(p - 1) else acc < bs(p - 1))) p -= 1
+      if (p < k) {
+        var q = k - 1
+        while (q > p) { bs(q) = bs(q - 1); bi(q) = bi(q - 1); q -= 1 }
+        bs(p) = acc; bi(p) = j
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bi)
+  }
+}
+
 /** Session registration for the native expressions — callable from SQL and
   * from the DataFrame API via `call_function`. Usable either through
   * [[GraftExtensions]] (spark.sql.extensions=graft.functions.GraftExtensions)
@@ -655,6 +756,25 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_words(text)")
         WordsOf(Cast(args.head, StringType))
+      }),
+    (FunctionIdentifier("graft_nearest_codes"),
+      new ExpressionInfo(classOf[NearestCodes].getName, "graft_nearest_codes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_nearest_codes(vec, codebook, k, metric)")
+        require(args(1).foldable,
+          "graft_nearest_codes codebook must be a literal (array<array<double>>)")
+        val ad = Cast(args(1), ArrayType(ArrayType(DoubleType))).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cb = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+        val metric = args(3) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_nearest_codes metric must be a string literal, got $other")
+        }
+        require(metric == "l2" || metric == "cosine",
+          s"graft_nearest_codes metric must be 'l2' or 'cosine', got '$metric'")
+        NearestCodes(Cast(args.head, ArrayType(DoubleType)), cb,
+          longLit(args(2), "k").toInt, metric == "cosine")
       }),
   )
 

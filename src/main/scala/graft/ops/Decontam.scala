@@ -73,10 +73,16 @@ object Decontam {
     * cross-document state is needed — the eval shingle set (small by
     * design) is collected once on the driver and closed over in a pure
     * narrow filter, which Structured Streaming runs per micro-batch with
-    * zero state store and zero shuffle. Works identically on a batch frame
-    * (one config switch, like every operator in this engine). */
+    * zero state store and zero shuffle. A BATCH frame routes through the
+    * broadcast-join [[clean]] instead (same keep/drop arithmetic — integer
+    * floor division on both paths), so the driver-side collect of the eval
+    * shingle set only ever happens where the stream-static shape requires
+    * it; the collect is the one driver materialization in this operator and
+    * is bounded by the eval set, never the corpus. */
   def cleanStreaming(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, k: Int = 5, maxPct: Long = 0L): DataFrame = {
+    if (!corpus.isStreaming)
+      return clean(corpus, evalDocs, idCol, textCol, k, maxPct)
     val evalShingles: Set[String] = shingleSets(evalDocs, idCol, textCol, k)
       .select(explode(col("sh")).as("esh")).distinct()
       .collect().map(_.getString(0)).toSet

@@ -41,6 +41,11 @@ import org.apache.spark.sql.functions._
   */
 object DupGroups {
 
+  /** Thrown when a fixpoint loop hits its round cap — distinguishable from
+    * real failures so callers can fall back to the O(log n) variant. */
+  final case class ConvergenceCapException(message: String)
+      extends RuntimeException(message)
+
   /** Drop the cached RDD behind an eager localCheckpoint. Plain
     * `Dataset.unpersist` only consults the SQL cache manager, which knows
     * nothing about checkpoint RDDs — reach through the LogicalRDD instead. */
@@ -90,8 +95,10 @@ object DupGroups {
     while (!converged) {
       if (iter >= maxIter) {
         releaseCheckpoint(compChk)
-        sys.error(s"connectedComponents did not converge in $maxIter rounds " +
-          "(component diameter exceeds the cap — raise maxIter)")
+        throw ConvergenceCapException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(component diameter exceeds the cap — raise maxIter or use " +
+            "connectedComponentsLogN/connectedComponentsAuto)")
       }
       // push every node's label to its neighbors, keep own label, take min;
       // the pre-update label rides along (`prev`) so convergence is read off
@@ -188,11 +195,24 @@ object DupGroups {
       .distinct()
   }
 
+  /** Diameter-bound propagation with automatic fallback: runs
+    * [[connectedComponents]] (optimal for the dense near-clique graphs
+    * dedup thresholds produce — 2-4 rounds) and, if a legitimate long-chain
+    * component exhausts the round cap, retries with the O(log n)
+    * [[connectedComponentsLogN]] instead of failing. Both compute the same
+    * fixpoint, so the output is identical either way. */
+  def connectedComponentsAuto(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame =
+    try connectedComponents(edges, aCol, bCol, maxIter)
+    catch { case _: ConvergenceCapException =>
+      connectedComponentsLogN(edges, aCol, bCol)
+    }
+
   /** Cluster summary of a near-dup pair list: one row per duplicate cluster
     * with its representative (min doc id), member count and the full sorted
     * member list as a comma-joined string (hashable cross-engine). */
   def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
+    connectedComponentsAuto(pairs, aCol, bCol)
       .groupBy(col("comp").as("cluster"))
       .agg(count(lit(1)).as("n_docs"),
         array_join(transform(sort_array(collect_list(col("id"))),

@@ -38,13 +38,29 @@ object CacheBin {
       java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
     private[CacheBin] val releasers =
       java.util.Collections.synchronizedList(new java.util.ArrayList[() => Unit]())
-    /** Blocking so storage is actually free before the next query runs. */
+    /** Blocking so storage is actually free before the next query runs.
+      * Each release runs exception-isolated: one failing unpersist or
+      * release action can't skip the rest or leave survivors registered to
+      * double-run on a later release. The first failure rethrows after the
+      * sweep so callers still see it. */
     def release(): Unit = {
-      frames.asScala.foreach(_.unpersist(blocking = true))
+      val failure = CacheBin.releaseAll(
+        frames.asScala.map(df => () => { df.unpersist(blocking = true); () }).toList ++
+          releasers.asScala.toList)
       frames.clear()
-      releasers.asScala.foreach(f => f())
       releasers.clear()
+      failure.foreach(t => throw t)
     }
+  }
+
+  /** Run every release thunk, isolating failures; returns the first one. */
+  private def releaseAll(thunks: Seq[() => Unit]): Option[Throwable] = {
+    var first: Option[Throwable] = None
+    thunks.foreach { f =>
+      try f()
+      catch { case t: Throwable => if (first.isEmpty) first = Some(t) }
+    }
+    first
   }
 
   private val active = new ThreadLocal[Scope]()
@@ -100,11 +116,17 @@ object CacheBin {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.List[() => Unit]]()
 
   /** Release every UNSCOPED frame registered against `spark`. Safe only when
-    * queries on this session run serially; scoped callers use [[withScope]]. */
+    * queries on this session run serially; scoped callers use [[withScope]].
+    * Exception-isolated like [[Scope.release]]: both lists are removed from
+    * the registry up front, every entry is attempted, the first failure
+    * rethrows after the sweep. */
   def unpersistAll(spark: SparkSession): Unit = {
     val l = global.remove(spark)
-    if (l != null) l.asScala.foreach(_.unpersist(blocking = true))
     val r = globalReleasers.remove(spark)
-    if (r != null) r.asScala.foreach(f => f())
+    val thunks =
+      (if (l != null) l.asScala.map(df => () => { df.unpersist(blocking = true); () }).toList
+       else Nil) ++
+        (if (r != null) r.asScala.toList else Nil)
+    releaseAll(thunks).foreach(t => throw t)
   }
 }

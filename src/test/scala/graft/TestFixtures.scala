@@ -43,6 +43,31 @@ trait SparkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+
+  private val tmpDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach { p =>
+        try {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder()).forEach { q =>
+            try java.nio.file.Files.deleteIfExists(q)
+            catch { case _: Throwable => () }
+          } finally walk.close()
+        } catch { case _: Throwable => () }
+      }))
+
+  /** Scratch dir (checkpoints, file sources/sinks) deleted recursively when
+    * the test JVM exits — repeated test runs must not accumulate temp dirs. */
+  def tempDir(prefix: String): String = {
+    cleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.add(p)
+    p.toString
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -238,4 +238,82 @@ class NativeExpressionsSpec extends SparkSpec {
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType),
       nullable = false)).eval(row) shouldBe 3L
   }
+
+  behavior of "graft_nearest_codes"
+
+  // deterministic pseudo-vectors (LCG), no Math.random in tests
+  private def vec(seed: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(d => (((seed * 31 + d) * 1103515245L + 12345L) % 1000) / 500.0 - 1.0)
+
+  private def golden(v: Array[Double], cb: Array[Array[Double]], k: Int,
+      cosine: Boolean): Seq[Long] = {
+    // the per-row UDF logic this expression replaced, verbatim semantics:
+    // sequential folds, strict comparisons keep the lower index on ties
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+      acc
+    }
+    val scores = cb.map { c =>
+      if (cosine) dotD(v, c) / (math.sqrt(dotD(v, v)) * math.sqrt(dotD(c, c)))
+      else { var acc = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - c(i); acc = acc + d * d; i += 1 }; acc }
+    }
+    scores.zipWithIndex
+      .sortBy { case (s, j) => (if (cosine) -s else s, j) }
+      .take(k).map(_._2.toLong).toSeq
+  }
+
+  it should "match the replaced UDF logic for l2 and cosine, incl. ties" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val dim = 16
+    val cb = Array.tabulate(6)(j => vec(j + 100, dim))
+    // include exact-duplicate codebook entries to force ties (indices 2 == 5)
+    cb(5) = cb(2).clone()
+    val vs = (0 until 20).map(i => vec(i, dim))
+    val df = vs.map(_.toSeq).toDF("v")
+    def run(metric: String, k: Int): Seq[Seq[Long]] =
+      df.select(call_function("graft_nearest_codes", col("v"),
+          typedlit(cb.map(_.toSeq).toSeq), lit(k), lit(metric)).as("c"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    run("l2", 1) shouldBe vs.map(v => golden(v.toArray, cb, 1, cosine = false))
+    run("l2", 3) shouldBe vs.map(v => golden(v.toArray, cb, 3, cosine = false))
+    run("cosine", 2) shouldBe vs.map(v => golden(v.toArray, cb, 2, cosine = true))
+  }
+
+  it should "participate in whole-stage codegen and interpreted eval alike" in {
+    GraftFunctions.register(spark)
+    val dim = 8
+    val cb = Array.tabulate(4)(j => vec(j + 7, dim))
+    val df = spark.range(30).select(
+      call_function("graft_nearest_codes",
+        org.apache.spark.sql.functions.array(
+          (0 until dim).map(d => (col("id") * (d + 1)).cast("double")): _*),
+        typedlit(cb.map(_.toSeq).toSeq), lit(1), lit("l2")).as("c"))
+    df.queryExecution.executedPlan.toString should include("graft_nearest_codes")
+    df.queryExecution.executedPlan.toString should include("*(1)")
+    df.count() shouldBe 30L
+    // interpreted path: direct eval must agree with the golden logic
+    val v = vec(42, dim)
+    val expr = NearestCodes(org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      nullable = false), cb, 2, cosine = true)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v))
+    expr.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq shouldBe golden(v, cb, 2, cosine = true)
+  }
+
+  it should "reject non-literal codebooks and bad metrics" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq(1.0, 2.0)).toDF("v")
+    an[Exception] should be thrownBy
+      df.select(call_function("graft_nearest_codes", col("v"), col("v"),
+        lit(1), lit("l2"))).collect()
+    an[Exception] should be thrownBy
+      df.select(call_function("graft_nearest_codes", col("v"),
+        typedlit(Seq(Seq(1.0, 2.0))), lit(1), lit("manhattan"))).collect()
+  }
 }

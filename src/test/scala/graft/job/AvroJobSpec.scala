@@ -26,7 +26,7 @@ class AvroJobSpec extends SparkSpec {
   behavior of "AvroStreamJob + avro file source/sink"
 
   it should "round-trip typed events through avro container files, config-driven" in {
-    val dir = Files.createTempDirectory("graft-avro").toFile
+    val dir = new java.io.File(graft.SparkSpec.tempDir("graft-avro"))
     try {
       val path = s"${dir.getAbsolutePath}/data"
       // ---- write leg: job output -> avro container files (record only) ----
@@ -91,7 +91,7 @@ class AvroJobSpec extends SparkSpec {
   }
 
   it should "round-trip typed events through avro-embedded PARQUET, config-driven" in {
-    val dir = Files.createTempDirectory("graft-avro-parquet").toFile
+    val dir = new java.io.File(graft.SparkSpec.tempDir("graft-avro-parquet"))
     try {
       val path = s"${dir.getAbsolutePath}/data"
       val writeConf =
@@ -153,7 +153,7 @@ class AvroJobSpec extends SparkSpec {
   }
 
   it should "write idempotently on micro-batch replay (commitTag-named files)" in {
-    val dir = Files.createTempDirectory("graft-avro-replay").toFile
+    val dir = new java.io.File(graft.SparkSpec.tempDir("graft-avro-replay"))
     try {
       val path = s"${dir.getAbsolutePath}/data"
       val codec = new AvroCodec(schemaJson)

@@ -63,7 +63,7 @@ class RunnerJobSpec extends SparkSpec {
 
   it should "write to configured memory sinks without CheckResults" in {
     TestSinkRegistry.clear()
-    val tmp = Files.createTempDirectory("graft-src").toFile
+    val tmp = new java.io.File(graft.SparkSpec.tempDir("graft-src"))
     try {
       // seed a parquet source dir
       import org.apache.spark.sql.SaveMode
@@ -87,8 +87,8 @@ class RunnerJobSpec extends SparkSpec {
   }
 
   it should "round-trip a file-source → file-sink pipeline" in {
-    val in = Files.createTempDirectory("graft-in").toFile
-    val out = Files.createTempDirectory("graft-out").toFile
+    val in = new java.io.File(graft.SparkSpec.tempDir("graft-in"))
+    val out = new java.io.File(graft.SparkSpec.tempDir("graft-out"))
     try {
       import org.apache.spark.sql.SaveMode
       spark.createDataset((1 to 10).map(i => SimpleA(s"e$i", s"k${i % 3}", i.toLong, i.toDouble)))

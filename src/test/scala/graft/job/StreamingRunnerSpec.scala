@@ -20,9 +20,9 @@ class StreamingRunnerSpec extends SparkSpec {
   behavior of "runtime.mode = streaming through SparkRunner + StreamJob"
 
   it should "run a file-stream source to a file sink with AvailableNow termination" in {
-    val in = Files.createTempDirectory("gstream-in").toFile
-    val out = Files.createTempDirectory("gstream-out").toFile
-    val ck = Files.createTempDirectory("gstream-ck").toFile
+    val in = new java.io.File(graft.SparkSpec.tempDir("gstream-in"))
+    val out = new java.io.File(graft.SparkSpec.tempDir("gstream-out"))
+    val ck = new java.io.File(graft.SparkSpec.tempDir("gstream-ck"))
     try {
       import org.apache.spark.sql.SaveMode
       spark.createDataset((1 to 20).map(i => SimpleA(s"e$i", s"k${i % 2}", i.toLong, i.toDouble)))

@@ -62,7 +62,7 @@ class DecontamSpec extends SparkSpec {
     val q = cleaned.writeStream.format("memory").queryName("decontam_out")
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("dc_ck").toString)
+        graft.SparkSpec.tempDir("dc_ck"))
       .start()
     input.addData(
       (11L, "an unrelated training document about shuffle partitions and broadcast joins in engines"),
@@ -76,5 +76,21 @@ class DecontamSpec extends SparkSpec {
     kept should contain(11L) // clean doc passes
     kept should not contain 12L // verbatim eval copy dropped in-flight
     kept should not contain 13L // partial contamination above threshold dropped
+  }
+
+  it should "route a batch frame through the broadcast-join clean (no driver collect)" in {
+    val (corpus, evalDocs) = fixtures
+    graft.util.CacheBin.withScope {
+      val viaStreamingApi = Decontam.cleanStreaming(
+        corpus, evalDocs, "doc_id", "text", k = 5, maxPct = 10L)
+      // batch input delegates to the join form: the plan broadcast-joins the
+      // eval shingles instead of collecting them into a filter closure
+      viaStreamingApi.queryExecution.executedPlan.toString should
+        include("BroadcastHashJoin")
+      val viaClean = Decontam.clean(
+        corpus, evalDocs, "doc_id", "text", k = 5, maxPct = 10L)
+      viaStreamingApi.collect().map(_.getLong(0)).toSet shouldBe
+        viaClean.collect().map(_.getLong(0)).toSet
+    }
   }
 }

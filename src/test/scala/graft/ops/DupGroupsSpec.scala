@@ -47,6 +47,18 @@ class DupGroupsSpec extends SparkSpec {
     e.getMessage should include("did not converge")
   }
 
+  it should "fall back to the O(log n) variant when Auto hits the round cap" in {
+    import spark.implicits._
+    // diameter-5 chain with a cap of 1: propagation gives up, Auto retries
+    // with large-star/small-star and still returns the exact fixpoint
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    graft.util.CacheBin.withScope {
+      val labels = DupGroups.connectedComponentsAuto(chain, "a", "b", maxIter = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labels shouldBe (1L to 6L).map(_ -> 1L).toMap
+    }
+  }
+
   behavior of "DupGroups.connectedComponentsLogN (large-star/small-star)"
 
   it should "agree with min-label propagation and a union-find on random graphs" in {

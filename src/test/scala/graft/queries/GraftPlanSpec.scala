@@ -123,7 +123,7 @@ class GraftPlanSpec extends SparkSpec {
   behavior of "scan parallelism gating (tPar)"
 
   it should "not insert an exchange over an already-parallel multi-file scan" in {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_tpar").toString
+    val tmp = graft.SparkSpec.tempDir("graft_tpar")
     spark.range(0, 100000).toDF("x").repartition(8)
       .write.mode("overwrite").parquet(s"$tmp/t.parquet")
     val df = Q.tPar(spark, tmp, "t")
@@ -132,7 +132,7 @@ class GraftPlanSpec extends SparkSpec {
   }
 
   it should "repartition a single-split scan up to full parallelism" in {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_tpar1").toString
+    val tmp = graft.SparkSpec.tempDir("graft_tpar1")
     spark.range(0, 1000).coalesce(1).toDF("x")
       .write.mode("overwrite").parquet(s"$tmp/t.parquet")
     val df = Q.tPar(spark, tmp, "t")

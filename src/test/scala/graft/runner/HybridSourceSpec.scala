@@ -32,8 +32,8 @@ class HybridSourceSpec extends SparkSpec {
 
   it should "union all legs as the bounded backfill in batch mode" in {
     import spark.implicits._
-    val hist = Files.createTempDirectory("graft-hy-hist").toString
-    val live = Files.createTempDirectory("graft-hy-live").toString
+    val hist = graft.SparkSpec.tempDir("graft-hy-hist")
+    val live = graft.SparkSpec.tempDir("graft-hy-live")
     (1L to 5L).map(i => (i, s"h$i")).toDF("ts", "v")
       .write.mode("overwrite").parquet(hist)
     (3L to 10L).map(i => (i, s"l$i")).toDF("ts", "v")
@@ -48,8 +48,8 @@ class HybridSourceSpec extends SparkSpec {
 
   it should "hand the stream off past the bounded legs' max event time" in {
     import spark.implicits._
-    val hist = Files.createTempDirectory("graft-hy2-hist").toString
-    val live = Files.createTempDirectory("graft-hy2-live").toString
+    val hist = graft.SparkSpec.tempDir("graft-hy2-hist")
+    val live = graft.SparkSpec.tempDir("graft-hy2-live")
     (1L to 5L).map(i => (i, s"h$i")).toDF("ts", "v")
       .write.mode("overwrite").parquet(hist)
     (3L to 10L).map(i => (i, s"l$i")).toDF("ts", "v")

@@ -24,7 +24,7 @@ class AllowedLatenessSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("al_out")
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("al_ck").toString)
+        graft.SparkSpec.tempDir("al_ck"))
       .start()
     def rows(): Seq[Fired] = {
       import spark.implicits._
@@ -83,7 +83,7 @@ class AllowedLatenessSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("al_adapter")
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ala_ck").toString)
+        graft.SparkSpec.tempDir("ala_ck"))
       .start()
     input.addData((7L, new Timestamp(11000), 2.0), (7L, new Timestamp(13000), 3.0))
     q.processAllAvailable()
@@ -108,7 +108,7 @@ class AllowedLatenessSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("cw_out")
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("cw_ck").toString)
+        graft.SparkSpec.tempDir("cw_ck"))
       .start()
     // 2 events — window not full, nothing fires
     input.addData(KeyedValue("k1", 1L, 1.0), KeyedValue("k1", 2L, 2.0))

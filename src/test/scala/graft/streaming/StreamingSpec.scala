@@ -28,7 +28,7 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("ema_out")
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ema_ck").toString)
+        graft.SparkSpec.tempDir("ema_ck"))
       .start()
     // two micro-batches: state must carry across them
     input.addData(KeyedValue("k1", 1L, 10.0), KeyedValue("k1", 2L, 20.0))
@@ -66,7 +66,7 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("rep_out")
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("rep_ck").toString)
+        graft.SparkSpec.tempDir("rep_ck"))
       .start()
     input.addData((1L, "spam spam spam ham"), (2L, "all distinct words here"))
     runToCompletion(q)
@@ -109,7 +109,7 @@ class StreamingSpec extends SparkSpec {
     val q = cleaned.writeStream.format("memory").queryName("pipe_out")
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("pipe_ck").toString)
+        graft.SparkSpec.tempDir("pipe_ck"))
       .start()
     input.addData(
       (1L, goodA),
@@ -141,7 +141,7 @@ class StreamingSpec extends SparkSpec {
       val q = out.writeStream.format("memory").queryName("ttl_out")
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("ttl_ck").toString)
+          graft.SparkSpec.tempDir("ttl_ck"))
         .start()
       input.addData(SimpleA("e1", "k1", 1L, 1.0), SimpleA("e2", "k1", 2L, 2.0),
         SimpleA("e1", "k1", 3L, 1.0)) // in-batch duplicate
@@ -169,7 +169,7 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("sbf_out")
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("sbf_ck").toString)
+        graft.SparkSpec.tempDir("sbf_ck"))
       .start()
     input.addData(SimpleA("e1", "k1", 1L, 1.0), SimpleA("e2", "k1", 2L, 2.0))
     q.processAllAvailable()
@@ -197,7 +197,7 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("hh_out")
       .outputMode("complete")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("hh_ck").toString)
+        graft.SparkSpec.tempDir("hh_ck"))
       .start()
     input.addData("h", "h", "a", "b")
     q.processAllAvailable()

@@ -32,7 +32,7 @@ class StreamingWindowSpec extends SparkSpec {
     val q = agg.writeStream.format("memory").queryName("win_out")
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("win_ck").toString)
+        graft.SparkSpec.tempDir("win_ck"))
       .start()
 
     def t(s: String) = Timestamp.valueOf(s)

@@ -71,4 +71,29 @@ class CacheBinSpec extends SparkSpec {
     CacheBin.unpersistAll(spark)
     released.get() shouldBe 2
   }
+
+  it should "isolate a throwing release action: others still run, nothing re-runs" in {
+    val released = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[RuntimeException] {
+      CacheBin.withScope {
+        CacheBin.registerRelease(spark)(() => sys.error("boom"))
+        CacheBin.registerRelease(spark)(() => released.incrementAndGet())
+      }
+    }
+    e.getMessage should include("boom")
+    released.get() shouldBe 1 // the survivor ran despite the earlier failure
+
+    // the failed scope cleared its list — nothing re-runs on a later release
+    CacheBin.withScope { () }
+    released.get() shouldBe 1
+
+    // same isolation on the global bin
+    CacheBin.registerRelease(spark)(() => sys.error("boom-global"))
+    CacheBin.registerRelease(spark)(() => released.incrementAndGet())
+    val g = intercept[RuntimeException](CacheBin.unpersistAll(spark))
+    g.getMessage should include("boom-global")
+    released.get() shouldBe 2
+    CacheBin.unpersistAll(spark) // registry was drained up front: no re-run
+    released.get() shouldBe 2
+  }
 }
