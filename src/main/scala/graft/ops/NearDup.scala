@@ -45,6 +45,16 @@ object NearDup {
 
   def wordsOf(norm: Column): Column = split(norm, " ")
 
+  /** [[normCol]] fused into ONE native tokenize pass + a codegen'd join —
+    * no regex. Bit-equal to the regex chain by the words == split(normCol)
+    * contract (NativeExpressionsSpec pins it on adversarial inputs; the
+    * token-free input yields "" on both paths). Use on hot paths that
+    * normalize AND tokenize/shingle the same text: downstream
+    * graft_shingle_hashes/graft_words over the normalized output are
+    * idempotent, so the text is only ever scanned, never re-regexed. */
+  def normFused(c: Column): Column =
+    concat_ws(" ", call_function("graft_words", c))
+
   /** Polynomial codepoint hash fold(base*acc + ascii(ch)) mod p — the native
     * codegen'd expression (graft.functions.PolyHash). */
   def polyHash(w: Column, base: Long, p: Long): Column =

@@ -222,10 +222,13 @@ object CorpusQueries {
     *
     * Shape at scale: quality signals are a narrow map; the quota table is
     * sources-sized and broadcast; per-source ranking is one shuffle on
-    * source — with heavily skewed sources the same selection is computable
-    * as a per-source hash THRESHOLD (take h < quota/kept scaled) found by
-    * quantile sketch, which avoids the full sort; the rank form is kept here
-    * because it is exact for any quota and oracle-checkable. */
+    * source. With heavily skewed sources the IDENTICAL selection is
+    * computed skew-safely by [[graft.ops.Sampling.quotaThreshold]] (exact
+    * distributed order statistic: histogram → boundary-bucket refinement →
+    * narrow threshold filter, no per-source full sort) — OpsSpec proves the
+    * two forms row-identical on skewed strata; the rank form is kept here
+    * because the oracle-checked quota table arrives as a DataFrame mid-plan
+    * and the window is the simpler exact expression of it. */
   def applyMix(s: SparkSession, dir: String): DataFrame = {
     val BUDGET = 200L
     // kept feeds the quota aggregation (twice — once via the per-source

@@ -22,12 +22,17 @@ object PipelineQueries {
 
   /** Quality-filtered docs with content fingerprints — stage 1 is the
     * shared [[graft.ops.Quality]] signals + canonical keep rule (same
-    * thresholds as text_quality_score, defined once). */
+    * thresholds as text_quality_score, defined once). The normalized text
+    * is emitted ONCE ([[graft.ops.NearDup.normFused]], a single native
+    * tokenize pass — no regex) and feeds both the md5 fingerprint here and
+    * the shingle hashing downstream; the filter runs first so dropped rows
+    * never pay normalization or md5. */
   private def qualityKept(s: SparkSession, dir: String): DataFrame =
     graft.ops.Quality.withSignals(
         tPar(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")))
-      .withColumn("fp", md5(graft.ops.NearDup.normCol(col("text"))))
       .filter(graft.ops.Quality.keepFlag)
+      .withColumn("norm", graft.ops.NearDup.normFused(col("text")))
+      .withColumn("fp", md5(col("norm")))
 
   /** Clean-corpus survivors with per-stage accounting.
     *
@@ -51,11 +56,14 @@ object PipelineQueries {
     // survivorDocs is consumed twice inside NearDup.survivors (shingle
     // hashing AND the anti-join keep side) — persist or the dedup window
     // replays.
+    // the pre-normalized text rides through as the shingling input:
+    // graft_shingle_hashes re-normalization is idempotent on it, so the raw
+    // text is never normalized a second time
     val survivorDocs = graft.util.CacheBin.persist(
-      quality.select(col("doc_id"), col("text"), col("lang"), col("fp"))
+      quality.select(col("doc_id"), col("norm"), col("lang"), col("fp"))
         .withColumn("min_id", min("doc_id").over(wFp))
         .filter(col("doc_id") === col("min_id"))
-        .select("doc_id", "text", "lang"))
+        .select(col("doc_id"), col("norm").as("text"), col("lang")))
     // survivors carries the metadata columns (lang) through the anti-join,
     // so no join back to the quality set is needed for the report
     graft.ops.NearDup.survivors(survivorDocs, "doc_id", "text",

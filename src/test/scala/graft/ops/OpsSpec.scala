@@ -203,6 +203,38 @@ class OpsSpec extends SparkSpec {
     graft.ops.Sampling.stratifiedHash(df, "stratum", "id", Map("a" -> 20))
       .filter($"stratum" === "b").count() shouldBe 0L
   }
+
+  it should "select the exact rank-form rows via the skew-safe quota threshold" in {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    // heavily skewed strata: the shape where the rank form funnels into one
+    // task's sort and the threshold form must still match it row-for-row
+    val rows = (1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1090).map(i => (i.toLong, "small")) ++
+      (2001 to 2010).map(i => (i.toLong, "tiny")) ++
+      (3001 to 3005).map(i => (i.toLong, "unquoted"))
+    val df = rows.toDF("id", "stratum")
+      .withColumn("h", graft.ops.NearDup.polyHash(
+        concat(lit("mix:"), col("id").cast("string")), 31L, 1000000007L))
+    // quotas: partial, everything-but-one, beyond-n, zero, and absent
+    val quota = Map("big" -> 37L, "small" -> 89L, "tiny" -> 25L, "zero" -> 0L)
+    val w = Window.partitionBy("stratum").orderBy(col("h"), col("id"))
+    val rankForm = df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("q", quota.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+        when(col("stratum") === s, lit(q)).otherwise(acc) })
+      .filter(col("rn") <= col("q"))
+      .select("id").as[Long].collect().sorted.toSeq
+    // few buckets so boundary refinement does real work per stratum
+    val thForm = graft.ops.Sampling.quotaThreshold(
+        df, "stratum", "h", "id", quota, buckets = 16)
+      .select("id").as[Long].collect().sorted.toSeq
+    thForm shouldBe rankForm
+    thForm.count(_ <= 900L) shouldBe 37 // big: partial quota
+    thForm.count(i => i >= 1001L && i <= 1090L) shouldBe 89
+    thForm.count(i => i >= 2001L && i <= 2010L) shouldBe 10 // quota > n: all
+    thForm.count(_ >= 3001L) shouldBe 0 // unquoted stratum keeps nothing
+  }
   behavior of "VecDedup (embedding-cosine near-dup removal)"
 
   it should "drop planted near-duplicates and keep distinct vectors" in {
