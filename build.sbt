@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Dev profilers/scratchpads (tools/src) compile only on demand — shipped
+// sources stay engine-only: GRAFT_DEV_TOOLS=1 sbt "runMain graft.tools.Profile ..."
+Compile / unmanagedSourceDirectories ++= (
+  if (sys.env.contains("GRAFT_DEV_TOOLS")) Seq(baseDirectory.value / "tools" / "src")
+  else Seq.empty
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

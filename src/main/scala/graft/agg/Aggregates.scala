@@ -98,13 +98,17 @@ object Aggregates {
 
   /** Unit-aware variant: inputs carry (value, unitSymbol) and are converted
     * into the aggregate's preferred unit before accumulation (reference
-    * FlinkRunnerAggregateFunction.add → UnitMapper.updateAggregateWith). */
-  class UnitStatsAggregator[IN](value: IN => (Double, String), targetUnit: String)
+    * FlinkRunnerAggregateFunction.add → UnitMapper.updateAggregateWith).
+    * `convert` defaults to the physical kernel; pass
+    * `UnitKernel.withMoney(rates).convert` to enable the Money arm with a
+    * config-supplied rate snapshot. */
+  class UnitStatsAggregator[IN](value: IN => (Double, String), targetUnit: String,
+      convert: (Double, String, String) => Double = UnitKernel.convert)
       extends Aggregator[IN, StatsBuffer, Stats] {
     override def zero: StatsBuffer = StatsBuffer.empty
     override def reduce(b: StatsBuffer, a: IN): StatsBuffer = {
       val (v, u) = value(a)
-      b.add(UnitKernel.convert(v, u, targetUnit))
+      b.add(convert(v, u, targetUnit))
     }
     override def merge(b1: StatsBuffer, b2: StatsBuffer): StatsBuffer = b1.merge(b2)
     override def finish(r: StatsBuffer): Stats = Stats.of(r)

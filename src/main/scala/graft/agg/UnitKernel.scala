@@ -17,9 +17,10 @@ object UnitKernel {
   // The full dimension dispatch of the reference's UnitMapper
   // (model/UnitMapper.scala:49-147), re-derived from public SI definitions —
   // each dimension anchored to one base unit, other units as exact factors.
-  // Money is the one dispatch arm deliberately excluded: currency conversion
-  // is exchange-rate-dependent (a live market context in squants), not a
-  // physical constant; same-unit money flows through Dimensionless.
+  // Money is deliberately NOT in this static table: currency conversion is
+  // exchange-rate-dependent (a live market context in squants), not a
+  // physical constant — it is served by [[withMoney]], which takes the rate
+  // snapshot as config; same-unit money also flows through Dimensionless.
   private val Pi = math.Pi
   private val linear: Seq[(String, Seq[(String, Double)])] = Seq(
     "Mass" -> Seq("g" -> 1.0, "kg" -> 1000.0, "mg" -> 0.001, "ug" -> 1e-6,
@@ -115,4 +116,37 @@ object UnitKernel {
     // to base: v * factor + offset ; from base: (v - offset) / factor
     ((value * f.factor + f.offset) - t.offset) / t.factor
   }
+
+  /** The Money dispatch arm (reference model/UnitMapper.scala:49-147 routes
+    * Money through a squants MoneyContext of market exchange rates). Rates
+    * are NOT physical constants, so they arrive as CONFIG — a fixed
+    * snapshot the caller owns, which is the engine's reproducibility
+    * contract (a live feed would make aggregates non-replayable).
+    * `rates(sym)` = value of 1 `sym` in the base currency; the base itself
+    * is implicitly 1.0. Converts currencies and delegates every physical
+    * dimension to the kernel, so it drops into
+    * [[Aggregates.UnitStatsAggregator]] as a complete converter. */
+  final class MoneyContext private[agg] (
+      rates: Map[String, Double], val base: String) extends Serializable {
+    require(math.abs(rates.getOrElse(base, 1.0) - 1.0) < 1e-12,
+      s"base currency '$base' must have rate 1.0")
+    private val money: Map[String, Unit] = (rates + (base -> 1.0)).map {
+      case (sym, r) =>
+        require(r > 0.0, s"rate for '$sym' must be positive, got $r")
+        sym -> Unit(sym, "Money", r)
+    }
+    def dimensionOf(symbol: String): Option[String] =
+      money.get(symbol).map(_.dimension).orElse(UnitKernel.dimensionOf(symbol))
+    def convert(value: Double, from: String, to: String): Double =
+      (money.get(from), money.get(to)) match {
+        case (Some(f), Some(t)) => value * f.factor / t.factor
+        case (None, None) => UnitKernel.convert(value, from, to)
+        case _ => throw new IllegalArgumentException(
+          s"dimension mismatch: '$from' and '$to' are not both currencies")
+      }
+  }
+
+  /** Build the fixed-rate Money arm; see [[MoneyContext]]. */
+  def withMoney(rates: Map[String, Double], base: String = "USD"): MoneyContext =
+    new MoneyContext(rates, base)
 }

@@ -60,6 +60,23 @@ object DupGroups {
     df
   }
 
+  /** Lineage cut for one round: eager localCheckpoint by default (fastest —
+    * executor-block storage; an executor loss kills the job, which then
+    * simply reruns), or an eager RELIABLE checkpoint when opted in —
+    * `spark.sparkContext.setCheckpointDir` must point at shared storage
+    * (HDFS/S3 on a cluster); rounds then survive executor loss. Reliable
+    * checkpoint files are reclaimed by Spark's ContextCleaner
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`) or by removing
+    * the checkpoint dir; [[releaseCheckpoint]] still drops the block-cache
+    * copy either way. */
+  private def chk(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable checkpoint mode needs spark.sparkContext.setCheckpointDir " +
+          "(shared storage on a cluster)")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+
   /** Connected components of the undirected graph given by an edge-list
     * DataFrame. Returns one row per distinct node appearing on at least one
     * NON-self-loop edge: (`id`, `comp`) with `comp` = smallest node id in
@@ -74,7 +91,7 @@ object DupGroups {
     *                (an incomplete fixpoint must never be returned silently)
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
     val fwd = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // symmetric adjacency; duplicate edges are harmless under min()
@@ -89,7 +106,7 @@ object DupGroups {
     // loop usually exits after a single confirming round
     var compChk = adj.groupBy("src").agg(least(col("src"), min("dst")).as("comp"))
       .select(col("src").as("id"), col("comp"))
-      .localCheckpoint(true)
+      .transform(c => chk(c, reliable))
     var iter = 0
     var converged = false
     while (!converged) {
@@ -106,15 +123,15 @@ object DupGroups {
       // localCheckpoint TRUNCATES LINEAGE: each round's plan references the
       // previous round's twice (propagation + own labels), so without the
       // cut the logical plan doubles per round — exponential analysis cost
-      // long before any data is big. (On a cluster with executor loss,
-      // swap in reliable checkpointing via spark.sparkContext.setCheckpointDir.)
+      // long before any data is big. (On a cluster with executor loss, opt
+      // into reliable = true — see [[chk]].)
       val comp = compChk.select("id", "comp")
       val prop = adj.join(comp, adj("src") === comp("id"))
         .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
       val next = comp.withColumn("own", lit(true)).unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"),
           min(when(col("own"), col("comp"))).as("prev"))
-        .localCheckpoint(true)
+        .transform(c => chk(c, reliable))
       converged = next.filter(col("comp") < col("prev")).isEmpty
       releaseCheckpoint(compChk) // next is materialized; drop the old round
       compChk = next
@@ -139,7 +156,7 @@ object DupGroups {
     * two implementations cross-check each other (DupGroupsSpec does,
     * against a driver-side union-find as the third witness). */
   def connectedComponentsLogN(edges: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 40): DataFrame = {
+      maxRounds: Int = 40, reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     def sym(e: DataFrame): DataFrame =
@@ -173,7 +190,7 @@ object DupGroups {
     var cur = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .transform(c => chk(c, reliable))
     var round = 0
     var stable = false
     while (!stable) {
@@ -181,7 +198,7 @@ object DupGroups {
         releaseCheckpoint(cur)
         sys.error(s"connectedComponentsLogN did not converge in $maxRounds rounds")
       }
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = chk(smallStar(largeStar(cur)), reliable)
       stable = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
       releaseCheckpoint(cur)
       cur = next
@@ -202,10 +219,10 @@ object DupGroups {
     * [[connectedComponentsLogN]] instead of failing. Both compute the same
     * fixpoint, so the output is identical either way. */
   def connectedComponentsAuto(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame =
-    try connectedComponents(edges, aCol, bCol, maxIter)
+      maxIter: Int = 25, reliable: Boolean = false): DataFrame =
+    try connectedComponents(edges, aCol, bCol, maxIter, reliable)
     catch { case _: ConvergenceCapException =>
-      connectedComponentsLogN(edges, aCol, bCol)
+      connectedComponentsLogN(edges, aCol, bCol, reliable = reliable)
     }
 
   /** Cluster summary of a near-dup pair list: one row per duplicate cluster

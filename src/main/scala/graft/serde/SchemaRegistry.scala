@@ -79,6 +79,71 @@ object PreloadedSchemaRegistry {
   }
 }
 
+/** File-backed registry: a directory of schema definitions keyed by id plus
+  * a subject → latest-id mapping — the lookup shape of a Glue-style
+  * resolver (schemas fetched by id from a store the runtime doesn't own;
+  * reference serde/GlueAvroRegistryKafkaRecordDeserializationSchema.scala)
+  * with a filesystem in place of the AWS endpoint, proving the
+  * [[SchemaRegistryClient]] seam generalizes beyond config-preloaded maps
+  * (KafkaPayloadSpec resolves the same framed payloads through both impls).
+  *
+  * Layout: `<dir>/schemas/<id>.avsc` (schema JSON), `<dir>/subjects/<enc>`
+  * (URL-encoded subject file containing its latest id). Only the PATH ships
+  * in task closures — executors re-read on demand with a per-JVM id cache
+  * (ids are immutable once written, like every real registry), so on a
+  * cluster the directory lives on shared storage exactly like a checkpoint
+  * dir. Concurrent registration is serialized per client; multi-writer
+  * coordination is the store's concern, as with Glue. */
+final class DirectorySchemaRegistry(dir: String) extends SchemaRegistryClient {
+
+  private def schemasDir = java.nio.file.Paths.get(dir, "schemas")
+  private def subjectsDir = java.nio.file.Paths.get(dir, "subjects")
+  private def subjectPath(subject: String) = subjectsDir.resolve(
+    java.net.URLEncoder.encode(subject, "UTF-8"))
+
+  // immutable-once-written ids -> a plain per-JVM read-through cache
+  @transient private lazy val cache = new ConcurrentHashMap[Int, String]()
+
+  private def readFile(p: java.nio.file.Path): Option[String] =
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else None
+
+  override def getSchemaById(id: Int): Option[String] = {
+    val hit = cache.get(id)
+    if (hit != null) Some(hit)
+    else readFile(schemasDir.resolve(s"$id.avsc")).map { s =>
+      cache.put(id, s); s
+    }
+  }
+
+  override def idFor(subject: String): Option[Int] =
+    readFile(subjectPath(subject)).flatMap(_.trim.toIntOption)
+
+  override def register(subject: String, schemaJson: String): Int =
+    this.synchronized {
+      java.nio.file.Files.createDirectories(schemasDir)
+      java.nio.file.Files.createDirectories(subjectsDir)
+      idFor(subject).filter(id => getSchemaById(id).contains(schemaJson))
+        .getOrElse {
+          val listing = java.nio.file.Files.list(schemasDir)
+          val taken =
+            try listing.iterator().asScala
+              .flatMap(p => p.getFileName.toString.stripSuffix(".avsc").toIntOption)
+              .toSeq
+            finally listing.close()
+          val id = (taken :+ 0).max + 1
+          java.nio.file.Files.write(schemasDir.resolve(s"$id.avsc"),
+            schemaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.write(subjectPath(subject),
+            id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          cache.put(id, schemaJson)
+          id
+        }
+    }
+}
+
 /** Registry-resolving framed codec: decode looks the writer schema up by the
   * framed id (per-id codec cache, the reference deserializer's cached-schema
   * behavior); encode frames with the subject's registered id. */

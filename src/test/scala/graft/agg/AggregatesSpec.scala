@@ -133,4 +133,31 @@ class AggregatesSpec extends AnyFlatSpec with Matchers {
       withClue(s"${u.symbol} (${u.dimension}): ") { rt shouldBe 7.0 +- 1e-9 }
     }
   }
+
+  it should "serve the Money arm from a config-supplied fixed-rate snapshot" in {
+    // rates: value of 1 unit in the base currency (USD)
+    val fx = UnitKernel.withMoney(Map("EUR" -> 1.08, "GBP" -> 1.27, "JPY" -> 0.0067))
+    fx.convert(100.0, "EUR", "USD") shouldBe 108.0 +- 1e-9
+    fx.convert(108.0, "USD", "EUR") shouldBe 100.0 +- 1e-9
+    fx.convert(100.0, "EUR", "GBP") shouldBe (108.0 / 1.27) +- 1e-9
+    fx.convert(1000.0, "JPY", "USD") shouldBe 6.7 +- 1e-9
+    fx.dimensionOf("EUR") shouldBe Some("Money")
+    // physical dimensions still dispatch through the kernel unchanged
+    fx.convert(1.0, "kWh", "MJ") shouldBe 3.6 +- 1e-12
+    fx.dimensionOf("kg") shouldBe Some("Mass")
+    // money never silently converts to a physical dimension (or vice versa)
+    an[IllegalArgumentException] should be thrownBy fx.convert(1.0, "EUR", "kg")
+    an[IllegalArgumentException] should be thrownBy fx.convert(1.0, "kg", "EUR")
+    an[IllegalArgumentException] should be thrownBy
+      UnitKernel.withMoney(Map("EUR" -> -1.0))
+    an[IllegalArgumentException] should be thrownBy
+      UnitKernel.withMoney(Map("USD" -> 2.0)) // base must be 1.0
+
+    // and it drops into the unit-aware aggregator as the converter
+    val agg = new Aggregates.UnitStatsAggregator[(Double, String)](
+      identity, "USD", fx.convert)
+    val buf = Seq((100.0, "EUR"), (50.0, "USD"), (1000.0, "JPY"))
+      .foldLeft(agg.zero)(agg.reduce)
+    agg.finish(buf).sum shouldBe (108.0 + 50.0 + 6.7) +- 1e-9
+  }
 }

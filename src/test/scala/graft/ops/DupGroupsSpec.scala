@@ -59,6 +59,28 @@ class DupGroupsSpec extends SparkSpec {
     }
   }
 
+  it should "produce identical output under reliable checkpointing" in {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L)).toDF("a", "b")
+    def run(reliable: Boolean): Map[Long, Long] = graft.util.CacheBin.withScope {
+      DupGroups.connectedComponents(edges, "a", "b", reliable = reliable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // reliable mode refuses to run without a checkpoint dir
+    spark.sparkContext.getCheckpointDir match {
+      case None =>
+        an[IllegalArgumentException] should be thrownBy run(reliable = true)
+      case Some(_) => ()
+    }
+    spark.sparkContext.setCheckpointDir(graft.SparkSpec.tempDir("dg_ck"))
+    run(reliable = true) shouldBe run(reliable = false)
+    graft.util.CacheBin.withScope {
+      DupGroups.connectedComponentsLogN(edges, "a", "b", reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        run(reliable = false)
+    }
+  }
+
   behavior of "DupGroups.connectedComponentsLogN (large-star/small-star)"
 
   it should "agree with min-label propagation and a union-find on random graphs" in {

@@ -106,4 +106,46 @@ class KafkaPayloadSpec extends SparkSpec {
     // register() hands out fresh ids above the preloaded range
     fromConf.register("new-subject", v2Json) should be > 5
   }
+
+  it should "resolve the same framed payloads through the directory-backed registry" in {
+    val v2Json =
+      """{"type":"record","name":"Order","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"sym","type":"string"},
+        |{"name":"px","type":"double"},
+        |{"name":"qty","type":["null","long"],"default":null}]}""".stripMargin
+    val store = graft.SparkSpec.tempDir("schema_store")
+    val registry: SchemaRegistryClient = new DirectorySchemaRegistry(store)
+
+    // same contract as the preloaded impl: idempotent registration, fresh
+    // ids for new (subject, schema) pairs
+    val id1 = registry.register("orders-value", schemaJson)
+    val id2 = registry.register("orders-value", v2Json)
+    id2 should be > id1
+    registry.register("orders-value", v2Json) shouldBe id2 // idempotent
+    registry.idFor("orders-value") shouldBe Some(id2)
+    registry.getSchemaById(id1) shouldBe Some(schemaJson)
+
+    // framed round-trip through the SAME RegistryAvroCodec as the
+    // preloaded impl — the seam, not the store, does the resolving
+    val codec = new RegistryAvroCodec(registry)
+    val rec = codec.codecFor(id2).newRecord()
+    rec.put("id", 7L); rec.put("sym", "SYM0"); rec.put("px", 1.5); rec.put("qty", 3L)
+    val (gotId, back) = codec.decodeFramed(codec.encodeFramed(rec, "orders-value"))
+    gotId shouldBe id2
+    back.get("qty").asInstanceOf[Long] shouldBe 3L
+
+    // a SECOND client over the same directory sees the registrations (the
+    // shared-storage contract a cluster relies on); unknowns fail loudly
+    val other = new DirectorySchemaRegistry(store)
+    other.idFor("orders-value") shouldBe Some(id2)
+    other.getSchemaById(id1) shouldBe Some(schemaJson)
+    other.getSchemaById(999) shouldBe None
+    an[Exception] should be thrownBy
+      new RegistryAvroCodec(other).encodeFramed(rec, "nope-value")
+    // subjects with filename-hostile characters are encoded, not mangled
+    val odd = "topic/with:odd chars-value"
+    val oddId = other.register(odd, schemaJson)
+    other.idFor(odd) shouldBe Some(oddId)
+  }
 }
