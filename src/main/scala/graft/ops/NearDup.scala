@@ -194,9 +194,18 @@ object NearDup {
     * For maxHamming ≤ bands - 1 this is EXACT by pigeonhole: a pair with at
     * most bands-1 differing bits must agree on at least one whole chunk, so
     * every qualifying pair is found — same results as the O(n²) scan, one
-    * equi-join shuffle instead. */
+    * equi-join shuffle instead.
+    *
+    * `carry` names extra columns of `sh` to ride through the join, emitted
+    * as `<name>_a`/`<name>_b` beside each pair. Carrying beats joining them
+    * back on afterwards: the pair set is the LARGE frame here (every
+    * chunk collision survives to it), so each join-back is an extra
+    * shuffle of exactly the data this operator exists to keep narrow.
+    * Carried columns must be functions of the id (true for any per-doc
+    * attribute) or the collision-dedup `distinct` would inflate pairs. */
   def hammingPairs(sh: DataFrame, idCol: String, hashCol: String,
-      totalBits: Int, bands: Int, maxHamming: Int): DataFrame = {
+      totalBits: Int, bands: Int, maxHamming: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(totalBits % bands == 0, s"totalBits=$totalBits not divisible by bands=$bands")
     require(maxHamming < bands,
       s"maxHamming=$maxHamming needs > $maxHamming bands for the pigeonhole guarantee")
@@ -206,18 +215,21 @@ object NearDup {
       struct(lit(b).as("cb"),
         shiftright(col(hashCol), b * chunkBits).bitwiseAND(lit(mask)).as("cv"))
     }
-    val chunks = sh.select(col(idCol).as("doc_id"), col(hashCol).as("h"),
-        explode(array(chunkCols: _*)).as("c"))
-      .select(col("doc_id"), col("h"), col("c.cb").as("cb"), col("c.cv").as("cv"))
-    val left = chunks.select(col("doc_id").as("doc_a"), col("h").as("h_a"),
-      col("cb"), col("cv"))
-    val right = chunks.select(col("doc_id").as("doc_b"), col("h").as("h_b"),
-      col("cb").as("cb2"), col("cv").as("cv2"))
+    val chunks = sh.select(col(idCol).as("doc_id") +: col(hashCol).as("h") +:
+        explode(array(chunkCols: _*)).as("c") +: carry.map(col): _*)
+      .select(col("doc_id") +: col("h") +: col("c.cb").as("cb") +:
+        col("c.cv").as("cv") +: carry.map(col): _*)
+    val left = chunks.select(col("doc_id").as("doc_a") +: col("h").as("h_a") +:
+      col("cb") +: col("cv") +: carry.map(c => col(c).as(s"${c}_a")): _*)
+    val right = chunks.select(col("doc_id").as("doc_b") +: col("h").as("h_b") +:
+      col("cb").as("cb2") +: col("cv").as("cv2") +:
+      carry.map(c => col(c).as(s"${c}_b")): _*)
     left.join(right,
         col("cb") === col("cb2") && col("cv") === col("cv2") &&
           col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .select(col("doc_a") +: col("doc_b") +:
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
       // filter BEFORE the multi-chunk-collision dedup: far-apart pairs never
       // reach the distinct shuffle
       .filter(col("hamming") <= maxHamming)

@@ -297,21 +297,19 @@ object TextQueries {
     * is 527k doc pairs from under 4k value-pair rows; at 100 TB the doc-pair
     * expansion would be the job that never finishes. */
   def simhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // consumed by both sides of the chunk self-join plus the two multiplicity
-    // joins — persist once or the whole simhash pipeline runs four times
+    // consumed by both sides of the chunk self-join plus the within-cluster
+    // arm — persist once or the whole simhash pipeline runs three times
     val vals = graft.util.CacheBin.persist(simhashRaw(s, dir)
       .groupBy("simhash")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n")))
     val within = vals.filter(col("n") > 1)
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
         lit(0L).as("hamming"), expr("(n * (n - 1)) div 2").as("n_pairs"))
-    val pairs = graft.ops.NearDup.hammingPairs(
-      vals.select(col("rep"), col("simhash")), "rep", "simhash",
-      totalBits = 60, bands = 4, maxHamming = 3)
-    val na = vals.select(col("rep").as("ra"), col("n").as("n_a"))
-    val nb = vals.select(col("rep").as("rb"), col("n").as("n_b"))
-    val cross = pairs
-      .join(na, col("doc_a") === col("ra")).join(nb, col("doc_b") === col("rb"))
+    // cluster sizes ride through the chunk join (carry = n) — joining them
+    // back on afterwards would shuffle the pair set twice more
+    val cross = graft.ops.NearDup.hammingPairs(
+        vals.select(col("rep"), col("simhash"), col("n")), "rep", "simhash",
+        totalBits = 60, bands = 4, maxHamming = 3, carry = Seq("n"))
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
         col("hamming"), (col("n_a") * col("n_b")).as("n_pairs"))
     within.unionAll(cross).orderBy("rep_a", "rep_b")
