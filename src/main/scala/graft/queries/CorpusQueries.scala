@@ -353,6 +353,82 @@ object CorpusQueries {
        |       max(n_words) max_words
        |FROM w GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** PII-redaction report ([[graft.ops.Redact]]): per-language counts of
+    * redacted emails / IPs / SSN-shaped ids / phones, characters removed,
+    * and the portable-hash checksum of every redacted document — the hash
+    * proves the redacted OUTPUT matches byte-for-byte cross-engine, not
+    * just the counts. The synthetic corpus contains no PII (word-salad,
+    * zero digits), so deterministic PII derived from doc_id is planted
+    * first — identically on both engines, the vec_dedup_removal pattern.
+    * Shape at scale: plant + redact + count + hash are ONE narrow codegen
+    * map over the scan; then one map-side-combined groupBy(lang). */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Redact
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" id 072-"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"), lit(".1"))).otherwise(lit("")))
+    tPar(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), planted.as("pt"))
+      .select(col("lang"),
+        length(col("pt")).cast("long").as("len_pt"),
+        Redact.matches(col("pt"), Redact.email).as("m_email"),
+        Redact.matches(col("pt"), Redact.ipv4).as("m_ip"),
+        Redact.matches(col("pt"), Redact.ssnId).as("m_id"),
+        Redact.matches(col("pt"), Redact.phone).as("m_phone"),
+        Redact.redact(col("pt")).as("rt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("m_email").as("n_emails"), sum("m_ip").as("n_ips"),
+        sum("m_id").as("n_ids"), sum("m_phone").as("n_phones"),
+        sum(col("len_pt") - length(col("rt"))).as("chars_removed"),
+        sum(graft.ops.NearDup.polyHash(col("rt"), 31L, 1000000007L)).as("rt_hash"))
+      .orderBy("lang")
+  }
+
+  val piiRedactSql: String = {
+    // the same RE2-compatible rule strings Redact applies, chained in the
+    // same order (email, ipv4, ssn-id, phone)
+    val eEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val eIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val eId = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val ePhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val rt = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(pt, '$eEmail', '<EMAIL>', 'g'), '$eIp', '<IP>', 'g'), '$eId', '<ID>', 'g'), '$ePhone', '<PHONE>', 'g')"
+    s"""WITH p AS (
+       |  SELECT doc_id, lang, concat(text,
+       |    CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+       |    CASE WHEN doc_id % 5 = 0 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+       |    CASE WHEN doc_id % 7 = 0 THEN concat(' id 072-', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+       |    CASE WHEN doc_id % 11 = 0 THEN concat(' host 10.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 100 AS VARCHAR), '.1') ELSE '' END) pt
+       |  FROM documents),
+       |r AS (SELECT lang, length(pt) len_pt,
+       |             len(regexp_extract_all(pt, '$eEmail')) m_email,
+       |             len(regexp_extract_all(pt, '$eIp')) m_ip,
+       |             len(regexp_extract_all(pt, '$eId')) m_id,
+       |             len(regexp_extract_all(pt, '$ePhone')) m_phone,
+       |             $rt rt
+       |      FROM p)
+       |SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+       |       CAST(sum(m_email) AS BIGINT) n_emails,
+       |       CAST(sum(m_ip) AS BIGINT) n_ips,
+       |       CAST(sum(m_id) AS BIGINT) n_ids,
+       |       CAST(sum(m_phone) AS BIGINT) n_phones,
+       |       CAST(sum(len_pt - length(rt)) AS BIGINT) chars_removed,
+       |       CAST(sum(${polyHashSql("rt")}) AS BIGINT) rt_hash
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "text_tfidf" -> (tfidf _),
     "text_stratified_sample" -> (stratifiedSample _),
@@ -362,6 +438,7 @@ object CorpusQueries {
     "pipe_apply_mix" -> (applyMix _),
     "text_decontam" -> (decontam _),
     "text_length_profile" -> (lengthProfile _),
+    "text_pii_redact" -> (piiRedact _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -373,5 +450,6 @@ object CorpusQueries {
     "pipe_apply_mix" -> applyMixSql,
     "text_decontam" -> decontamSql,
     "text_length_profile" -> lengthProfileSql,
+    "text_pii_redact" -> piiRedactSql,
   )
 }
