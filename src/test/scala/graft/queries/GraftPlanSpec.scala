@@ -90,6 +90,17 @@ class GraftPlanSpec extends SparkSpec {
     opPlan should not include "BroadcastNestedLoopJoin"
   }
 
+  it should "restrict semantic dedup to within-cluster equi-join candidates" in {
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = VectorQueries.semDedup(spark, dir)
+      q.count() // materialize so the AQE final plan reflects the join choice
+      q
+    })
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("graft_nearest_codes") // codegen'd narrow assignment
+  }
+
   it should "broadcast the eval-set shingles in decontamination" in {
     val plan = planOf(graft.util.CacheBin.withScope {
       val q = CorpusQueries.decontam(spark, dir)
