@@ -429,6 +429,80 @@ object CorpusQueries {
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** URL-level dedup + per-domain cap ([[graft.ops.UrlOps]]): canonicalize
+    * raw URLs (scheme/www/query/fragment/trailing-slash variation collapses
+    * to one equivalence class), keep the smallest doc_id per canonical URL,
+    * then cap every domain at CAP surviving docs in portable-hash order —
+    * the C4/RefinedWeb front-door dedup that runs before any content pass,
+    * plus the share bound that stops one site dominating the corpus.
+    * The corpus has no URL column, so deterministic raw URLs derive from
+    * doc_id on both engines: docs in groups of 3 share a canonical URL
+    * while their RAW forms differ per doc (HTTPS://WWW. vs http://, utm
+    * query, trailing slash) — the dedup only works if canonicalization is
+    * exact, and any miss changes the hash.
+    * Shape at scale: canonicalization is a narrow codegen map; URL dedup is
+    * one groupBy(host, url); the per-domain cap is one ranking pass per
+    * host (for skewed domains [[graft.ops.Sampling.quotaThreshold]] computes
+    * the identical selection without the per-domain sort); the report joins
+    * two domain-sized aggregates. */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val CAP = 10L
+    val u = expr("doc_id div 3")
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("http://")),
+      lit("site"), (u % 13).cast("string"), lit(".example.com/p/"), u.cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("?utm=campaign")).otherwise(lit("")))
+    // feeds the mention aggregate AND the dedup chain — persist or the
+    // scan + canonicalization runs twice
+    val base = graft.util.CacheBin.persist(
+      tPar(s, dir, "documents").select(col("doc_id"), raw.as("raw_url"))
+        .withColumn("url", graft.ops.UrlOps.canonicalUrl(col("raw_url")))
+        .withColumn("host", graft.ops.UrlOps.hostOf(col("url"))))
+    val mentions = base.groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("url")).as("n_urls"))
+    val dedup = base.groupBy("host", "url").agg(min("doc_id").as("doc_id"))
+    val wHost = Window.partitionBy("host").orderBy(col("h"), col("doc_id"))
+    val kept = dedup
+      .withColumn("h", graft.ops.NearDup.polyHash(
+        concat(lit("url:"), col("doc_id").cast("string")), 31L, 1000000007L))
+      .withColumn("rn", row_number().over(wHost).cast("long"))
+      .filter(col("rn") <= CAP)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_kept"),
+        min("doc_id").as("first_kept"), max("doc_id").as("last_kept"))
+    mentions.join(kept, Seq("host"))
+      .orderBy("host")
+  }
+
+  val urlDedupSql: String = {
+    val canon = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(raw_url), '^https?://', ''), '^www\\.', ''), '[?#].*$', ''), '/$', '')"
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END,
+       |                'site', CAST((doc_id // 3) % 13 AS VARCHAR), '.example.com/p/',
+       |                CAST(doc_id // 3 AS VARCHAR),
+       |                CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+       |                CASE WHEN doc_id % 5 = 0 THEN '?utm=campaign' ELSE '' END) raw_url
+       |  FROM documents),
+       |c AS (SELECT doc_id, $canon url FROM b),
+       |h AS (SELECT doc_id, url, regexp_extract(url, '^([^/]+)', 1) host FROM c),
+       |m AS (SELECT host, CAST(count(*) AS BIGINT) n_docs,
+       |             CAST(count(DISTINCT url) AS BIGINT) n_urls
+       |      FROM h GROUP BY 1),
+       |d AS (SELECT host, url, min(doc_id) doc_id FROM h GROUP BY 1, 2),
+       |r AS (SELECT host, doc_id,
+       |             row_number() OVER (PARTITION BY host ORDER BY hh, doc_id) rn
+       |      FROM (SELECT host, doc_id,
+       |                   ${polyHashSql("concat('url:', CAST(doc_id AS VARCHAR))")} hh
+       |            FROM d)),
+       |k AS (SELECT host, CAST(count(*) AS BIGINT) n_kept,
+       |             min(doc_id) first_kept, max(doc_id) last_kept
+       |      FROM r WHERE rn <= 10 GROUP BY 1)
+       |SELECT m.host, m.n_docs, m.n_urls, k.n_kept, k.first_kept, k.last_kept
+       |FROM m JOIN k ON m.host = k.host ORDER BY m.host""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "text_tfidf" -> (tfidf _),
     "text_stratified_sample" -> (stratifiedSample _),
@@ -439,6 +513,7 @@ object CorpusQueries {
     "text_decontam" -> (decontam _),
     "text_length_profile" -> (lengthProfile _),
     "text_pii_redact" -> (piiRedact _),
+    "text_url_dedup" -> (urlDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -451,5 +526,6 @@ object CorpusQueries {
     "text_decontam" -> decontamSql,
     "text_length_profile" -> lengthProfileSql,
     "text_pii_redact" -> piiRedactSql,
+    "text_url_dedup" -> urlDedupSql,
   )
 }

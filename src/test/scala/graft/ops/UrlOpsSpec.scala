@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(UrlOps.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  private def hostAndDomain(url: String): (String, String) = {
+    import spark.implicits._
+    val r = Seq(url).toDF("u")
+      .select(UrlOps.hostOf(UrlOps.canonicalUrl(col("u"))).as("h"))
+      .select(col("h"), UrlOps.registeredDomainOf(col("h")).as("d"))
+      .head()
+    (r.getString(0), r.getString(1))
+  }
+
+  behavior of "UrlOps.canonicalUrl"
+
+  it should "collapse scheme, www, case, query, fragment and trailing slash" in {
+    canon(
+      "HTTPS://WWW.Site7.Example.com/p/123/?utm=campaign",
+      "http://site7.example.com/p/123",
+      "https://site7.example.com/p/123#frag",
+      "site7.example.com/p/123/") shouldBe
+      Seq.fill(4)("site7.example.com/p/123")
+  }
+
+  it should "only strip www as a canonical-host prefix" in {
+    // wwwx is a real label; an inner www stays; a bare host survives
+    canon("http://wwwx.site.co/a", "http://a.www.site.co/b", "https://site.co") shouldBe
+      Seq("wwwx.site.co/a", "a.www.site.co/b", "site.co")
+  }
+
+  it should "drop everything after the first query or fragment marker" in {
+    canon("http://h.co/p?a=1&b=2#x", "http://h.co/p#x?notquery") shouldBe
+      Seq("h.co/p", "h.co/p")
+  }
+
+  behavior of "UrlOps.hostOf / registeredDomainOf"
+
+  it should "split host and registered domain" in {
+    hostAndDomain("https://www.a.b.site.co/deep/path?q=1") shouldBe
+      (("a.b.site.co", "site.co"))
+    hostAndDomain("http://site.co/") shouldBe (("site.co", "site.co"))
+  }
+
+  it should "return a dotless host unchanged as its own domain" in {
+    hostAndDomain("http://localhost/admin") shouldBe (("localhost", "localhost"))
+  }
+}
