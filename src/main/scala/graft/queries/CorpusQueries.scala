@@ -503,6 +503,59 @@ object CorpusQueries {
        |FROM m JOIN k ON m.host = k.host ORDER BY m.host""".stripMargin
   }
 
+  /** Corpus-trained bigram language-model scoring — the KenLM-style
+    * fluency signal of a CCNet/RefinedWeb pipeline, with integer-scaled
+    * arithmetic instead of log-probabilities so scores are exact
+    * cross-engine: p(w2|w1) is approximated by ppm(w1w2) =
+    * (corpus_count(w1 w2) · 10⁶) div corpus_count(w1 ·), and a document's
+    * score is the mean ppm over its bigram INSTANCES (duplicates count —
+    * fluent repeated text scores high, word salad scores low). Reports the
+    * 25 lowest-scoring documents: the outlier tail a filter threshold is
+    * calibrated on.
+    *
+    * Shape at scale: ONE explode of corpus bigrams feeds the bigram-count
+    * groupBy (map-side combined); the unigram-context table derives from
+    * the bigram table (vocabulary-sized, NOT another corpus pass); scoring
+    * re-joins the per-doc bigrams to the model on (w1, w2) — the model side
+    * is vocabulary²-bounded, corpus-independent, so at 100 TB it is the
+    * broadcast side; one final groupBy(doc_id). */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    // both the model counts and the scoring join read the exploded bigram
+    // instances — persist one narrow-map frame, scan the corpus once.
+    // shinglesOf (not graft_shingles, which dedups): instances WITH
+    // duplicates are the model's event counts
+    val inst = graft.util.CacheBin.persist(tPar(s, dir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_words", col("text")).as("words"))
+      .select(col("doc_id"),
+        explode(graft.ops.NearDup.shinglesOf(col("words"),
+          concat_ws(" ", col("words")), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1)))
+    val big = inst.groupBy("w1", "bg").agg(count(lit(1)).as("c2"))
+    val uni = big.groupBy("w1").agg(sum("c2").as("c1"))
+    val model = big.join(uni, "w1")
+      .select(col("bg"), expr("(c2 * 1000000) div c1").as("ppm"))
+    val scored = inst.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(ppm) div count(1)").as("lm_ppm"))
+    scored.orderBy(col("lm_ppm"), col("doc_id")).limit(25)
+  }
+
+  val lmScoreSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |inst AS (SELECT doc_id, unnest(${shinglesSql("string_split(norm, ' ')", "norm", 2)}) bg
+       |         FROM n),
+       |w AS (SELECT doc_id, bg, string_split(bg, ' ')[1] w1 FROM inst),
+       |big AS (SELECT w1, bg, count(*) c2 FROM w GROUP BY 1, 2),
+       |uni AS (SELECT w1, sum(c2) c1 FROM big GROUP BY 1),
+       |model AS (SELECT bg, (c2 * 1000000) // c1 ppm FROM big JOIN uni USING (w1)),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+       |              CAST(sum(ppm) // count(*) AS BIGINT) lm_ppm
+       |       FROM w JOIN model USING (bg) GROUP BY 1)
+       |SELECT doc_id, n_bigrams, lm_ppm FROM sc
+       |ORDER BY lm_ppm, doc_id LIMIT 25""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "text_tfidf" -> (tfidf _),
     "text_stratified_sample" -> (stratifiedSample _),
@@ -514,6 +567,7 @@ object CorpusQueries {
     "text_length_profile" -> (lengthProfile _),
     "text_pii_redact" -> (piiRedact _),
     "text_url_dedup" -> (urlDedup _),
+    "text_lm_score" -> (lmScore _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -527,5 +581,6 @@ object CorpusQueries {
     "text_length_profile" -> lengthProfileSql,
     "text_pii_redact" -> piiRedactSql,
     "text_url_dedup" -> urlDedupSql,
+    "text_lm_score" -> lmScoreSql,
   )
 }

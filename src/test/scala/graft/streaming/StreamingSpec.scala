@@ -76,6 +76,36 @@ class StreamingSpec extends SparkSpec {
     rows(2L) shouldBe ((4L, 1L))
   }
 
+  it should "redact PII identically on a stream (stateless narrow map)" in {
+    // Redact is chained regexp_replace projections — no state, no
+    // watermark, so the streaming result must equal the batch result on
+    // the same rows
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    implicit val tEnc: Encoder[(Long, String)] = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val docs = Seq(
+      (1L, "mail a@b.co and 10.1.2.3"),
+      (2L, "id 123-45-6789 tel 555-123-4567"),
+      (3L, "nothing sensitive"))
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.Redact.redact(col("text")).as("r"))
+    val q = out.writeStream.format("memory").queryName("redact_out")
+      .outputMode("append")
+      .option("checkpointLocation", graft.SparkSpec.tempDir("redact_ck"))
+      .start()
+    input.addData(docs: _*)
+    runToCompletion(q)
+    val streamed = spark.table("redact_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = spark.createDataset(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.Redact.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    streamed shouldBe batch
+    streamed(1L) shouldBe "mail <EMAIL> and <IP>"
+    streamed(2L) shouldBe "id <ID> tel <PHONE>"
+  }
+
   behavior of "streaming corpus-cleaning pipeline (quality -> dedup -> decontam)"
 
   it should "compose the batch cleaning stages unchanged on a stream" in {
