@@ -133,6 +133,13 @@ object UnitKernel {
     private val money: Map[String, Unit] = (rates + (base -> 1.0)).map {
       case (sym, r) =>
         require(r > 0.0, s"rate for '$sym' must be positive, got $r")
+        // a currency symbol that shadows a physical unit ("R" Rand vs
+        // Rankine) would reroute previously-valid physical conversions into
+        // the currency arm and crash them at runtime — reject at build time
+        require(UnitKernel.dimensionOf(sym).isEmpty,
+          s"currency symbol '$sym' collides with the physical unit " +
+            s"'$sym' (${UnitKernel.dimensionOf(sym).get}); rename the " +
+            "currency (e.g. ISO 4217 codes are collision-free)")
         sym -> Unit(sym, "Money", r)
     }
     def dimensionOf(symbol: String): Option[String] =

@@ -602,6 +602,9 @@ case class NearestCodes(child: Expression, codebook: Array[Array[Double]],
 
   require(codebook.nonEmpty && k >= 1 && k <= codebook.length,
     s"graft_nearest_codes needs 1 <= k (=$k) <= codebook size (=${codebook.length})")
+  require(!cosine || codebook.forall(c => NearestCodes.selfDot(c) != 0.0),
+    "graft_nearest_codes: cosine metric needs non-zero codebook rows " +
+      "(a zero row has no direction and would score NaN against everything)")
 
   @transient private lazy val cn2: Array[Double] =
     if (cosine) codebook.map(c => NearestCodes.selfDot(c)) else null
@@ -648,6 +651,12 @@ object NearestCodes {
     if (cosine) {
       var i = 0
       while (i < n) { n2 = n2 + va(i) * va(i); i += 1 }
+      // a zero-norm vector makes every cosine NaN; NaN fails the strict
+      // insertion test, so topK would silently return the zero-initialized
+      // index array (everything "assigned to code 0"). Fail loudly instead —
+      // the engine's degenerate-input policy (the pre-codegen UDF threw too).
+      if (n2 == 0.0) throw new IllegalArgumentException(
+        "graft_nearest_codes: zero-norm input vector has no cosine direction")
     }
     val bi = new Array[Long](k)
     val bs = new Array[Double](k)

@@ -48,12 +48,16 @@ object NearDup {
   /** [[normCol]] fused into ONE native tokenize pass + a codegen'd join —
     * no regex. Bit-equal to the regex chain by the words == split(normCol)
     * contract (NativeExpressionsSpec pins it on adversarial inputs; the
-    * token-free input yields "" on both paths). Use on hot paths that
+    * token-free input yields "" on both paths). NULL text stays NULL, like
+    * the regex chain — concat_ws alone would turn NULL into "" and merge
+    * null-text docs into the empty-text fingerprint group (md5("") vs the
+    * oracle's md5(NULL) = NULL). Use on hot paths that
     * normalize AND tokenize/shingle the same text: downstream
     * graft_shingle_hashes/graft_words over the normalized output are
     * idempotent, so the text is only ever scanned, never re-regexed. */
   def normFused(c: Column): Column =
-    concat_ws(" ", call_function("graft_words", c))
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws(" ", call_function("graft_words", c)))
 
   /** Polynomial codepoint hash fold(base*acc + ascii(ch)) mod p — the native
     * codegen'd expression (graft.functions.PolyHash). */
@@ -209,6 +213,13 @@ object NearDup {
     require(totalBits % bands == 0, s"totalBits=$totalBits not divisible by bands=$bands")
     require(maxHamming < bands,
       s"maxHamming=$maxHamming needs > $maxHamming bands for the pigeonhole guarantee")
+    // the operator's internal frames use these names; a carried column with
+    // the same name would resolve ambiguously deep inside the self-join
+    val reserved = Set("doc_id", "h", "cb", "cv", "cb2", "cv2",
+      "doc_a", "doc_b", "h_a", "h_b", "hamming")
+    require(carry.forall(c => !reserved(c)),
+      s"hammingPairs carry columns ${carry.filter(reserved).mkString(", ")} " +
+        s"collide with the operator's internal names (${reserved.mkString(", ")}) — rename them")
     val chunkBits = totalBits / bands
     val mask = (1L << chunkBits) - 1
     val chunkCols = (0 until bands).map { b =>

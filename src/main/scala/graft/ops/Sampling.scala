@@ -69,6 +69,16 @@ object Sampling {
       hashMod: Long = HASH_P,
       buckets: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the threshold compares ids AS LONGS (collected via getLong), so the
+    // boundary window must rank in the same order — a string id column
+    // would rank "10" < "2" in the window but 2 < 10 in the filter,
+    // silently selecting a different row set. Demand an integral id.
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(idCol).dataType)
+    }, s"quotaThreshold needs an integral id column; '$idCol' is " +
+        df.schema(idCol).dataType.simpleString)
+    val idL = col(idCol).cast("long")
     val width = (hashMod + buckets - 1) / buckets
     val bucket = (col(hashCol) / width).cast("long")
 
@@ -103,7 +113,7 @@ object Sampling {
     val remByStratum = bounds.collect {
       case (s, Some(bd)) if bd.bucket >= 0 => s -> bd.rem
     }
-    val w = Window.partitionBy(strataCol).orderBy(col(hashCol), col(idCol))
+    val w = Window.partitionBy(strataCol).orderBy(col(hashCol), idL)
     val thresholds: Map[String, (Long, Long)] =
       if (remByStratum.isEmpty) Map.empty
       else {
@@ -113,7 +123,7 @@ object Sampling {
         df.filter(boundaryFilter)
           .withColumn("__rn", row_number().over(w).cast("long"))
           .filter(col("__rn") === remCol)
-          .select(col(strataCol), col(hashCol).cast("long"), col(idCol).cast("long"))
+          .select(col(strataCol), col(hashCol).cast("long"), idL)
           .collect()
           .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
           .toMap
@@ -127,7 +137,7 @@ object Sampling {
           case _ if bd.bucket < 0 => lit(false)
           case Some((th, thId)) =>
             col(hashCol) < th ||
-              (col(hashCol) === th && col(idCol).cast("long") <= thId)
+              (col(hashCol) === th && idL <= thId)
           case None => lit(false) // boundary rank vanished: empty stratum
         }
         when(col(strataCol) === s, cond).otherwise(acc)

@@ -121,6 +121,25 @@ final class DirectorySchemaRegistry(dir: String) extends SchemaRegistryClient {
   override def idFor(subject: String): Option[Int] =
     readFile(subjectPath(subject)).flatMap(_.trim.toIntOption)
 
+  // write-then-atomic-rename: a concurrent reader (an executor resolving a
+  // framed payload on the shared directory) must never observe a torn
+  // .avsc — it would cache the truncated bytes forever, since ids are
+  // immutable-once-written and the cache is never invalidated
+  private def atomicWrite(target: java.nio.file.Path, content: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      target.getParent, "." + target.getFileName.toString, ".tmp")
+    try {
+      java.nio.file.Files.write(tmp,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   override def register(subject: String, schemaJson: String): Int =
     this.synchronized {
       java.nio.file.Files.createDirectories(schemasDir)
@@ -134,10 +153,8 @@ final class DirectorySchemaRegistry(dir: String) extends SchemaRegistryClient {
               .toSeq
             finally listing.close()
           val id = (taken :+ 0).max + 1
-          java.nio.file.Files.write(schemasDir.resolve(s"$id.avsc"),
-            schemaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          java.nio.file.Files.write(subjectPath(subject),
-            id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          atomicWrite(schemasDir.resolve(s"$id.avsc"), schemaJson)
+          atomicWrite(subjectPath(subject), id.toString)
           cache.put(id, schemaJson)
           id
         }

@@ -53,12 +53,19 @@ object CacheBin {
     }
   }
 
-  /** Run every release thunk, isolating failures; returns the first one. */
+  /** Run every release thunk, isolating NON-FATAL failures; returns the
+    * first one (later ones attached as suppressed). A fatal error (OOM,
+    * interrupt) propagates immediately — continuing to issue Spark calls in
+    * an OOM'd JVM, or eating a cancellation signal, is worse than leaking
+    * the remaining cache entries. */
   private def releaseAll(thunks: Seq[() => Unit]): Option[Throwable] = {
     var first: Option[Throwable] = None
     thunks.foreach { f =>
       try f()
-      catch { case t: Throwable => if (first.isEmpty) first = Some(t) }
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          if (first.isEmpty) first = Some(t) else first.get.addSuppressed(t)
+      }
     }
     first
   }

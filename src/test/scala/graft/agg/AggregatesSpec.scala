@@ -152,6 +152,12 @@ class AggregatesSpec extends AnyFlatSpec with Matchers {
       UnitKernel.withMoney(Map("EUR" -> -1.0))
     an[IllegalArgumentException] should be thrownBy
       UnitKernel.withMoney(Map("USD" -> 2.0)) // base must be 1.0
+    // a currency symbol shadowing a physical unit ("R" Rand vs Rankine)
+    // would reroute valid physical conversions into the currency arm —
+    // rejected at build time
+    val collide = the[IllegalArgumentException] thrownBy
+      UnitKernel.withMoney(Map("R" -> 0.053))
+    collide.getMessage should include("collides")
 
     // and it drops into the unit-aware aggregator as the converter
     val agg = new Aggregates.UnitStatsAggregator[(Double, String)](

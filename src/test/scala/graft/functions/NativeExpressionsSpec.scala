@@ -316,4 +316,24 @@ class NativeExpressionsSpec extends SparkSpec {
       df.select(call_function("graft_nearest_codes", col("v"),
         typedlit(Seq(Seq(1.0, 2.0))), lit(1), lit("manhattan"))).collect()
   }
+
+  it should "fail loudly on zero-norm cosine inputs instead of returning code 0" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // zero input vector: every cosine is NaN — silent all-zeros output
+    // would misassign the vector; the engine's policy is a loud error
+    val df = Seq(Seq(0.0, 0.0)).toDF("v")
+    val e = the[Exception] thrownBy
+      df.select(call_function("graft_nearest_codes", col("v"),
+        typedlit(Seq(Seq(1.0, 2.0))), lit(1), lit("cosine"))).collect()
+    e.getMessage should include("zero-norm")
+    // zero CODEBOOK row: rejected at expression build, not per-row
+    an[Exception] should be thrownBy
+      df.select(call_function("graft_nearest_codes", col("v"),
+        typedlit(Seq(Seq(0.0, 0.0))), lit(1), lit("cosine"))).collect()
+    // l2 handles both fine (distance needs no direction)
+    df.select(call_function("graft_nearest_codes", col("v"),
+      typedlit(Seq(Seq(0.0, 0.0), Seq(3.0, 4.0))), lit(1), lit("l2")))
+      .head().getSeq[Long](0) shouldBe Seq(0L)
+  }
 }

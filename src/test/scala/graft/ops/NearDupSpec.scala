@@ -80,6 +80,38 @@ class NearDupSpec extends SparkSpec {
     brute should not be empty // sanity: the fixture does contain close pairs
   }
 
+  it should "carry per-doc columns through the chunk join and reject reserved names" in {
+    import spark.implicits._
+    val sh = Seq((1L, 7L, 10L), (2L, 7L, 20L), (3L, 999L, 30L))
+      .toDF("doc_id", "simhash", "n")
+    val out = NearDup.hammingPairs(sh, "doc_id", "simhash",
+        totalBits = 60, bands = 4, maxHamming = 3, carry = Seq("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    out.toSeq shouldBe Seq((1L, 2L, 10L, 20L)) // identical pair, n_a/n_b carried
+    // a carried name colliding with the operator's internals fails fast
+    // instead of resolving ambiguously inside the self-join
+    val e = the[IllegalArgumentException] thrownBy
+      NearDup.hammingPairs(sh.withColumnRenamed("n", "h"), "doc_id", "simhash",
+        totalBits = 60, bands = 4, maxHamming = 3, carry = Seq("h"))
+    e.getMessage should include("collide")
+  }
+
+  it should "preserve NULL text through normFused like the regex chain" in {
+    import spark.implicits._
+    val df = Seq(Some("A  b, C!"), None, Some("")).toDF("text")
+    val both = df.select(
+      NearDup.normCol(org.apache.spark.sql.functions.col("text")).as("regex"),
+      NearDup.normFused(org.apache.spark.sql.functions.col("text")).as("fused"))
+      .collect()
+    both.foreach { r =>
+      (r.isNullAt(0), r.isNullAt(1)) match {
+        case (true, true) => succeed
+        case (false, false) => r.getString(1) shouldBe r.getString(0)
+        case other => fail(s"null-ness diverged: $other")
+      }
+    }
+  }
+
   behavior of "cluster-level simhash LSH (text_simhash_lsh shape)"
 
   it should "conserve the doc-pair count of the naive doc-level scan" in {

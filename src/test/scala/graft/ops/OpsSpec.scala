@@ -235,6 +235,17 @@ class OpsSpec extends SparkSpec {
     thForm.count(i => i >= 2001L && i <= 2010L) shouldBe 10 // quota > n: all
     thForm.count(_ >= 3001L) shouldBe 0 // unquoted stratum keeps nothing
   }
+  it should "reject a non-integral id column instead of silently misranking" in {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // string ids rank "10" < "2" in the boundary window but 2 < 10 in the
+    // long-cast threshold filter — the operator must refuse, not diverge
+    val df = Seq(("2", "a", 5L), ("10", "a", 7L)).toDF("id", "stratum", "h")
+    val e = the[IllegalArgumentException] thrownBy
+      graft.ops.Sampling.quotaThreshold(df, "stratum", "h", "id", Map("a" -> 1L))
+    e.getMessage should include("integral id column")
+  }
+
   behavior of "VecDedup (embedding-cosine near-dup removal)"
 
   it should "drop planted near-duplicates and keep distinct vectors" in {

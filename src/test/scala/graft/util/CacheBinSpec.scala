@@ -96,4 +96,20 @@ class CacheBinSpec extends SparkSpec {
     CacheBin.unpersistAll(spark) // registry was drained up front: no re-run
     released.get() shouldBe 2
   }
+
+  it should "propagate a fatal release error immediately, not swallow it" in {
+    // an OOM from one releaser must not be demoted to a suppressed note on
+    // a non-fatal first failure — continuing Spark calls in an OOM'd JVM
+    // is worse than leaking the remaining entries
+    val ranAfterFatal = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[OutOfMemoryError] {
+      CacheBin.withScope {
+        CacheBin.registerRelease(spark)(() => sys.error("benign-first"))
+        CacheBin.registerRelease(spark)(() => throw new OutOfMemoryError("fake"))
+        CacheBin.registerRelease(spark)(() => ranAfterFatal.set(true))
+      }
+    }
+    e.getMessage shouldBe "fake"
+    ranAfterFatal.get() shouldBe false // sweep stopped at the fatal error
+  }
 }
