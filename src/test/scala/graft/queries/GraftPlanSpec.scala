@@ -90,6 +90,17 @@ class GraftPlanSpec extends SparkSpec {
     opPlan should not include "BroadcastNestedLoopJoin"
   }
 
+  it should "route IVF-PQ candidates through the broadcast cell equi-join" in {
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = VectorQueries.annIvfPq(spark, dir)
+      q.count() // materialize so the AQE final plan reflects the join choice
+      q
+    })
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("BroadcastHashJoin") // probes broadcast into cells
+  }
+
   it should "restrict semantic dedup to within-cluster equi-join candidates" in {
     val plan = planOf(graft.util.CacheBin.withScope {
       val q = VectorQueries.semDedup(spark, dir)
