@@ -106,6 +106,71 @@ class StreamingSpec extends SparkSpec {
     streamed(2L) shouldBe "id <ID> tel <PHONE>"
   }
 
+  it should "dedup canonical URLs across micro-batches (stateful front door)" in {
+    // UrlOps.canonicalUrl is a stateless map; composed with streaming
+    // dropDuplicates on the canonical form it becomes the C4-style URL
+    // front door: raw variants of one URL arriving in DIFFERENT
+    // micro-batches still collapse to a single kept row
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    implicit val tEnc: Encoder[(Long, String)] = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "raw_url")
+      .withColumn("url", graft.ops.UrlOps.canonicalUrl(col("raw_url")))
+      .dropDuplicates("url")
+    val q = out.writeStream.format("memory").queryName("url_out")
+      .outputMode("append")
+      .option("checkpointLocation", graft.SparkSpec.tempDir("url_ck"))
+      .start()
+    input.addData((1L, "HTTPS://WWW.Site.co/p/1?utm=x"), (2L, "http://other.co/a"))
+    q.processAllAvailable()
+    input.addData((3L, "http://site.co/p/1/"), (4L, "http://other.co/b")) // 3 = dup of 1
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("url_out").collect()
+      .map(r => r.getAs[String]("url")).sorted
+    kept shouldBe Array("other.co/a", "other.co/b", "site.co/p/1")
+  }
+
+  it should "score a stream against a batch-trained bigram model (stream-static join)" in {
+    // the train-batch / score-stream shape: the bigram model is a static
+    // frame (trained once, vocabulary-squared-bounded), each micro-batch
+    // joins against it — no state, the model is the broadcast side
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    implicit val tEnc: Encoder[(Long, String)] = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val corpus = spark.createDataset(Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat")))
+      .toDF("doc_id", "text")
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), call_function("graft_words", col("text")).as("words"))
+      .select(col("doc_id"), explode(graft.ops.NearDup.shinglesOf(col("words"),
+        concat_ws(" ", col("words")), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val big = bigrams(corpus).groupBy("w1", "bg").agg(count(lit(1)).as("c2"))
+    val uni = big.groupBy("w1").agg(sum("c2").as("c1"))
+    val model = big.join(uni, "w1")
+      .select(col("bg"), expr("(c2 * 1000000) div c1").as("ppm"))
+    val input = MemoryStream[(Long, String)]
+    val scored = bigrams(input.toDF().toDF("doc_id", "text"))
+      .join(broadcast(model), "bg")
+      .groupBy("doc_id")
+      .agg(expr("sum(ppm) div count(1)").as("lm_ppm"))
+    val q = scored.writeStream.format("memory").queryName("lm_out")
+      .outputMode("complete")
+      .option("checkpointLocation", graft.SparkSpec.tempDir("lm_ck"))
+      .start()
+    input.addData((10L, "the cat sat"), (11L, "the dog ran"))
+    runToCompletion(q)
+    val rows = spark.table("lm_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "the cat" 2/3, "cat sat" 1/2 -> mean of (666666, 500000) = 583333
+    rows(10L) shouldBe 583333L
+    // "the dog" 1/3 -> 333333; "dog ran" unseen (dropped by the inner join)
+    rows(11L) shouldBe 333333L
+  }
+
   behavior of "streaming corpus-cleaning pipeline (quality -> dedup -> decontam)"
 
   it should "compose the batch cleaning stages unchanged on a stream" in {
