@@ -24,10 +24,11 @@ object UrlOps {
     * `https://a.com/p/1`). */
   def canonicalUrl(url: Column): Column = {
     val steps = Seq(
-      "^https?://" -> "", // scheme
-      "^www\\."    -> "", // canonical-host www prefix
-      "[?#].*$"    -> "", // query string + fragment
-      "/$"         -> "") // trailing slash
+      "^https?://"   -> "", // scheme
+      "^(www\\.)+"   -> "", // canonical-host www prefix(es) — all of them,
+                            // so canonicalUrl(canonicalUrl(u)) == canonicalUrl(u)
+      "[?#].*$"      -> "", // query string + fragment
+      "/$"           -> "") // trailing slash
     steps.foldLeft(lower(url)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
   }
 

@@ -476,7 +476,7 @@ object CorpusQueries {
   }
 
   val urlDedupSql: String = {
-    val canon = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(raw_url), '^https?://', ''), '^www\\.', ''), '[?#].*$', ''), '/$', '')"
+    val canon = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(raw_url), '^https?://', ''), '^(www\\.)+', ''), '[?#].*$', ''), '/$', '')"
     s"""WITH b AS (
        |  SELECT doc_id,
        |         concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END,

@@ -423,6 +423,56 @@ object TextQueries {
     graft.ops.DupGroups.clusters(pairs, "doc_a", "doc_b").orderBy("cluster")
   }
 
+  /** Cross-document duplicated-substring mass — the signal behind
+    * exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, how much of it is
+    * word 4-gram windows that ALSO appear in some other document. Reports
+    * the 50 most-duplicated documents (window count, shared-window count,
+    * integer percent) — the ranking a span-removal pass is seeded from.
+    * This is the cross-doc complement of text_repetition's within-doc
+    * signals.
+    *
+    * Shape at scale: the inverted-index pattern over window hashes — one
+    * narrow fused shingle-hash map (distinct per doc, the operator's
+    * "window content" semantics), one map-side-combined df groupBy, one
+    * join of the window postings back to the df table, one final
+    * groupBy(doc_id). Identical machinery to tf-idf, so it scales the
+    * same way; no pair materialization anywhere (the naive "which docs
+    * share a span" pair scan is quadratic in duplication). */
+  def sharedNgrams(s: SparkSession, dir: String): DataFrame = {
+    val K = 4
+    // postings feed the df groupBy AND the join back — persist, one scan
+    val win = graft.util.CacheBin.persist(tPar(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes", col("text"),
+          lit(K), lit(31L), lit(1000000007L))).as("wh")))
+    val dfreq = win.groupBy("wh").agg(count(lit(1)).as("df"))
+    win.join(dfreq, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_pct", expr("(n_shared * 100) div n_windows"))
+      .filter(col("n_shared") > 0)
+      .orderBy(col("shared_pct").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val sharedNgramsSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
+       |sh AS (SELECT doc_id, ${shinglesSql("words", "norm", 4)} shs FROM w),
+       |win AS (SELECT doc_id, unnest(list_distinct(
+       |          list_transform(shs, sg -> ${polyHashSql("sg", 31L, P1)}))) wh
+       |        FROM sh),
+       |dfreq AS (SELECT wh, count(*) df FROM win GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_windows,
+       |              CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) n_shared
+       |       FROM win JOIN dfreq USING (wh) GROUP BY 1)
+       |SELECT doc_id, n_windows, n_shared,
+       |       (n_shared * 100) // n_windows shared_pct
+       |FROM sc WHERE n_shared > 0
+       |ORDER BY shared_pct DESC, doc_id LIMIT 50""".stripMargin
+
   val dupClustersSql: String = {
     val mp = minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")
     s"""WITH RECURSIVE mp AS ($mp),
@@ -441,6 +491,7 @@ object TextQueries {
   val queries: Map[String, QueryFn] = Map(
     "text_token_counts" -> (tokenCounts _),
     "text_dup_clusters" -> (dupClusters _),
+    "text_shared_ngrams" -> (sharedNgrams _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
@@ -456,6 +507,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "text_token_counts" -> tokenCountsSql,
     "text_dup_clusters" -> dupClustersSql,
+    "text_shared_ngrams" -> sharedNgramsSql,
     "text_quality_score" -> qualityScoreSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,

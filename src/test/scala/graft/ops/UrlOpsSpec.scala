@@ -37,6 +37,17 @@ class UrlOpsSpec extends SparkSpec {
       Seq("wwwx.site.co/a", "a.www.site.co/b", "site.co")
   }
 
+  it should "be idempotent, including stacked www prefixes" in {
+    import spark.implicits._
+    val urls = Seq("http://www.www.site.co/p", "HTTPS://WWW.site.co/p/?q=1",
+      "site.co/p/", "http://wwwx.co/www.page")
+    val once = canon(urls: _*)
+    val twice = once.toDF("u").select(UrlOps.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    twice shouldBe once
+    once.head shouldBe "site.co/p" // both www labels stripped
+  }
+
   it should "drop everything after the first query or fragment marker" in {
     canon("http://h.co/p?a=1&b=2#x", "http://h.co/p#x?notquery") shouldBe
       Seq("h.co/p", "h.co/p")
