@@ -70,6 +70,48 @@ object TextQueries {
       |       CAST(length(text) AS BIGINT) n_chars_calc, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-style pre-tokenizer counts — the GPT-2 pre-tokenization pattern
+    * (contraction suffixes, space-prefixed letter runs / digit runs /
+    * punctuation runs), simplified to the lookahead-free RE2-compatible
+    * ASCII subset so the identical pattern string runs on both engines.
+    * Per-language rollup: docs, whitespace tokens, BPE-ish tokens, and
+    * bytes-per-token ppm — the tokenizer-efficiency metric a training
+    * pipeline budgets sequence lengths with (whitespace counts alone
+    * under-estimate real tokenizer output on punctuation-heavy text).
+    * A pure narrow codegen map + one map-side-combined groupBy. */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val P = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    val toks = filter(regexp_extract_all(col("text"), lit(P), lit(0)),
+      m => trim(m) =!= "")
+    tPar(s, dir, "documents")
+      .select(col("lang"),
+        size(call_function("graft_words", col("text"))).cast("long").as("ws"),
+        size(toks).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"),
+        expr("(sum(chars) * 1000000) div sum(bpe)").as("chars_per_token_ppm"))
+      .orderBy("lang")
+  }
+
+  val bpeTokensSql: String = {
+    // SQL string literal: the contraction apostrophes must double up
+    val p = """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+    s"""WITH t AS (
+       |  SELECT lang,
+       |         CAST(len(string_split($normSql, ' ')) AS BIGINT) ws,
+       |         CAST(len(list_filter(regexp_extract_all(text, '$p'),
+       |                              m -> trim(m) != '')) AS BIGINT) bpe,
+       |         CAST(length(text) AS BIGINT) chars
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+       |       CAST(sum(ws) AS BIGINT) ws_tokens,
+       |       CAST(sum(bpe) AS BIGINT) bpe_tokens,
+       |       (CAST(sum(chars) AS BIGINT) * 1000000) // CAST(sum(bpe) AS BIGINT) chars_per_token_ppm
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Quality scoring: word/letter/punct/stopword counts (all integers) and a
     * boolean keep-flag from integer threshold comparisons — the shared
     * [[graft.ops.Quality]] signals + canonical keep rule. */
@@ -492,6 +534,7 @@ object TextQueries {
     "text_token_counts" -> (tokenCounts _),
     "text_dup_clusters" -> (dupClusters _),
     "text_shared_ngrams" -> (sharedNgrams _),
+    "text_bpe_tokens" -> (bpeTokens _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
@@ -508,6 +551,7 @@ object TextQueries {
     "text_token_counts" -> tokenCountsSql,
     "text_dup_clusters" -> dupClustersSql,
     "text_shared_ngrams" -> sharedNgramsSql,
+    "text_bpe_tokens" -> bpeTokensSql,
     "text_quality_score" -> qualityScoreSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,

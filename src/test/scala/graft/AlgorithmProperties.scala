@@ -201,4 +201,67 @@ object AlgorithmProperties extends Properties("graft.algorithms") {
         } &&
         exact.forall { case (item, t) => t * cap <= m.n || m.contains(item) }
     }
+
+  // ---- Redact / UrlOps rule chains (the patterns are the artifact; Spark's
+  // regexp_replace executes java.util.regex, the same engine as replaceAll,
+  // so pattern-level properties transfer to the Column path 1:1) ----
+
+  private def redactStr(s: String): String =
+    graft.ops.Redact.default.foldLeft(s)(
+      (acc, r) => acc.replaceAll(r.pattern, r.replacement))
+
+  private val piiSnippet: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(u => s"$u@example.com"),
+    for (a <- Gen.choose(0, 299); b <- Gen.choose(0, 299)) yield s"$a.$b.1.2",
+    for (a <- Gen.choose(0, 999); b <- Gen.choose(0, 9999))
+      yield f"$a%03d-${b % 100}%02d-$b%04d",
+    for (a <- Gen.choose(0, 999); b <- Gen.choose(0, 9999))
+      yield f"$a%03d-${b % 1000}%03d-$b%04d",
+    Gen.oneOf("1.2.3", "12-34-5678", "v1.2.3.4.5", "x@y", "a@b.co"))
+
+  private val piiTextGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr, piiSnippet, Gen.numStr))
+      .map(_.mkString(" "))
+
+  property("Redact rule chain is idempotent on any mixed-PII text") =
+    Prop.forAll(piiTextGen) { s =>
+      val once = redactStr(s)
+      redactStr(once) == once
+    }
+
+  property("Redact output never contains a remaining rule match") =
+    Prop.forAll(piiTextGen) { s =>
+      val out = redactStr(s)
+      graft.ops.Redact.default.forall(r =>
+        !java.util.regex.Pattern.compile(r.pattern).matcher(out).find())
+    }
+
+  private def canonStr(s: String): String =
+    Seq("^https?://" -> "", "^(www\\.)+" -> "", "[?#].*$" -> "", "/$" -> "")
+      .foldLeft(s.toLowerCase) { case (acc, (p, r)) => acc.replaceAll(p, r) }
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("", "http://", "https://", "HTTP://", "HTTPS://")
+    wwws <- Gen.choose(0, 3)
+    host <- Gen.nonEmptyListOf(Gen.oneOf(Gen.const("www"),
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)))
+      .map(_.mkString("."))
+    path <- Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.mkString("/"))
+    slash <- Gen.oneOf("", "/")
+    suffix <- Gen.oneOf("", "?a=1&b=2", "#frag", "?q#f")
+  } yield scheme + ("www." * wwws) + host +
+    (if (path.nonEmpty) "/" + path else "") + slash + suffix
+
+  property("canonicalUrl rule chain is idempotent on arbitrary urls") =
+    Prop.forAll(urlGen) { u =>
+      val once = canonStr(u)
+      canonStr(once) == once
+    }
+
+  property("canonicalUrl collapses scheme/www/query/slash variants to one form") =
+    Prop.forAll(urlGen) { u =>
+      val c = canonStr(u)
+      canonStr("https://WWW." + u.stripPrefix("http://").stripPrefix("https://")
+        .stripPrefix("HTTP://").stripPrefix("HTTPS://")) == c
+    }
 }
