@@ -194,6 +194,9 @@ object Multimodal {
         sniffJpeg(b)
       else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE")
         sniffWav(b)
+      else if (FrameContainer.isValid(b))
+        MediaMeta("video", "video/x-graft-frames", 0, 0, 0,
+          FrameContainer.durationMs(b))
       else unknown
     }
 
@@ -238,6 +241,86 @@ object Multimodal {
       if (content == null) MediaSniffer.unknown else MediaSniffer.sniff(content)
     }
     df.withColumn("meta", sniffUdf(col(contentCol)))
+  }
+
+  /** Minimal deterministic frame container ("GVID"): 16-byte header —
+    * magic, frame length, frame count, fps (all big-endian) — followed by
+    * the fixed-length frames concatenated. Stands in for a real video
+    * container: the JDK ships no video demuxer (the documented offline
+    * seam — an FFmpeg/JNI demuxer drops in behind [[sampleFrames]]'s
+    * signature), but the SAMPLING machinery — stride selection, bounded
+    * output, partition-local byte slicing, exploded (frame_idx, frame)
+    * rows — is the real engine plumbing a video pipeline runs. */
+  object FrameContainer extends Serializable {
+    val HeaderLen = 16
+    private def beInt(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def putInt(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+      b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+    }
+
+    def pack(frames: Seq[Array[Byte]], fps: Int = 30): Array[Byte] = {
+      require(frames.nonEmpty, "pack needs at least one frame")
+      require(fps > 0, s"fps must be positive, got $fps")
+      val len = frames.head.length
+      require(len > 0 && frames.forall(_.length == len),
+        "all frames must share one positive length")
+      val out = new Array[Byte](HeaderLen + len * frames.size)
+      out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+      putInt(out, 4, len); putInt(out, 8, frames.size); putInt(out, 12, fps)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        System.arraycopy(f, 0, out, HeaderLen + i * len, len)
+      }
+      out
+    }
+
+    /** Structurally valid GVID: magic + header fields consistent with the
+      * payload length (truncated/corrupt containers are NOT valid — the
+      * sampler must never slice out of bounds on untrusted bytes). */
+    def isValid(b: Array[Byte]): Boolean =
+      b != null && b.length >= HeaderLen &&
+        b(0) == 'G' && b(1) == 'V' && b(2) == 'I' && b(3) == 'D' && {
+          val len = beInt(b, 4); val n = beInt(b, 8); val fps = beInt(b, 12)
+          len > 0 && n > 0 && fps > 0 &&
+            b.length.toLong == HeaderLen.toLong + len.toLong * n
+        }
+
+    def frameCount(b: Array[Byte]): Int = beInt(b, 8)
+    def fps(b: Array[Byte]): Int = beInt(b, 12)
+    def durationMs(b: Array[Byte]): Long =
+      frameCount(b).toLong * 1000L / fps(b)
+
+    /** Every-`every`-th frame starting at 0, capped at `maxFrames` —
+      * returned as (frame index, frame bytes). Non-GVID / corrupt payloads
+      * yield no frames (images and audio flow through the same column). */
+    def sampleFrames(b: Array[Byte], every: Int, maxFrames: Int): Seq[(Int, Array[Byte])] = {
+      if (!isValid(b)) return Seq.empty
+      val len = beInt(b, 4); val n = beInt(b, 8)
+      (0 until n by every).take(maxFrames).map { i =>
+        i -> java.util.Arrays.copyOfRange(b, HeaderLen + i * len, HeaderLen + (i + 1) * len)
+      }
+    }
+  }
+
+  /** Frame sampling over a binary column: each GVID payload explodes into
+    * its sampled (frame_idx, frame) rows, all other columns carried; rows
+    * whose payload is not a frame container contribute nothing. A pure
+    * narrow partition-local map + explode — no shuffle; at 100 TB the
+    * per-payload output is bounded by `maxFrames` regardless of how long
+    * any single video is (the skew guard a frame pipeline needs). */
+  def frameSample(df: DataFrame, contentCol: String = "content",
+      every: Int = 1, maxFrames: Int = 64): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    val sampleUdf = udf { (content: Array[Byte]) =>
+      FrameContainer.sampleFrames(content, every, maxFrames)
+    }
+    df.withColumn("__f", explode(sampleUdf(col(contentCol))))
+      .withColumn("frame_idx", col("__f._1").cast("long"))
+      .withColumn("frame", col("__f._2"))
+      .drop("__f", contentCol)
   }
 
   /** Bucket media by kind + size-class for balanced downstream partitions

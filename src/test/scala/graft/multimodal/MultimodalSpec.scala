@@ -135,4 +135,48 @@ class MultimodalSpec extends SparkSpec {
     out.head.mediaId shouldBe 7L
     all(out.head.thumbnail.map(_ & 0xff).toSeq) shouldBe 255 // white luma
   }
+
+  behavior of "FrameContainer + frameSample"
+
+  private def frames(n: Int, len: Int): Seq[Array[Byte]] =
+    (0 until n).map(i => Array.tabulate(len)(j => (i * 31 + j).toByte))
+
+  it should "sample every k-th frame with exact bytes and bounded output" in {
+    val fs = frames(10, 8)
+    val video = Multimodal.FrameContainer.pack(fs, fps = 5)
+    Multimodal.FrameContainer.frameCount(video) shouldBe 10
+    Multimodal.FrameContainer.durationMs(video) shouldBe 2000L
+    val sampled = Multimodal.FrameContainer.sampleFrames(video, every = 3, maxFrames = 16)
+    sampled.map(_._1) shouldBe Seq(0, 3, 6, 9)
+    sampled.foreach { case (i, b) => b.toSeq shouldBe fs(i).toSeq }
+    // the cap bounds any single payload's output (the skew guard)
+    Multimodal.FrameContainer.sampleFrames(video, every = 1, maxFrames = 4)
+      .map(_._1) shouldBe Seq(0, 1, 2, 3)
+  }
+
+  it should "yield nothing for non-container and corrupt payloads" in {
+    Multimodal.FrameContainer.sampleFrames("not video".getBytes, 1, 8) shouldBe empty
+    Multimodal.FrameContainer.sampleFrames(null, 1, 8) shouldBe empty
+    // header claims more frames than the payload holds: truncated = invalid
+    val truncated = Multimodal.FrameContainer.pack(frames(4, 8)).dropRight(8)
+    Multimodal.FrameContainer.sampleFrames(truncated, 1, 8) shouldBe empty
+  }
+
+  it should "explode sampled frames over a DataFrame, carrying other columns" in {
+    import spark.implicits._
+    val video = Multimodal.FrameContainer.pack(frames(6, 4), fps = 3)
+    val df = Seq((1L, video), (2L, "plain bytes".getBytes)).toDF("media_id", "content")
+    val out = Multimodal.frameSample(df, every = 2, maxFrames = 8)
+      .select("media_id", "frame_idx", "frame").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 0L), (1L, 2L), (1L, 4L)) // non-video row 2 contributes nothing
+    out.head.getAs[Array[Byte]](2).toSeq shouldBe frames(6, 4).head.toSeq
+  }
+
+  it should "sniff the frame container as video with its duration" in {
+    val video = Multimodal.FrameContainer.pack(frames(30, 2), fps = 10)
+    val m = MediaSniffer.sniff(video)
+    (m.kind, m.mimeType, m.durationMs) shouldBe
+      (("video", "video/x-graft-frames", 3000L))
+  }
 }
