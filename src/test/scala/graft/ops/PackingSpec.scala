@@ -35,4 +35,37 @@ class PackingSpec extends SparkSpec {
       out.count() shouldBe 10000L
     }
   }
+
+  behavior of "sharded output write (pipe_shard_plan's write step)"
+
+  it should "round-trip partitionBy(shard) parquet with the exact assignment" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // the shard assignment pipe_shard_plan computes, materialized as the
+    // actual partitioned layout a training job reads back shard by shard
+    val N_SHARDS = 8
+    val docs = (0L until 2000L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+    val sharded = docs.withColumn("shard",
+      graft.ops.NearDup.polyHash(
+        concat(lit("shard:"), col("doc_id").cast("string")), 31L, 1000000007L) % N_SHARDS)
+    val dir = graft.SparkSpec.tempDir("shard_write")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    // one directory per shard, hive-style
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    shardDirs.length shouldBe N_SHARDS
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 2000L
+    // the partition column survives with the identical assignment (read
+    // back as int by hive partition-type inference — cast to compare), and
+    // reading ONE shard prunes to that directory (partition pruning)
+    val expect = sharded.select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back.select(col("doc_id"), col("shard").cast("long")).collect()
+      .foreach(r => r.getLong(1) shouldBe expect(r.getLong(0)))
+    val one = back.filter(col("shard") === 3)
+    one.count() shouldBe expect.values.count(_ == 3L)
+    one.queryExecution.executedPlan.toString should include("PartitionFilters: [")
+  }
 }
