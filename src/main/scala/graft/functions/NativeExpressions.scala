@@ -602,6 +602,8 @@ case class NearestCodes(child: Expression, codebook: Array[Array[Double]],
 
   require(codebook.nonEmpty && k >= 1 && k <= codebook.length,
     s"graft_nearest_codes needs 1 <= k (=$k) <= codebook size (=${codebook.length})")
+  require(codebook.forall(_.length == codebook(0).length),
+    "graft_nearest_codes: ragged codebook — all rows must share one dimension")
   require(!cosine || codebook.forall(c => NearestCodes.selfDot(c) != 0.0),
     "graft_nearest_codes: cosine metric needs non-zero codebook rows " +
       "(a zero row has no direction and would score NaN against everything)")
@@ -647,6 +649,11 @@ object NearestCodes {
       k: Int, cosine: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
     val va = v.toDoubleArray()
     val n = va.length
+    // Rows are uniform-length by construction; one check against the input
+    // catches a vector/codebook dimension mismatch loudly instead of an
+    // ArrayIndexOutOfBounds (short row) or a silent truncated score (long row).
+    if (cb(0).length != n) throw new IllegalArgumentException(
+      s"graft_nearest_codes: input dimension $n != codebook dimension ${cb(0).length}")
     var n2 = 0.0
     if (cosine) {
       var i = 0

@@ -215,7 +215,7 @@ object NearDup {
       s"maxHamming=$maxHamming needs > $maxHamming bands for the pigeonhole guarantee")
     // the operator's internal frames use these names; a carried column with
     // the same name would resolve ambiguously deep inside the self-join
-    val reserved = Set("doc_id", "h", "cb", "cv", "cb2", "cv2",
+    val reserved = Set("doc_id", "h", "c", "cb", "cv", "cb2", "cv2",
       "doc_a", "doc_b", "h_a", "h_b", "hamming")
     require(carry.forall(c => !reserved(c)),
       s"hammingPairs carry columns ${carry.filter(reserved).mkString(", ")} " +

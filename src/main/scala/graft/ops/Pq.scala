@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization training + encoding, shared by the PQ consumers
+  * (`vec_pq_codes`, `vec_ann_ivfpq`; SemDeDup can train its codebook the
+  * same way). One place for the seed/assign/Lloyd-refit block that
+  * previously lived twice in `queries/VectorQueries`.
+  *
+  * PQ (Jégou, Douze, Schmid, "Product quantization for nearest neighbor
+  * search", TPAMI 2011) splits a d-dim space into `s` subspaces of `sub`
+  * dims, each with its own `kc`-centroid codebook, so a vector encodes as
+  * `s` small codes — d×4 bytes → s bytes.
+  *
+  * Determinism contract (the reason this is NOT MLlib KMeans): codebooks
+  * are seeded from the vectors with id 0..kc-1 and refit by ONE Lloyd
+  * update whose per-cell means are exact integer micro-unit sums, so a SQL
+  * engine (the DuckDB oracle) can reproduce the trained codebook
+  * bit-for-bit. Assignment ties break on the lower code.
+  *
+  * Scale shape: the codebooks are tiny by design (s×kc×sub doubles) and
+  * collected; assignment is the codegen'd `graft_nearest_codes` narrow map
+  * (no per-row UDF boxing); the refit is one map-side-combined groupBy.
+  * One shuffle per refit pass, never O(n²).
+  */
+object Pq {
+
+  /** Trained PQ codebooks: `cb(si)(code)` is the `sub`-dim centroid. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def nearestCode(v: Column, cb: Array[Array[Double]]): Column =
+    element_at(call_function("graft_nearest_codes", v,
+      typedlit(cb.map(_.toSeq).toSeq), lit(1), lit("l2")), 1)
+
+  /** Per-subspace nearest-code assignment over trained codebooks: an
+    * array<long>(s) column of 0-based codes. `slice` keeps element order,
+    * so the squared-L2 fold inside `graft_nearest_codes` is bit-equal to a
+    * whole-vector loop over the same sub-range. */
+  def encode(vec: Column, cb: Codebooks, sub: Int): Column =
+    array(cb.indices.map { si =>
+      nearestCode(slice(vec, si * sub + 1, sub), cb(si))
+    }: _*)
+
+  /** Train `s` subspace codebooks of `kc` centroids each over `sub`-dim
+    * slices of `vecCol` (array<double>, dimension `s*sub`): seed from the
+    * rows with `idCol` 0..kc-1, then ONE Lloyd refit with exact micro-unit
+    * integer means. Fails loudly on an empty cell (reseed or lower kc) —
+    * silently keeping a stale seed would desync the oracle. */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+      s: Int, sub: Int, kc: Int): Codebooks = {
+    val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val seeds = e.filter(col("__id") < kc).orderBy("__id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(seeds.length == kc,
+      s"Pq.train: need ids 0..${kc - 1} as seeds, found ${seeds.length}")
+    val cb1: Codebooks =
+      Array.tabulate(s, kc)((si, c) => seeds(c).slice(si * sub, (si + 1) * sub))
+    // Lloyd refit per (subspace, code): exact micro-unit sums of the
+    // assigned sub-vectors, one map-side-combined shuffle, collected as the
+    // trained codebook (s*kc rows — tiny by design)
+    val subSums = (0 until sub).map { d =>
+      sum(round(element_at(col("__v"), col("__s") * sub + d + 1) * 1000000)
+        .cast("long")).as(s"m$d")
+    }
+    val m = e.withColumn("__codes", encode(col("__v"), cb1, sub))
+      .select(col("__v"), posexplode(col("__codes")).as(Seq("__s", "__code")))
+      .groupBy("__s", "__code")
+      .agg(subSums.head, subSums.tail :+ count(lit(1)).as("cn"): _*)
+      .collect()
+    val byCell = m.map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+    Array.tabulate(s, kc) { (si, c) =>
+      val r = byCell.getOrElse((si, c.toLong),
+        sys.error(s"empty PQ cell (s=$si, code=$c) — reseed or lower k"))
+      val cn = r.getLong(sub + 2)
+      Array.tabulate(sub)(d => r.getLong(d + 2).toDouble / (cn * 1000000L).toDouble)
+    }
+  }
+}

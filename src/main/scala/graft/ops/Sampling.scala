@@ -78,6 +78,12 @@ object Sampling {
       Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(idCol).dataType)
     }, s"quotaThreshold needs an integral id column; '$idCol' is " +
         df.schema(idCol).dataType.simpleString)
+    // the histogram collect reads strata via getString and the quota map is
+    // keyed by String — a non-string strata column would die in an opaque
+    // ClassCastException (or compare wrong). Mirror the id-column check.
+    require(df.schema(strataCol).dataType == org.apache.spark.sql.types.StringType,
+      s"quotaThreshold needs a string strata column; '$strataCol' is " +
+        df.schema(strataCol).dataType.simpleString)
     val idL = col(idCol).cast("long")
     val width = (hashMod + buckets - 1) / buckets
     val bucket = (col(hashCol) / width).cast("long")
