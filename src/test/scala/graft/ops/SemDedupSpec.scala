@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The reusable SemDeDup operator: planted near-duplicates co-cluster with
+  * their originals and are dropped (lowest id survives), distinct vectors
+  * survive, and the codebook size is a real parameter (k > 8 works). */
+class SemDedupSpec extends SparkSpec {
+
+  // 24 mutually-orthogonal base vectors (one-hot in 24 dims, distinct
+  // magnitudes — cosine between any two distinct bases is exactly 0), plus
+  // exact copies of ids 0..5 planted at ids 100..105
+  private lazy val vecs = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = (0 until 24).map { i =>
+      val v = Array.tabulate(24)(d => if (d == i) 1.0 + 0.1 * i else 0.0)
+      (i.toLong, v.toSeq)
+    }
+    val planted = (0 until 6).map(i => (100L + i, base(i)._2))
+    (base ++ planted).toDF("vec_id", "v")
+  }
+
+  behavior of "SemDedup"
+
+  it should "drop every planted exact copy and keep all originals (k > 8)" in {
+    val cb = SemDedup.seedCodebook(vecs, "vec_id", "v", k = 12)
+    cb.length shouldBe 12
+    val kept = SemDedup.clean(vecs, "vec_id", "v", cb, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // identical vector -> identical distances -> identical tie-break, so a
+    // copy always lands in its original's cluster and must be found there
+    (100L to 105L).foreach(id => kept should not contain id)
+    (0L until 24L).foreach(id => kept should contain(id))
+  }
+
+  it should "report within-cluster drop ids with the lowest id surviving" in {
+    val cb = SemDedup.seedCodebook(vecs, "vec_id", "v", k = 12)
+    val assigned = SemDedup.assign(vecs, "v", cb)
+    val drops = SemDedup.dropIds(assigned, "vec_id", "v", 0.999)
+      .collect().map(_.getLong(0)).toSet
+    drops shouldBe (100L to 105L).toSet
+  }
+
+  it should "refuse input that already carries the columns it adds" in {
+    val withCluster = vecs.withColumn("cluster", lit(0L))
+    val cb = SemDedup.seedCodebook(vecs, "vec_id", "v", k = 4)
+    an[IllegalArgumentException] should be thrownBy
+      SemDedup.assign(withCluster, "v", cb)
+  }
+
+  it should "fail loudly when seed ids are missing" in {
+    an[IllegalArgumentException] should be thrownBy
+      SemDedup.seedCodebook(vecs.filter(col("vec_id") >= 2), "vec_id", "v", k = 4)
+  }
+}
