@@ -38,8 +38,50 @@ object UrlOps {
 
   /** Registered domain: the last two dot-separated labels of a host
     * (`a.b.site.co` → `site.co`). Public-suffix lists are config at real
-    * scale; two labels is the deterministic engine default. */
+    * scale — see the suffix-list overload; two labels is the deterministic
+    * engine default. */
   def registeredDomainOf(host: Column): Column =
     when(host.rlike("[^.]+\\.[^.]+$"),
       regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
+
+  /** Multi-label public suffixes under which the registrable name is one
+    * MORE label (`shop.example.co.uk` → `example.co.uk`). A tiny embedded
+    * default covering the common ccTLD second-level registries; real
+    * deployments pass the full public-suffix list
+    * (https://publicsuffix.org) through job config. */
+  val DEFAULT_SUFFIXES: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp",
+    "co.nz", "org.nz", "net.nz",
+    "co.in", "org.in", "net.in",
+    "com.br", "org.br", "net.br",
+    "com.cn", "org.cn", "net.cn",
+    "co.za", "org.za",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw")
+
+  /** Public-suffix-aware registered domain: for a host under a listed
+    * multi-label suffix, keep suffix + one label; otherwise the two-label
+    * default. Still a pure codegen narrow map — the suffix list compiles
+    * into one anchored alternation per suffix length (the list is config,
+    * not data, so it broadcasts inside the plan as literals). */
+  def registeredDomainOf(host: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.forall(s => s.nonEmpty && s.contains('.') &&
+      s.matches("[a-z0-9.-]+")),
+      "public suffixes must be lowercase multi-label names like co.uk")
+    // longest suffixes first so e.g. a 3-label entry would win over a
+    // 2-label prefix of it
+    val byLen = suffixes.distinct.sortBy(s => (-s.count(_ == '.'), s))
+    val arms = byLen.groupBy(_.count(_ == '.')).toSeq.sortBy(-_._1)
+      .map { case (_, group) =>
+        // the require above limits suffixes to [a-z0-9.-]; dot is the only
+        // regex metacharacter in that set outside a character class
+        val alt = group.map(_.replace(".", "\\.")).mkString("(?:", "|", ")")
+        val pat = s"([^.]+\\.$alt)$$"
+        (host.rlike(pat), regexp_extract(host, pat, 1))
+      }
+    arms.foldRight(registeredDomainOf(host)) { case ((cond, extract), els) =>
+      when(cond, extract).otherwise(els)
+    }
+  }
 }

@@ -64,4 +64,46 @@ class UrlOpsSpec extends SparkSpec {
   it should "return a dotless host unchanged as its own domain" in {
     hostAndDomain("http://localhost/admin") shouldBe (("localhost", "localhost"))
   }
+
+  behavior of "UrlOps.registeredDomainOf (public-suffix list)"
+
+  private def domains(suffixes: Seq[String], hosts: String*): Seq[String] = {
+    import spark.implicits._
+    hosts.toDF("h")
+      .select(UrlOps.registeredDomainOf(col("h"), suffixes).as("d"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  it should "keep one label above a listed multi-label suffix" in {
+    domains(UrlOps.DEFAULT_SUFFIXES,
+      "shop.example.co.uk", "example.co.uk", "news.bbc.co.uk",
+      "a.b.store.com.au") shouldBe
+      Seq("example.co.uk", "example.co.uk", "bbc.co.uk", "store.com.au")
+  }
+
+  it should "fall back to two labels for hosts outside the list" in {
+    domains(UrlOps.DEFAULT_SUFFIXES,
+      "a.b.site.co", "deep.sub.example.com", "localhost") shouldBe
+      Seq("site.co", "example.com", "localhost")
+  }
+
+  it should "not pool distinct sites under a listed suffix into one domain" in {
+    // exactly the round-7 finding: the two-label default maps every .co.uk
+    // site to "co.uk"; the suffix-aware form keeps them apart
+    domains(Nil, "one.co.uk", "two.co.uk") shouldBe Seq("co.uk", "co.uk")
+    domains(UrlOps.DEFAULT_SUFFIXES, "one.co.uk", "two.co.uk") shouldBe
+      Seq("one.co.uk", "two.co.uk")
+  }
+
+  it should "prefer a longer listed suffix over a shorter one" in {
+    domains(Seq("co.uk", "special.co.uk"), "a.special.co.uk", "a.plain.co.uk") shouldBe
+      Seq("a.special.co.uk", "plain.co.uk")
+  }
+
+  it should "reject malformed suffix entries" in {
+    an[IllegalArgumentException] should be thrownBy
+      domains(Seq("uk"), "a.co.uk") // single-label: that's the default's job
+    an[IllegalArgumentException] should be thrownBy
+      domains(Seq("Co.Uk"), "a.co.uk") // uppercase: hosts are lowercased upstream
+  }
 }
