@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Span-level exact-substring removal (Lee et al. 2021, "Deduplicating
+  * Training Data Makes Language Models Better"): rewrite every document
+  * dropping the tokens of any word k-gram window whose content appears
+  * elsewhere in the corpus, KEEPING the first occurrence — the removal
+  * pass that [[graft.queries.TextQueries.sharedNgrams text_shared_ngrams]]
+  * (the duplicated-mass *signal*) is seeded from. "First" is the
+  * lexicographic (id, position) minimum over all instances of the window
+  * content, so exactly one canonical copy of every duplicated span
+  * survives — within-doc repeats count as duplicates too, as in the paper.
+  *
+  * This is the deterministic word-k-gram variant (the paper's suffix-array
+  * pass works on 50-BYTE spans): every step is exact integer arithmetic
+  * over the portable polynomial hash, so a SQL engine reproduces the
+  * rewritten text byte-for-byte. Output text is the rewrite of the
+  * NORMALIZED document (lowercase, punctuation stripped — [[NearDup.normCol]]),
+  * the form every dedup operator in the engine keys on.
+  *
+  * Shape at scale: one narrow tokenize pass; window instances are one
+  * posexplode (k-gram count = token count); the canonical-instance table
+  * is ONE map-side-combined groupBy(window hash) — skew-safe: a window
+  * appearing millions of times partially aggregates per partition — and
+  * joins back as one equi-join (AQE splits a hot hash). Reconstruction is
+  * a pure narrow array filter per doc: no token-level shuffle, the kept
+  * text never leaves its partition. O(tokens × redundant-windows-per-doc)
+  * worst case inside a row — bounded by doc length, not corpus size.
+  */
+object SpanDedup {
+
+  /** Rewrite each document with duplicated spans removed. Returns
+    * `(idCol, n_tokens, n_kept, kept_text)` for EVERY input document —
+    * unaffected docs carry their full normalized text. */
+  def rewrite(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      base: Long = 31L, p: Long = 1000000007L): DataFrame = {
+    require(k >= 2, s"spans of k=$k words: need k >= 2 (k=1 drops every repeated word)")
+    // normalized token arrays — ONE native tokenize pass (graft_words)
+    val w = docs.select(col(idCol).as("__id"),
+      call_function("graft_words", col(textCol)).as("__words"))
+    // window instances with 0-based start positions; docs shorter than k
+    // fall back to one whole-text window (the shingle machinery's
+    // contract), so short exact-duplicate docs still dedup
+    val win = graft.util.CacheBin.persist(w
+      .select(col("__id"), posexplode(NearDup.shinglesOf(col("__words"),
+        concat_ws(" ", col("__words")), k)).as(Seq("__pos", "__sg")))
+      .select(col("__id"), col("__pos"),
+        NearDup.polyHash(col("__sg"), base, p).as("__wh")))
+    // canonical instance per window content = lexicographic (id, pos) min;
+    // an instance is redundant iff the content occurs >= 2 times and this
+    // instance is not the canonical one
+    val firsts = win.groupBy("__wh").agg(count(lit(1)).as("__cnt"),
+      min(struct(col("__id"), col("__pos"))).as("__first"))
+    val starts = win.join(firsts, "__wh")
+      .filter(col("__cnt") >= 2 && !(col("__first.__id") === col("__id") &&
+        col("__first.__pos") === col("__pos")))
+      .groupBy("__id").agg(collect_list("__pos").as("__starts"))
+    // narrow per-doc reconstruction: token j survives unless some redundant
+    // window [s, s+k) covers it
+    val st = coalesce(col("__starts"), typedlit(Seq.empty[Int]))
+    val kept = filter(col("__words"),
+      (_, j) => !exists(st, s => s <= j && j < s + k))
+    w.join(starts, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        size(col("__words")).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", kept).as("kept_text"))
+  }
+}

@@ -516,9 +516,13 @@ object CorpusQueries {
     * Shape at scale: ONE explode of corpus bigrams feeds the bigram-count
     * groupBy (map-side combined); the unigram-context table derives from
     * the bigram table (vocabulary-sized, NOT another corpus pass); scoring
-    * re-joins the per-doc bigrams to the model on (w1, w2) — the model side
-    * is vocabulary²-bounded, corpus-independent, so at 100 TB it is the
-    * broadcast side; one final groupBy(doc_id). */
+    * re-joins the per-doc bigrams to the model on the bigram key. The model
+    * side is vocabulary²-bounded and corpus-independent but NOT guaranteed
+    * broadcast-small (an open web vocabulary easily exceeds the broadcast
+    * threshold), so the plan leaves it a shuffle join and lets AQE's
+    * runtime size statistics convert it to broadcast when the trained
+    * model actually fits — a forced hint would OOM exactly on the corpora
+    * this operator exists for. One final groupBy(doc_id). */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     // both the model counts and the scoring join read the exploded bigram
     // instances — persist one narrow-map frame, scan the corpus once.

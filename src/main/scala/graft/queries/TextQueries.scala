@@ -515,6 +515,52 @@ object TextQueries {
        |FROM sc WHERE n_shared > 0
        |ORDER BY shared_pct DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Span-level exact-substring removal (Lee et al. 2021) — the REWRITE
+    * pass seeded from [[sharedNgrams]]'s signal: every word 4-gram window
+    * whose content occurs anywhere else in the corpus (other docs and
+    * within-doc repeats both count) is removed, keeping the first
+    * occurrence — the lexicographic (doc_id, position) minimum. Reports
+    * the 25 most-rewritten documents with their full rewritten text, so
+    * the oracle hash pins the reconstruction byte-for-byte, not just the
+    * counts. Machinery: [[graft.ops.SpanDedup]]; the DuckDB mirror
+    * recomputes the same canonical-instance choice with a window rank and
+    * rebuilds kept text by ordered aggregation. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SpanDedup.rewrite(tPar(s, dir, "documents"), "doc_id", "text", 4)
+      .filter(col("n_kept") < col("n_tokens"))
+      .orderBy((col("n_tokens") - col("n_kept")).desc, col("doc_id"))
+      .limit(25)
+
+  val spanDedupSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
+       |sh AS (SELECT doc_id, ${shinglesSql("words", "norm", 4)} shs FROM w),
+       |wi AS (SELECT doc_id, unnest(generate_series(1, len(shs))) pos,
+       |              unnest(shs) sg FROM sh),
+       |wh AS (SELECT doc_id, pos, ${polyHashSql("sg", 31L, P1)} h FROM wi),
+       |red AS (SELECT doc_id, pos FROM (
+       |          SELECT doc_id, pos,
+       |                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn
+       |          FROM wh) WHERE rn >= 2),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(words))) j,
+       |               unnest(words) word FROM w),
+       |cov AS (SELECT DISTINCT t.doc_id, t.j
+       |        FROM tok t JOIN red r ON t.doc_id = r.doc_id
+       |          AND t.j BETWEEN r.pos AND r.pos + 3),
+       |kept AS (SELECT t.doc_id, t.j, t.word
+       |         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+       |         WHERE c.j IS NULL),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_kept,
+       |              array_to_string(list(word ORDER BY j), ' ') kept_text
+       |       FROM kept GROUP BY 1)
+       |SELECT w.doc_id, CAST(len(words) AS BIGINT) n_tokens,
+       |       coalesce(ka.n_kept, 0) n_kept,
+       |       coalesce(ka.kept_text, '') kept_text
+       |FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id
+       |WHERE CAST(len(words) AS BIGINT) > coalesce(ka.n_kept, 0)
+       |ORDER BY CAST(len(words) AS BIGINT) - coalesce(ka.n_kept, 0) DESC, w.doc_id
+       |LIMIT 25""".stripMargin
+
   val dupClustersSql: String = {
     val mp = minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")
     s"""WITH RECURSIVE mp AS ($mp),
@@ -534,6 +580,7 @@ object TextQueries {
     "text_token_counts" -> (tokenCounts _),
     "text_dup_clusters" -> (dupClusters _),
     "text_shared_ngrams" -> (sharedNgrams _),
+    "text_span_dedup" -> (spanDedup _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
@@ -551,6 +598,7 @@ object TextQueries {
     "text_token_counts" -> tokenCountsSql,
     "text_dup_clusters" -> dupClustersSql,
     "text_shared_ngrams" -> sharedNgramsSql,
+    "text_span_dedup" -> spanDedupSql,
     "text_bpe_tokens" -> bpeTokensSql,
     "text_quality_score" -> qualityScoreSql,
     "text_lang_id" -> langIdSql,

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Span-level exact-substring removal: duplicated k-gram spans are removed
+  * keeping the first occurrence, overlapping windows merge coverage,
+  * within-doc repeats count, short exact-duplicate docs dedup whole. */
+class SpanDedupSpec extends SparkSpec {
+
+  private def rewrite(k: Int, docs: (Long, String)*): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    graft.util.CacheBin.withScope {
+      SpanDedup.rewrite(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+    }
+  }
+
+  behavior of "SpanDedup.rewrite"
+
+  it should "remove a cross-doc span from the later doc only, merging overlapping windows" in {
+    val out = rewrite(3,
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "zero one alpha beta gamma delta epsilon nine")
+    // doc 1 is the canonical (lowest doc_id) occurrence: untouched
+    out(1L) shouldBe ((5L, 5L, "alpha beta gamma delta epsilon"))
+    // doc 2's windows at positions 2,3,4 duplicate doc 1's 0,1,2; their
+    // merged coverage is tokens 2..6, so only the flanks survive
+    out(2L) shouldBe ((8L, 3L, "zero one nine"))
+  }
+
+  it should "remove a within-doc repeated span, keeping the earlier occurrence" in {
+    val out = rewrite(3, 3L -> "red green blue x red green blue")
+    // window at pos 4 repeats pos 0 -> tokens 4..6 dropped
+    out(3L) shouldBe ((7L, 4L, "red green blue x"))
+  }
+
+  it should "dedup whole short documents via the whole-text window fallback" in {
+    val out = rewrite(3,
+      4L -> "tiny pair",
+      5L -> "tiny pair",
+      6L -> "other words")
+    out(4L) shouldBe ((2L, 2L, "tiny pair")) // canonical copy survives
+    out(5L) shouldBe ((2L, 0L, ""))          // duplicate fully removed
+    out(6L) shouldBe ((2L, 2L, "other words"))
+  }
+
+  it should "leave unique documents untouched and normalize their text" in {
+    val out = rewrite(3, 7L -> "A Completely UNIQUE sentence, without repeats!")
+    out(7L) shouldBe ((6L, 6L, "a completely unique sentence without repeats"))
+  }
+
+  it should "treat two adjacent duplicated spans as one merged hole" in {
+    // doc 9 contains doc 8's span twice back to back: every window inside
+    // the doubled region is duplicated (against doc 8 or itself), so the
+    // whole region is removed
+    val out = rewrite(3,
+      8L -> "p q r",
+      9L -> "start p q r p q r finish")
+    out(8L) shouldBe ((3L, 3L, "p q r"))
+    out(9L)._2 shouldBe 2L
+    out(9L)._3 shouldBe "start finish"
+  }
+
+  it should "reject k < 2" in {
+    an[IllegalArgumentException] should be thrownBy rewrite(1, 1L -> "a b")
+  }
+}
