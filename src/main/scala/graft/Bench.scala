@@ -6,19 +6,132 @@ import org.apache.spark.sql.SparkSession
   * ONE JSON line {"metric","value","unit","queries","sf"} for the driver.
   *
   * All queries run fully materialized (count() forces sorts/limits too).
-  * A warm-up query runs first so JVM/codegen startup isn't charged to the
-  * first timed query. Quadratic small-data oracles (brute-force pair scans
-  * that exist only to validate the LSH paths) are excluded via SKIP — the
-  * scale path for those semantics (minhash/LSH-bucketed variants) IS timed.
+  * Quadratic small-data oracles (brute-force pair scans that exist only to
+  * validate the LSH paths) are excluded via SKIP — the scale path for those
+  * semantics (minhash/LSH-bucketed variants) IS timed.
+  *
+  * **Fork-per-chunk mode (default since round 8).** The round-7 root cause
+  * analysis (BASELINE.md case study) showed per-query numbers inside one
+  * long-lived bench JVM carry ~0.5-1 s of accumulated heap/GC state on
+  * allocation-heavy queries — every pass pays it, so min-of-N cannot
+  * remove it, and numbers stop being comparable across rounds whose bench
+  * query COUNTS differ. The fix: the parent process forks one child JVM
+  * per ≤CHUNK-query slice of each query family (core_, text_, vec_, ...);
+  * each child warms up, times ITS OWN small slice with interleaved
+  * min-of-N passes, and prints the same JSON line; the parent merges.
+  * Heap state no longer accumulates across dozens of queries, so numbers
+  * approximate the isolated fresh-JVM truth (tools/TimeQueries). Opt out
+  * (the old single-JVM behavior) with SPARK_GRAFT_BENCH_FORK=0; any child
+  * failure also falls back to single-JVM so the driver always gets its
+  * one JSON line.
   */
 object Bench {
 
   /** Brute-force O(n²) pair-scan oracles; their scale-path counterparts
-    * (text_minhash_pairs, vec_ann_lsh) are benchmarked instead. */
-  private val SKIP = Set("text_ngram_jaccard", "text_simhash_pairs", "vec_cosine_pairs")
+    * (text_minhash_pairs, vec_ann_lsh) are benchmarked instead. Also the
+    * recall self-check, a composite that re-runs three queries (ann_topk,
+    * ann_ivf, ann_ivfpq) that are each already timed individually. */
+  private val SKIP = Set("text_ngram_jaccard", "text_simhash_pairs",
+    "vec_cosine_pairs", "vec_ann_recall")
+
+  private def orderedQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => SKIP(q._1))
+
+  private def groupOf(name: String): String = name.takeWhile(_ != '_')
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // child protocol: an explicit comma-separated query list
+    val chunk = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(',').toSet)
+    val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") == "1"
+    if (chunk.isDefined) runInProcess(sfDir, chunk) // child: one chunk, one JSON line
+    else if (fork) {
+      forked(sfDir) match {
+        case Some(json) => println(json)
+        case None =>
+          System.err.println("[bench] fork-per-group failed; single-JVM fallback")
+          runInProcess(sfDir, None)
+      }
+    } else runInProcess(sfDir, None)
+  }
+
+  /** Max queries per child JVM. The round-8 measurement: a 24-query group
+    * in one JVM re-creates the accumulated-heap-state inflation on its own
+    * heavies (text_simhash_lsh 2.05 s in-group vs 1.17 s isolated), so
+    * family groups are further split into chunks of at most this many —
+    * small enough that no query runs after dozens of others, large enough
+    * that JVM startup stays ~15% of bench wall-clock. */
+  private val CHUNK = 6
+
+  /** Run one chunk of queries in a child JVM; parse its per-query times. */
+  private def runGroup(g: Seq[String], cp: String): Option[Seq[(String, Double)]] = try {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "8g") // 8g beats 32g on this box (BASELINE.md)
+    val cmd = (javaBin +: addOpens) ++ Seq(s"-Xmx$heap",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-Dlog4j2.configurationFile=conf/log4j2.properties",
+      "-cp", cp, "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", g.mkString(","))
+    // child stderr (Spark logging) flows straight through — buffering it
+    // behind an unread pipe while we block on stdout could deadlock
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (proc.waitFor() != 0) None
+    else out.linesIterator.find(_.startsWith("{\"metric\"")).map { line =>
+      val body = line.substring(
+        line.indexOf("\"queries\":{") + "\"queries\":{".length,
+        line.lastIndexOf("},\"sf\""))
+      """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    }
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] chunk ${g.mkString(",")} failed: ${e.getMessage}"); None
+  }
+
+  private def forked(sfDir: String): Option[String] = {
+    val cpOpt = try {
+      val classesDir = new java.io.File(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+      if (new java.io.File("/opt/spark/jars").isDirectory)
+        Some(s"$classesDir:/opt/spark/jars/*")
+      else None
+    } catch { case _: Throwable => None }
+    cpOpt.flatMap { cp =>
+      // family groups keep a query's JVM context stable across rounds;
+      // groups larger than CHUNK split in sorted order
+      val chunks = orderedQueries.map(_._1).groupBy(groupOf).toSeq.sortBy(_._1)
+        .flatMap { case (_, names) => names.sorted.grouped(CHUNK) }
+      val parts = chunks.map { g =>
+        val r = runGroup(g, cp)
+        r.foreach(t => System.err.println(
+          s"[bench] chunk ${g.head}..${g.last}: ${t.size} queries done"))
+        r
+      }
+      val expected = orderedQueries.map(_._1)
+      val merged = parts.flatten.flatten.toMap
+      if (parts.exists(_.isEmpty) || expected.exists(q => !merged.contains(q))) None
+      else {
+        val qs = expected.map(k => "\"" + k + "\":" + num(merged(k))).mkString("{", ",", "}")
+        val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+        Some(s"""{"metric":"total","value":${num(expected.map(merged).sum)},"unit":"sec","runs":$runs,"agg":"min","mode":"fork-per-group","queries":$qs,"sf":"$sfDir"}""")
+      }
+    }
+  }
+
+  /** Single-JVM bench over all queries (chunk = None) or a child's slice
+    * (chunk = Some(names)). Prints the JSON line itself. */
+  private def runInProcess(sfDir: String, chunk: Option[Set[String]]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -30,30 +143,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen/JIT warm-up, untimed — one query per table family so
-    // scan paths, HOF lambdas and the native expressions are all compiled
-    // before timing starts
-    Seq("core_pricing_summary", "ev_session_windows", "join_interval_pairs",
-      "text_minhash_pairs", "vec_ann_lsh", "text_simhash",
-      "text_dup_clusters", "sk_heavy_hitters")
-      .foreach { q =>
-        try graft.util.CacheBin.withScope { SparkEntry.queries(q)(spark, sfDir).count() }
-        catch { case _: Throwable => }
-      }
+    val ordered = chunk match {
+      case Some(names) => orderedQueries.filter(q => names(q._1))
+      case None => orderedQueries
+    }
+
+    // JVM/codegen/JIT warm-up, untimed. Whole-surface mode warms one query
+    // per table family; a chunk child warms by running ITS OWN queries once
+    // (scan paths, HOF lambdas and native expressions of that slice).
+    val warm: Seq[String] = chunk match {
+      case Some(_) => ordered.map(_._1)
+      case None => Seq("core_pricing_summary", "ev_session_windows",
+        "join_interval_pairs", "text_minhash_pairs", "vec_ann_lsh",
+        "text_simhash", "text_dup_clusters", "sk_heavy_hitters")
+    }
+    warm.foreach { q =>
+      try graft.util.CacheBin.withScope { SparkEntry.queries(q)(spark, sfDir).count() }
+      catch { case _: Throwable => }
+    }
 
     // Each query is executed once per PASS (fresh plan each time) and
     // reports the per-query MINIMUM across passes — steady-state engine
     // time. Rationale: this host is a shared VM with transient CPU-steal
     // bursts (observed 2-4× inflation of identical runs minutes apart).
     // Passes are INTERLEAVED — the full query list runs once, then again —
-    // so the repeats of any one query are separated by a whole pass
-    // (~30 s): a burst that inflates query X in pass 1 has usually passed
-    // by the time X runs in pass 2, whereas back-to-back repeats both land
-    // inside the same burst. A genuinely slow plan stays slow in every
-    // pass. Methodology is declared in the output ("runs"/"agg").
+    // so the repeats of any one query are separated by a whole pass: a
+    // burst that inflates query X in pass 1 has usually passed by the time
+    // X runs in pass 2, whereas back-to-back repeats both land inside the
+    // same burst. A genuinely slow plan stays slow in every pass.
     val RUNS = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(RUNS >= 1, s"SPARK_GRAFT_BENCH_RUNS=$RUNS — need at least one pass")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => SKIP(q._1))
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       ordered.map(_._1 -> Double.MaxValue): _*)
     for (_ <- 1 to RUNS; (name, fn) <- ordered) {
@@ -64,9 +183,6 @@ object Bench {
       if (t < best(name)) best(name) = t
     }
     val results = best.toSeq
-    // Locale-independent number formatting: f"" uses the JVM default locale,
-    // which in comma-decimal locales would emit invalid JSON.
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
