@@ -57,6 +57,8 @@ object SemDedup {
     * cluster partition. */
   def dropIds(assigned: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    require(assigned.columns.contains("cluster") && assigned.columns.contains("n2"),
+      "SemDedup.dropIds needs the 'cluster' and 'n2' columns that assign() adds")
     val a = assigned.select(col("cluster").as("cl"), col(idCol).as("ia"),
       col(vecCol).as("va"), col("n2").as("na"))
     val b = assigned.select(col("cluster").as("cl2"), col(idCol).as("ib"),

@@ -41,9 +41,12 @@ object StreamNearDup {
       statePath: String, p: NearDup.Params = NearDup.Params(),
       batchId: Long = 0L, retainBatches: Int = Int.MaxValue): DataFrame = {
     val spark = batch.sparkSession
-    // (doc_id, band, k): narrow shingle→minhash maps + one explode
+    // (doc_id, band, k): narrow shingle→minhash maps + one explode.
+    // Feeds the state lookup, the in-batch window AND the register write —
+    // persist for the micro-batch, released before returning
     val bands = NearDup.bandKeys(
       NearDup.signatures(NearDup.shingleHashes(batch, idCol, textCol, p), p), p)
+      .persist()
     val seen: Option[DataFrame] =
       try Some(spark.read.parquet(statePath).filter(col("batch") < batchId))
       catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch
@@ -65,6 +68,7 @@ object StreamNearDup {
     // register this batch's keys idempotently (overwrite OUR partition only)
     bands.select("band", "k").distinct()
       .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    bands.unpersist()
     evictExpired(spark, statePath, batchId, retainBatches)
     kept
   }
