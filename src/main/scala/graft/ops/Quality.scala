@@ -37,4 +37,33 @@ object Quality {
   def keepFlag: Column =
     col("n_words") >= 20 && col("stop_cnt") * 100 >= col("n_words") * 2 &&
       col("n_punct") * 100 <= col("n_chars_t") * 10
+
+  /** Classifier-based quality scoring — the hashed bag-of-words LINEAR
+    * model shape of a CCNet/GPT-3-style quality filter (fastText's
+    * architecture: hash each token into a weight table, sum, threshold).
+    * The weight table is config (a trained model drops in); weights are
+    * non-negative integers so the sum and any integer-divided mean are
+    * exact and engine-independent (negative integer division differs
+    * between engines — keep weights ≥ 0).
+    *
+    * Scale shape: the model rides into the plan as a LITERAL array (a few
+    * KB — the hashed-table trick is what makes the model broadcast-free),
+    * and scoring is a pure narrow fold over the tokenized words: zero
+    * shuffle, zero state, whole-stage codegen. */
+  def linearScore(text: Column, weights: Seq[Long],
+      base: Long = 31L, p: Long = 1000000007L): Column = {
+    require(weights.nonEmpty && weights.forall(_ >= 0L),
+      "linearScore needs a non-empty, non-negative weight table")
+    val wl = typedlit(weights)
+    aggregate(call_function("graft_words", text), lit(0L), (acc, w) =>
+      acc + element_at(wl,
+        (call_function("graft_poly_hash", w, lit(base), lit(p)) % weights.size)
+          .cast("int") + 1))
+  }
+
+  /** Deterministic demo weight table (stand-in for a trained model): d
+    * values in [0, 2000] from a Knuth-LCG over the index — reproducible in
+    * SQL as a literal, which is the point. */
+  def demoWeights(d: Int): Seq[Long] =
+    (0 until d).map(i => ((i * 2654435761L + 123456789L) % 2001L + 2001L) % 2001L)
 }

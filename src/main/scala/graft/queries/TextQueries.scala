@@ -561,6 +561,93 @@ object TextQueries {
        |ORDER BY CAST(len(words) AS BIGINT) - coalesce(ka.n_kept, 0) DESC, w.doc_id
        |LIMIT 25""".stripMargin
 
+  /** Classifier-based quality scoring (the CCNet/GPT-3 quality-filter
+    * shape): a hashed bag-of-words linear model ([[graft.ops.Quality
+    * .linearScore]], fastText's architecture) scores every document as a
+    * pure narrow fold — the model is a 256-entry literal weight table, so
+    * scoring needs no broadcast, no join, no shuffle. Reports the 25
+    * lowest-scoring documents (the filter-calibration tail, like
+    * [[graft.queries.CorpusQueries lmScore]]); exact integer sums and
+    * integer-divided means, bit-equal across engines. */
+  def qualityModel(s: SparkSession, dir: String): DataFrame = {
+    val wts = graft.ops.Quality.demoWeights(256)
+    tPar(s, dir, "documents")
+      .select(col("doc_id"),
+        size(call_function("graft_words", col("text"))).cast("long").as("n_words"),
+        graft.ops.Quality.linearScore(col("text"), wts).as("score_sum"))
+      .withColumn("score_mean", expr("score_sum div greatest(n_words, 1)"))
+      .orderBy("score_mean", "doc_id").limit(25)
+  }
+
+  val qualityModelSql: String = {
+    val wts = graft.ops.Quality.demoWeights(256).mkString("[", ", ", "]")
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') words FROM n),
+       |s AS (SELECT doc_id, CAST(len(words) AS BIGINT) n_words,
+       |             list_reduce(list_prepend(0::BIGINT, list_transform(words,
+       |               t -> ($wts::BIGINT[])[(${polyHashSql("t", 31L, P1)} % 256)::INT + 1])),
+       |               (a, x) -> a + x) score_sum
+       |      FROM w)
+       |SELECT doc_id, n_words, score_sum,
+       |       score_sum // greatest(n_words, 1) score_mean
+       |FROM s ORDER BY score_mean, doc_id LIMIT 25""".stripMargin
+  }
+
+  /** Duplicate-cluster representative selection by QUALITY — the removal
+    * policy real pipelines use instead of keep-lowest-id: inside every
+    * near-dup cluster ([[dupClusters]]' CC machinery) keep the
+    * highest-quality member (the [[qualityModel]] linear score; ties on
+    * the lower doc_id). Composition query: CC membership (one join + one
+    * map-side groupBy per round) ⋈ narrow quality scores → one window per
+    * cluster — the cluster table is O(duplicated docs), far smaller than
+    * the corpus, so the ranking shuffle is on the small side. */
+  def clusterBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val pairs = graft.ops.NearDup.pairsWithJaccard(docs, "doc_id", "text", minhashParams)
+      .filter(col("inter_cnt") * 2 >= col("union_cnt"))
+    val members = graft.ops.DupGroups.connectedComponentsAuto(pairs, "doc_a", "doc_b")
+    val scores = docs.select(col("doc_id"),
+      graft.ops.Quality.linearScore(col("text"),
+        graft.ops.Quality.demoWeights(256)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("score").desc, col("id"))
+    members.join(scores, members("id") === scores("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("rn") === 1, col("id"))).as("best_id"),
+        max(when(col("rn") === 1, col("score"))).as("best_score"))
+      .orderBy("cluster")
+  }
+
+  val clusterBestSql: String = {
+    val mp = minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    val wts = graft.ops.Quality.demoWeights(256).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE mp AS ($mp),
+       |near AS (SELECT doc_a, doc_b FROM mp WHERE inter_cnt * 2 >= union_cnt),
+       |e AS (SELECT doc_a a, doc_b b FROM near
+       |      UNION SELECT doc_b a, doc_a b FROM near),
+       |r AS (SELECT a, a b FROM (SELECT DISTINCT a FROM e)
+       |      UNION
+       |      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+       |c AS (SELECT a id, min(b) comp FROM r GROUP BY a),
+       |n2 AS (SELECT doc_id, $normSql norm FROM documents),
+       |w2 AS (SELECT doc_id, string_split(norm, ' ') words FROM n2),
+       |sc AS (SELECT doc_id,
+       |              list_reduce(list_prepend(0::BIGINT, list_transform(words,
+       |                t -> ($wts::BIGINT[])[(${polyHashSql("t", 31L, P1)} % 256)::INT + 1])),
+       |                (a, x) -> a + x) score
+       |       FROM w2),
+       |j AS (SELECT c.comp, c.id, sc.score,
+       |             row_number() OVER (PARTITION BY c.comp
+       |                                ORDER BY sc.score DESC, c.id) rn
+       |      FROM c JOIN sc ON c.id = sc.doc_id)
+       |SELECT comp AS "cluster", CAST(count(*) AS BIGINT) n_docs,
+       |       max(CASE WHEN rn = 1 THEN id END) best_id,
+       |       CAST(max(CASE WHEN rn = 1 THEN score END) AS BIGINT) best_score
+       |FROM j GROUP BY comp ORDER BY "cluster"""".stripMargin
+  }
+
   val dupClustersSql: String = {
     val mp = minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")
     s"""WITH RECURSIVE mp AS ($mp),
@@ -581,6 +668,8 @@ object TextQueries {
     "text_dup_clusters" -> (dupClusters _),
     "text_shared_ngrams" -> (sharedNgrams _),
     "text_span_dedup" -> (spanDedup _),
+    "text_quality_model" -> (qualityModel _),
+    "text_cluster_best" -> (clusterBest _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
@@ -599,6 +688,8 @@ object TextQueries {
     "text_dup_clusters" -> dupClustersSql,
     "text_shared_ngrams" -> sharedNgramsSql,
     "text_span_dedup" -> spanDedupSql,
+    "text_quality_model" -> qualityModelSql,
+    "text_cluster_best" -> clusterBestSql,
     "text_bpe_tokens" -> bpeTokensSql,
     "text_quality_score" -> qualityScoreSql,
     "text_lang_id" -> langIdSql,

@@ -273,6 +273,30 @@ class OpsSpec extends SparkSpec {
     kept should contain(500L)
     kept.size shouldBe 11
   }
+
+  behavior of "Quality.linearScore (hashed bag-of-words linear model)"
+
+  it should "sum per-token weights exactly and deterministically" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    // single-entry weight table: every token hashes to weight 7, so the
+    // score is exactly 7 x token count regardless of content
+    val df = Seq((1L, "three simple words"), (2L, "three simple words"),
+      (3L, "five words are in here")).toDF("doc_id", "text")
+    val scored = df.select(col("doc_id"),
+        graft.ops.Quality.linearScore(col("text"), Seq(7L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scored(1L) shouldBe 21L
+    scored(2L) shouldBe scored(1L) // same text, same score
+    scored(3L) shouldBe 35L
+  }
+
+  it should "reject negative weights (integer-division portability)" in {
+    import org.apache.spark.sql.functions.col
+    an[IllegalArgumentException] should be thrownBy
+      graft.ops.Quality.linearScore(col("text"), Seq(3L, -1L))
+  }
 }
 
 /** JVM-singleton fetch counter: survives task-closure serialization in
