@@ -112,6 +112,38 @@ class GraftPlanSpec extends SparkSpec {
     plan should include("graft_nearest_codes") // codegen'd narrow assignment
   }
 
+  it should "rewrite spans via equi-joins and keep reconstruction narrow" in {
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = TextQueries.spanDedup(spark, dir)
+      q.count() // materialize so the AQE final plan reflects the join choice
+      q
+    })
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the kept-text rebuild is an array filter expression, never a
+    // token-level explode + join-back (no second posexplode in the plan)
+    "PosExplode|posexplode".r.findAllIn(plan).length should be <= 2
+  }
+
+  it should "score the linear quality model with zero shuffles up to the top-k" in {
+    val plan = planOf(TextQueries.qualityModel(spark, dir))
+    // scan → narrow fold → TakeOrderedAndProject: the model is a literal,
+    // so there is no join, no aggregation exchange, no window
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should include("TakeOrderedAndProject")
+  }
+
+  it should "pick cluster representatives without a cartesian anywhere" in {
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = TextQueries.clusterBest(spark, dir)
+      q.count()
+      q
+    })
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   it should "broadcast the eval-set shingles in decontamination" in {
     val plan = planOf(graft.util.CacheBin.withScope {
       val q = CorpusQueries.decontam(spark, dir)
