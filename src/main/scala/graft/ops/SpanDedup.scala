@@ -37,13 +37,18 @@ object SpanDedup {
   def rewrite(docs: DataFrame, idCol: String, textCol: String, k: Int,
       base: Long = 31L, p: Long = 1000000007L): DataFrame = {
     require(k >= 2, s"spans of k=$k words: need k >= 2 (k=1 drops every repeated word)")
-    // normalized token arrays — ONE native tokenize pass (graft_words)
+    // normalized token arrays — ONE native tokenize pass (graft_words).
+    // NULL text stays NULL (n_tokens 0, kept_text NULL) instead of leaking
+    // through concat_ws as the empty-string document and deduping against
+    // genuinely empty docs — the normFused discipline.
     val w = docs.select(col(idCol).as("__id"),
       call_function("graft_words", col(textCol)).as("__words"))
     // window instances with 0-based start positions; docs shorter than k
     // fall back to one whole-text window (the shingle machinery's
-    // contract), so short exact-duplicate docs still dedup
+    // contract), so short exact-duplicate docs still dedup; null-text docs
+    // produce no windows at all
     val win = graft.util.CacheBin.persist(w
+      .filter(col("__words").isNotNull)
       .select(col("__id"), posexplode(NearDup.shinglesOf(col("__words"),
         concat_ws(" ", col("__words")), k)).as(Seq("__pos", "__sg")))
       .select(col("__id"), col("__pos"),
@@ -64,8 +69,11 @@ object SpanDedup {
       (_, j) => !exists(st, s => s <= j && j < s + k))
     w.join(starts, Seq("__id"), "left_outer")
       .select(col("__id").as(idCol),
-        size(col("__words")).cast("long").as("n_tokens"),
-        size(kept).cast("long").as("n_kept"),
-        concat_ws(" ", kept).as("kept_text"))
+        when(col("__words").isNull, 0L)
+          .otherwise(size(col("__words")).cast("long")).as("n_tokens"),
+        when(col("__words").isNull, 0L)
+          .otherwise(size(kept).cast("long")).as("n_kept"),
+        when(col("__words").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", kept)).as("kept_text"))
   }
 }

@@ -47,9 +47,16 @@ object StreamNearDup {
     val bands = NearDup.bandKeys(
       NearDup.signatures(NearDup.shingleHashes(batch, idCol, textCol, p), p), p)
       .persist()
+    // explicit existence check, not a broad AnalysisException catch: a
+    // CORRUPTED state dir must fail the batch loudly, not silently dedup
+    // against nothing
+    val stateRoot = new org.apache.hadoop.fs.Path(statePath)
+    val stateFs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = stateFs.exists(stateRoot) &&
+      stateFs.listStatus(stateRoot).exists(_.getPath.getName.startsWith("batch="))
     val seen: Option[DataFrame] =
-      try Some(spark.read.parquet(statePath).filter(col("batch") < batchId))
-      catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch
+      if (hasState) Some(spark.read.parquet(statePath).filter(col("batch") < batchId))
+      else None // first batch
     val stateHits = seen.map(s =>
         bands.join(s, Seq("band", "k"), "left_semi"))
       .getOrElse(bands.limit(0))

@@ -67,4 +67,23 @@ class SpanDedupSpec extends SparkSpec {
   it should "reject k < 2" in {
     an[IllegalArgumentException] should be thrownBy rewrite(1, 1L -> "a b")
   }
+
+  it should "keep null text NULL and separate from empty text" in {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, ""), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.util.CacheBin.withScope {
+      SpanDedup.rewrite(docs, "doc_id", "text", 3).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    }
+    // null-text docs never dedup (no windows) and stay NULL in the output
+    out(1L) shouldBe ((0L, 0L, null))
+    out(2L) shouldBe ((0L, 0L, null))
+    // empty-text docs DO dedup against each other (whole-text fallback
+    // window ""), independent of the null-text docs
+    out(3L)._3 shouldBe ""
+    out(4L) shouldBe ((1L, 0L, ""))
+  }
 }
