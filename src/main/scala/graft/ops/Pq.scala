@@ -44,11 +44,16 @@ object Pq {
 
   /** Train `s` subspace codebooks of `kc` centroids each over `sub`-dim
     * slices of `vecCol` (array<double>, dimension `s*sub`): seed from the
-    * rows with `idCol` 0..kc-1, then ONE Lloyd refit with exact micro-unit
-    * integer means. Fails loudly on an empty cell (reseed or lower kc) —
-    * silently keeping a stale seed would desync the oracle. */
+    * rows with `idCol` 0..kc-1, then `iters` Lloyd refits with exact
+    * micro-unit integer means (one map-side-combined shuffle per refit).
+    * The oracle queries pin iters = 1 (the SQL mirror re-derives exactly
+    * one refit); real index builds pass more — every iteration is equally
+    * deterministic, so any fixed count stays engine-reproducible. Fails
+    * loudly on an empty cell (reseed or lower kc) — silently keeping a
+    * stale seed would desync the oracle. */
   def train(df: DataFrame, idCol: String, vecCol: String,
-      s: Int, sub: Int, kc: Int): Codebooks = {
+      s: Int, sub: Int, kc: Int, iters: Int = 1): Codebooks = {
+    require(iters >= 1, s"Pq.train: iters=$iters — need at least one refit")
     val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val seeds = e.filter(col("__id") < kc).orderBy("__id").collect()
       .map(_.getSeq[Double](1).toArray)
@@ -63,17 +68,19 @@ object Pq {
       sum(round(element_at(col("__v"), col("__s") * sub + d + 1) * 1000000)
         .cast("long")).as(s"m$d")
     }
-    val m = e.withColumn("__codes", encode(col("__v"), cb1, sub))
-      .select(col("__v"), posexplode(col("__codes")).as(Seq("__s", "__code")))
-      .groupBy("__s", "__code")
-      .agg(subSums.head, subSums.tail :+ count(lit(1)).as("cn"): _*)
-      .collect()
-    val byCell = m.map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
-    Array.tabulate(s, kc) { (si, c) =>
-      val r = byCell.getOrElse((si, c.toLong),
-        sys.error(s"empty PQ cell (s=$si, code=$c) — reseed or lower k"))
-      val cn = r.getLong(sub + 2)
-      Array.tabulate(sub)(d => r.getLong(d + 2).toDouble / (cn * 1000000L).toDouble)
+    (1 to iters).foldLeft(cb1) { (cb, _) =>
+      val m = e.withColumn("__codes", encode(col("__v"), cb, sub))
+        .select(col("__v"), posexplode(col("__codes")).as(Seq("__s", "__code")))
+        .groupBy("__s", "__code")
+        .agg(subSums.head, subSums.tail :+ count(lit(1)).as("cn"): _*)
+        .collect()
+      val byCell = m.map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+      Array.tabulate(s, kc) { (si, c) =>
+        val r = byCell.getOrElse((si, c.toLong),
+          sys.error(s"empty PQ cell (s=$si, code=$c) — reseed or lower k"))
+        val cn = r.getLong(sub + 2)
+        Array.tabulate(sub)(d => r.getLong(d + 2).toDouble / (cn * 1000000L).toDouble)
+      }
     }
   }
 }
