@@ -145,6 +145,30 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** Perceptual image hashing over REAL decoded pixels — the image-dedup
+    * primitive of a multimodal training pipeline (exact-duplicate and
+    * near-duplicate image removal keys on this, the same way text dedup
+    * keys on shingle hashes). */
+  object ImageHash {
+
+    /** 64-bit average hash (aHash): decode → [[RealDecoder]]'s integer 8×8
+      * area-average luma thumbnail → bit i set iff luma_i > the integer
+      * mean. Strict comparison: a flat image hashes to 0. Exactly invariant
+      * under uniform brightness shifts (+c on every gray pixel adds c to
+      * every thumbnail cell AND to the integer mean), and deterministic on
+      * every JVM (no float resize). None when the bytes do not decode as an
+      * image. Pair with [[graft.ops.NearDup.hammingPairs]] (totalBits = 64)
+      * for banded near-duplicate search at scale. */
+    def aHash64(imageBytes: Array[Byte]): Option[Long] =
+      RealDecoder.decodeImage(imageBytes).map { f =>
+        val t = f.thumbnail.map(b => (b & 0xff).toLong)
+        val mean = t.sum / 64L
+        t.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+          if (v > mean) acc | (1L << i) else acc
+        }
+      }
+  }
+
   /** Partition-local feature extraction: narrow map, no shuffle; the decoder
     * is initialized once per partition (the per-executor-resource shape a
     * real codec needs). */

@@ -116,15 +116,83 @@ object JoinQueries {
        |ORDER BY hh.doc_id""".stripMargin
   }
 
+  /** Deterministic synthetic 16×16 gray PNG: the bit pattern comes from
+    * `id % 20` (the planted duplicate class) and a small uniform brightness
+    * shift from `id / 20` — so every ~20th document is a BRIGHTNESS-JITTERED
+    * near-copy, not a byte-identical file. Encoded through the JDK's real
+    * PNG codec, so the dedup below exercises a genuine encode→decode→hash
+    * round trip. */
+  private[queries] def synthPng(id: Long): Array[Byte] = {
+    val pattern = (id % 20).toInt
+    val bright = ((id / 20) % 3).toInt * 4
+    val im = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val h = (1103515245L * (pattern * 256 + y * 16 + x) + 12345L) / 65536L
+        val v = (if ((h % 2 + 2) % 2 == 1) 200 else 40) + bright
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image-level exact/near dedup via perceptual hashing — the multimodal
+    * analog of URL/text dedup: synthesize a deterministic PNG per document
+    * (near-copies planted every 20 ids with a brightness jitter that a
+    * byte-level hash would MISS), push each through the real JDK PNG
+    * decode → 8×8 integer luma → 64-bit aHash
+    * ([[graft.multimodal.Multimodal.ImageHash]]), and group by hash. The
+    * DuckDB oracle states the planted GROUND TRUTH (groups = id mod 20),
+    * so a hash match proves the whole encode→decode→hash→group pipeline
+    * reproduces the planted structure exactly — brightness invariance
+    * included. Narrow per-partition hashing (no shuffle until the final
+    * tiny groupBy); [[graft.ops.NearDup.hammingPairs]] extends the same
+    * hash to banded near-dup search when copies differ by more than
+    * brightness. */
+  def imageDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = tPar(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+      .as[Long](Encoders.scalaLong)
+    val hashed = ids.mapPartitions { it =>
+      it.map { id =>
+        val hash = graft.multimodal.Multimodal.ImageHash.aHash64(synthPng(id))
+          .getOrElse(sys.error(s"synthesized png for doc $id did not decode"))
+        (id, hash)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "ahash")
+    hashed.groupBy("ahash")
+      .agg(count(lit(1)).as("n_members"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .select(col("n_members"), col("min_id"), col("max_id"))
+      .orderBy("min_id")
+  }
+
+  val imageDedupSql: String =
+    """SELECT CAST(count(*) AS BIGINT) n_members, min(doc_id) min_id,
+      |       max(doc_id) max_id
+      |FROM documents WHERE doc_id < 200
+      |GROUP BY doc_id % 20 ORDER BY min_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "join_asof_control" -> (asofControl _),
     "join_interval_pairs" -> (intervalPairs _),
     "mm_media_features" -> (mediaFeatures _),
+    "mm_image_dedup" -> (imageDedup _),
   )
 
   val oracle: Map[String, String] = Map(
     "join_asof_control" -> asofControlSql,
     "join_interval_pairs" -> intervalPairsSql,
     "mm_media_features" -> mediaFeaturesSql,
+    "mm_image_dedup" -> imageDedupSql,
   )
 }
