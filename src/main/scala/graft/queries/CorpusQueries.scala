@@ -546,6 +546,70 @@ object CorpusQueries {
     scored.orderBy(col("lm_ppm"), col("doc_id")).limit(25)
   }
 
+  /** CCNet-style fluency BUCKETS — the stage after scoring: split every
+    * language's documents into head/middle/tail thirds by the corpus-trained
+    * LM score (CCNet buckets by Wikipedia-LM perplexity per language and
+    * trains preferentially on the head). Boundaries are the exact
+    * interpolated 1/3 and 2/3 order statistics per language (the
+    * [[lengthProfile]] percentile discipline, engine-exact); head = the
+    * highest-scoring third. Reports per-(lang, bucket) doc counts and
+    * score ranges — the mixture table a curriculum samples from.
+    *
+    * Shape at scale: re-uses the one-pass bigram instance frame; the bucket
+    * boundary table is languages×2 values (broadcast); one final groupBy. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    // same model + scoring as lmScore, without the top-k cut
+    val inst = graft.util.CacheBin.persist(tPar(s, dir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_words", col("text")).as("words"))
+      .select(col("doc_id"),
+        explode(graft.ops.NearDup.shinglesOf(col("words"),
+          concat_ws(" ", col("words")), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1)))
+    val big = inst.groupBy("w1", "bg").agg(count(lit(1)).as("c2"))
+    val uni = big.groupBy("w1").agg(sum("c2").as("c1"))
+    val model = big.join(uni, "w1")
+      .select(col("bg"), expr("(c2 * 1000000) div c1").as("ppm"))
+    val scored = inst.join(model, "bg")
+      .groupBy("doc_id").agg(expr("sum(ppm) div count(1)").as("lm_ppm"))
+    val sl = graft.util.CacheBin.persist(scored.join(
+      tPar(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id"))
+    val bounds = sl.groupBy("lang").agg(
+      expr("percentile(lm_ppm, 1.0D/3.0D)").as("b_lo"),
+      expr("percentile(lm_ppm, 2.0D/3.0D)").as("b_hi"))
+    sl.join(broadcast(bounds), "lang")
+      .withColumn("bucket", when(col("lm_ppm") <= col("b_lo"), "tail")
+        .when(col("lm_ppm") <= col("b_hi"), "middle").otherwise("head"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("lm_ppm").as("min_ppm"), max("lm_ppm").as("max_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
+  val pplBucketsSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |inst AS (SELECT doc_id, unnest(${shinglesSql("string_split(norm, ' ')", "norm", 2)}) bg
+       |         FROM n),
+       |w AS (SELECT doc_id, bg, string_split(bg, ' ')[1] w1 FROM inst),
+       |big AS (SELECT w1, bg, count(*) c2 FROM w GROUP BY 1, 2),
+       |uni AS (SELECT w1, sum(c2) c1 FROM big GROUP BY 1),
+       |model AS (SELECT bg, (c2 * 1000000) // c1 ppm FROM big JOIN uni USING (w1)),
+       |sc AS (SELECT doc_id, CAST(sum(ppm) // count(*) AS BIGINT) lm_ppm
+       |       FROM w JOIN model USING (bg) GROUP BY 1),
+       |sl AS (SELECT sc.doc_id, sc.lm_ppm, d.lang
+       |       FROM sc JOIN documents d USING (doc_id)),
+       |b AS (SELECT lang, quantile_cont(lm_ppm, 1.0/3.0) b_lo,
+       |             quantile_cont(lm_ppm, 2.0/3.0) b_hi
+       |      FROM sl GROUP BY 1)
+       |SELECT sl.lang,
+       |       CASE WHEN lm_ppm <= b_lo THEN 'tail'
+       |            WHEN lm_ppm <= b_hi THEN 'middle'
+       |            ELSE 'head' END bucket,
+       |       CAST(count(*) AS BIGINT) n_docs,
+       |       min(lm_ppm) min_ppm, max(lm_ppm) max_ppm
+       |FROM sl JOIN b ON sl.lang = b.lang
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val lmScoreSql: String =
     s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
        |inst AS (SELECT doc_id, unnest(${shinglesSql("string_split(norm, ' ')", "norm", 2)}) bg
@@ -572,6 +636,7 @@ object CorpusQueries {
     "text_pii_redact" -> (piiRedact _),
     "text_url_dedup" -> (urlDedup _),
     "text_lm_score" -> (lmScore _),
+    "text_ppl_buckets" -> (pplBuckets _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -586,5 +651,6 @@ object CorpusQueries {
     "text_pii_redact" -> piiRedactSql,
     "text_url_dedup" -> urlDedupSql,
     "text_lm_score" -> lmScoreSql,
+    "text_ppl_buckets" -> pplBucketsSql,
   )
 }
