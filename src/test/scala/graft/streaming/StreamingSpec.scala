@@ -171,6 +171,38 @@ class StreamingSpec extends SparkSpec {
     rows(11L) shouldBe 333333L
   }
 
+  it should "score the linear quality model identically on batch and stream" in {
+    // the classifier is a literal weight table + a narrow fold: stateless,
+    // so batch ≡ stream must hold per row with no watermark or join at all
+    graft.functions.GraftFunctions.register(spark)
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val tEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val docs = Seq((1L, "clean prose with common words"),
+      (2L, "xqzzy glrpf wubbel"), (3L, "clean prose with common words"))
+    val wts = graft.ops.Quality.demoWeights(64)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.Quality.linearScore(col("text"), wts).as("s"))
+    val q = scored.writeStream.format("memory").queryName("lq_out")
+      .outputMode("append")
+      .option("checkpointLocation", graft.SparkSpec.tempDir("lq_ck"))
+      .start()
+    input.addData(docs.take(2): _*); q.processAllAvailable()
+    input.addData(docs.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lq_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.Quality.linearScore(col("text"), wts).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamed shouldBe batch
+    streamed(1L) shouldBe streamed(3L) // same text, different batch: same score
+  }
+
   behavior of "streaming corpus-cleaning pipeline (quality -> dedup -> decontam)"
 
   it should "compose the batch cleaning stages unchanged on a stream" in {
