@@ -175,7 +175,12 @@ object Bench {
     require(RUNS >= 1, s"SPARK_GRAFT_BENCH_RUNS=$RUNS — need at least one pass")
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       ordered.map(_._1 -> Double.MaxValue): _*)
-    for (_ <- 1 to RUNS; (name, fn) <- ordered) {
+    // alternate pass direction: accumulated JVM state grows with the number
+    // of executions BEFORE a query, so a fixed order systematically
+    // penalizes the last queries of a chunk — boustrophedon passes give
+    // every query at least one early-position sample for the min
+    for (pass <- 1 to RUNS;
+         (name, fn) <- if (pass % 2 == 0) ordered.reverse else ordered) {
       val t0 = System.nanoTime()
       try graft.util.CacheBin.withScope { fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
