@@ -523,11 +523,12 @@ object CorpusQueries {
     * runtime size statistics convert it to broadcast when the trained
     * model actually fits — a forced hint would OOM exactly on the corpora
     * this operator exists for. One final groupBy(doc_id). */
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
-    // both the model counts and the scoring join read the exploded bigram
-    // instances — persist one narrow-map frame, scan the corpus once.
-    // shinglesOf (not graft_shingles, which dedups): instances WITH
-    // duplicates are the model's event counts
+  /** Shared by [[lmScore]] and [[pplBuckets]]: the persisted exploded
+    * bigram-instance frame (both the model counts and the scoring join
+    * read it — one corpus scan) and the per-doc scored frame. shinglesOf
+    * (not graft_shingles, which dedups): instances WITH duplicates are
+    * the model's event counts. Caller releases via its CacheBin scope. */
+  private def lmScoredDocs(s: SparkSession, dir: String): DataFrame = {
     val inst = graft.util.CacheBin.persist(tPar(s, dir, "documents")
       .select(col("doc_id"),
         call_function("graft_words", col("text")).as("words"))
@@ -539,12 +540,14 @@ object CorpusQueries {
     val uni = big.groupBy("w1").agg(sum("c2").as("c1"))
     val model = big.join(uni, "w1")
       .select(col("bg"), expr("(c2 * 1000000) div c1").as("ppm"))
-    val scored = inst.join(model, "bg")
+    inst.join(model, "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(ppm) div count(1)").as("lm_ppm"))
-    scored.orderBy(col("lm_ppm"), col("doc_id")).limit(25)
   }
+
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoredDocs(s, dir).orderBy(col("lm_ppm"), col("doc_id")).limit(25)
 
   /** CCNet-style fluency BUCKETS — the stage after scoring: split every
     * language's documents into head/middle/tail thirds by the corpus-trained
@@ -558,20 +561,8 @@ object CorpusQueries {
     * Shape at scale: re-uses the one-pass bigram instance frame; the bucket
     * boundary table is languages×2 values (broadcast); one final groupBy. */
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
-    // same model + scoring as lmScore, without the top-k cut
-    val inst = graft.util.CacheBin.persist(tPar(s, dir, "documents")
-      .select(col("doc_id"),
-        call_function("graft_words", col("text")).as("words"))
-      .select(col("doc_id"),
-        explode(graft.ops.NearDup.shinglesOf(col("words"),
-          concat_ws(" ", col("words")), 2)).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1)))
-    val big = inst.groupBy("w1", "bg").agg(count(lit(1)).as("c2"))
-    val uni = big.groupBy("w1").agg(sum("c2").as("c1"))
-    val model = big.join(uni, "w1")
-      .select(col("bg"), expr("(c2 * 1000000) div c1").as("ppm"))
-    val scored = inst.join(model, "bg")
-      .groupBy("doc_id").agg(expr("sum(ppm) div count(1)").as("lm_ppm"))
+    // same model + scoring as lmScore (shared lmScoredDocs), no top-k cut
+    val scored = lmScoredDocs(s, dir).select(col("doc_id"), col("lm_ppm"))
     val sl = graft.util.CacheBin.persist(scored.join(
       tPar(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id"))
     val bounds = sl.groupBy("lang").agg(
