@@ -88,15 +88,32 @@ object Bench {
     val out = new String(proc.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
     if (proc.waitFor() != 0) None
-    else out.linesIterator.find(_.startsWith("{\"metric\"")).map { line =>
-      val body = line.substring(
-        line.indexOf("\"queries\":{") + "\"queries\":{".length,
-        line.lastIndexOf("},\"sf\""))
-      """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-    }
+    else out.linesIterator.find(_.startsWith("{\"metric\""))
+      .flatMap(parseChunkLine(_, g))
   } catch { case e: Throwable =>
     System.err.println(s"[bench] chunk ${g.mkString(",")} failed: ${e.getMessage}"); None
+  }
+
+  /** Parse a child's JSON line into per-query times. A truncated/malformed
+    * line or a query the child dropped (bench failure) must fail the WHOLE
+    * chunk loudly (None → parent falls back), never merge partially. */
+  private[graft] def parseChunkLine(line: String,
+      g: Seq[String]): Option[Seq[(String, Double)]] = {
+    val start = line.indexOf("\"queries\":{")
+    val end = line.lastIndexOf("},\"sf\"")
+    if (start < 0 || end < 0 || end <= start) {
+      System.err.println(s"[bench] chunk ${g.mkString(",")}: malformed child line")
+      return None
+    }
+    val body = line.substring(start + "\"queries\":{".length, end)
+    val parsed = """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    if (parsed.map(_._1).toSet == g.toSet) Some(parsed)
+    else {
+      System.err.println(s"[bench] chunk ${g.mkString(",")}: child returned " +
+        s"${parsed.size}/${g.size} queries — treating chunk as failed")
+      None
+    }
   }
 
   private def forked(sfDir: String): Option[String] = {
@@ -187,7 +204,12 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       if (t < best(name)) best(name) = t
     }
-    val results = best.toSeq
+    // a query that failed in EVERY pass still holds MaxValue — omit it
+    // (never format a sentinel into the JSON as a "time"); in child mode
+    // the parent's completeness check then fails the chunk loudly
+    val (failed, results) = best.toSeq.partition(_._2 == Double.MaxValue)
+    failed.foreach { case (k, _) =>
+      System.err.println(s"[bench] $k failed in every pass — omitted") }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min","queries":$qs,"sf":"$sfDir"}""")

@@ -55,10 +55,13 @@ object Pq {
       s: Int, sub: Int, kc: Int, iters: Int = 1): Codebooks = {
     require(iters >= 1, s"Pq.train: iters=$iters — need at least one refit")
     val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val seeds = e.filter(col("__id") < kc).orderBy("__id").collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(seeds.length == kc,
-      s"Pq.train: need ids 0..${kc - 1} as seeds, found ${seeds.length}")
+    val seedRows = e.filter(col("__id") < kc).orderBy("__id").collect()
+    // ids must be EXACTLY 0..kc-1: a duplicate or negative id can satisfy a
+    // bare count while silently training from the wrong seeds
+    val seedIds = seedRows.map(_.getAs[Number](0).longValue)
+    require(seedIds.sameElements(0L until kc.toLong),
+      s"Pq.train: need ids 0..${kc - 1} as seeds, found [${seedIds.mkString(",")}]")
+    val seeds = seedRows.map(_.getSeq[Double](1).toArray)
     val cb1: Codebooks =
       Array.tabulate(s, kc)((si, c) => seeds(c).slice(si * sub, (si + 1) * sub))
     // Lloyd refit per (subspace, code): exact micro-unit sums of the

@@ -32,12 +32,14 @@ object SemDedup {
     * the oracle-reproducible seeding (any trained codebook drops in). */
   def seedCodebook(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Array[Array[Double]] = {
-    val seeds = df.select(col(idCol), col(vecCol))
+    val rows = df.select(col(idCol), col(vecCol))
       .filter(col(idCol) < k).orderBy(idCol).collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(seeds.length == k,
-      s"SemDedup.seedCodebook: need ids 0..${k - 1}, found ${seeds.length}")
-    seeds
+    // ids must be EXACTLY 0..k-1 (distinct, contiguous): a duplicate or
+    // negative id can satisfy a bare count with the wrong seeds
+    val ids = rows.map(_.getAs[Number](0).longValue)
+    require(ids.sameElements(0L until k.toLong),
+      s"SemDedup.seedCodebook: need ids 0..${k - 1}, found [${ids.mkString(",")}]")
+    rows.map(_.getSeq[Double](1).toArray)
   }
 
   /** Input rows + `cluster` (nearest codebook row by squared L2, ties on

@@ -552,22 +552,31 @@ object CorpusQueries {
   /** CCNet-style fluency BUCKETS — the stage after scoring: split every
     * language's documents into head/middle/tail thirds by the corpus-trained
     * LM score (CCNet buckets by Wikipedia-LM perplexity per language and
-    * trains preferentially on the head). Boundaries are the exact
-    * interpolated 1/3 and 2/3 order statistics per language (the
-    * [[lengthProfile]] percentile discipline, engine-exact); head = the
-    * highest-scoring third. Reports per-(lang, bucket) doc counts and
-    * score ranges — the mixture table a curriculum samples from.
+    * trains preferentially on the head). Boundaries are EXACT INTEGER order
+    * statistics: b_lo/b_hi are the smallest lm_ppm values whose cumulative
+    * doc count reaches 1/3 resp. 2/3 of the language (cum·3 ≥ tot, pure
+    * integer compare — no float interpolation whose last-ulp could flip a
+    * boundary tie cross-engine); head = the highest-scoring third, ties at
+    * a boundary share the lower bucket. Reports per-(lang, bucket) doc
+    * counts and score ranges — the mixture table a curriculum samples from.
     *
-    * Shape at scale: re-uses the one-pass bigram instance frame; the bucket
-    * boundary table is languages×2 values (broadcast); one final groupBy. */
+    * Shape at scale: re-uses the one-pass bigram instance frame; boundaries
+    * come from the per-(lang, lm_ppm) HISTOGRAM (≤10⁶ integer values per
+    * language by the ppm domain, never doc-count-sized) and the resulting
+    * bucket table is languages×2 values (broadcast); one final groupBy. */
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
     // same model + scoring as lmScore (shared lmScoredDocs), no top-k cut
     val scored = lmScoredDocs(s, dir).select(col("doc_id"), col("lm_ppm"))
     val sl = graft.util.CacheBin.persist(scored.join(
       tPar(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id"))
-    val bounds = sl.groupBy("lang").agg(
-      expr("percentile(lm_ppm, 1.0D/3.0D)").as("b_lo"),
-      expr("percentile(lm_ppm, 2.0D/3.0D)").as("b_hi"))
+    val wCum = Window.partitionBy("lang").orderBy("lm_ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = sl.groupBy("lang", "lm_ppm").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
+      .groupBy("lang").agg(
+        min(when(col("cum") * 3 >= col("tot"), col("lm_ppm"))).as("b_lo"),
+        min(when(col("cum") * 3 >= col("tot") * 2, col("lm_ppm"))).as("b_hi"))
     sl.join(broadcast(bounds), "lang")
       .withColumn("bucket", when(col("lm_ppm") <= col("b_lo"), "tail")
         .when(col("lm_ppm") <= col("b_hi"), "middle").otherwise("head"))
@@ -589,9 +598,14 @@ object CorpusQueries {
        |       FROM w JOIN model USING (bg) GROUP BY 1),
        |sl AS (SELECT sc.doc_id, sc.lm_ppm, d.lang
        |       FROM sc JOIN documents d USING (doc_id)),
-       |b AS (SELECT lang, quantile_cont(lm_ppm, 1.0/3.0) b_lo,
-       |             quantile_cont(lm_ppm, 2.0/3.0) b_hi
-       |      FROM sl GROUP BY 1)
+       |hist AS (SELECT lang, lm_ppm, count(*) c FROM sl GROUP BY 1, 2),
+       |cum AS (SELECT lang, lm_ppm,
+       |               sum(c) OVER (PARTITION BY lang ORDER BY lm_ppm) cum,
+       |               sum(c) OVER (PARTITION BY lang) tot
+       |        FROM hist),
+       |b AS (SELECT lang, min(CASE WHEN cum * 3 >= tot THEN lm_ppm END) b_lo,
+       |             min(CASE WHEN cum * 3 >= tot * 2 THEN lm_ppm END) b_hi
+       |      FROM cum GROUP BY 1)
        |SELECT sl.lang,
        |       CASE WHEN lm_ppm <= b_lo THEN 'tail'
        |            WHEN lm_ppm <= b_hi THEN 'middle'

@@ -571,7 +571,10 @@ object TextQueries {
     * integer-divided means, bit-equal across engines. */
   def qualityModel(s: SparkSession, dir: String): DataFrame = {
     val wts = graft.ops.Quality.demoWeights(256)
+    // NULL text is unscorable, not low-quality: filter it on BOTH engines
+    // (Spark sorts NULL first ASC, DuckDB last — the SpanDedup discipline)
     tPar(s, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(call_function("graft_words", col("text"))).cast("long").as("n_words"),
         graft.ops.Quality.linearScore(col("text"), wts).as("score_sum"))
@@ -581,7 +584,7 @@ object TextQueries {
 
   val qualityModelSql: String = {
     val wts = graft.ops.Quality.demoWeights(256).mkString("[", ", ", "]")
-    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents WHERE "text" IS NOT NULL),
        |w AS (SELECT doc_id, string_split(norm, ' ') words FROM n),
        |s AS (SELECT doc_id, CAST(len(words) AS BIGINT) n_words,
        |             list_reduce(list_prepend(0::BIGINT, list_transform(words,
