@@ -108,7 +108,9 @@ object Bench {
     val body = line.substring(start + "\"queries\":{".length, end)
     val parsed = """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-    if (parsed.map(_._1).toSet == g.toSet) Some(parsed)
+    // key SET equality alone would accept a duplicated key (last-wins on
+    // toMap); require exact multiplicity too
+    if (parsed.size == g.size && parsed.map(_._1).toSet == g.toSet) Some(parsed)
     else {
       System.err.println(s"[bench] chunk ${g.mkString(",")}: child returned " +
         s"${parsed.size}/${g.size} queries — treating chunk as failed")
@@ -199,10 +201,15 @@ object Bench {
     for (pass <- 1 to RUNS;
          (name, fn) <- if (pass % 2 == 0) ordered.reverse else ordered) {
       val t0 = System.nanoTime()
-      try graft.util.CacheBin.withScope { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      // a failed execution must NOT record its time-to-exception as a bench
+      // time — only successful passes compete for the min, so a query that
+      // throws in every pass keeps the MaxValue sentinel and gets omitted
+      val ok =
+        try { graft.util.CacheBin.withScope { fn(spark, sfDir).count() }; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val t = (System.nanoTime() - t0) / 1e9
-      if (t < best(name)) best(name) = t
+      if (ok && t < best(name)) best(name) = t
     }
     // a query that failed in EVERY pass still holds MaxValue — omit it
     // (never format a sentinel into the JSON as a "time"); in child mode

@@ -31,6 +31,11 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.parseChunkLine(line, g).isEmpty)
   }
 
+  test("line with a duplicated query key is rejected (no last-wins merge)") {
+    val line = """{"metric":"total","value":3.0,"unit":"sec","runs":3,"agg":"min","queries":{"q_a":1.250,"q_a":0.100,"q_b":1.750},"sf":"/x"}"""
+    assert(Bench.parseChunkLine(line, g).isEmpty)
+  }
+
   test("sentinel-sized garbage values do not slip through as times") {
     // a query failing every pass used to format Double.MaxValue into the
     // JSON; the child now omits it, so the parent sees a missing query

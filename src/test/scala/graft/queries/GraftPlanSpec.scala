@@ -98,7 +98,10 @@ class GraftPlanSpec extends SparkSpec {
     })
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
-    plan should include("BroadcastHashJoin") // probes broadcast into cells
+    // two broadcast hash joins: probes broadcast into cells, AND the ADC
+    // shortlist broadcast into the exact-vector re-rank (IVFADC+R) — the
+    // re-rank must never sort-merge-shuffle the full vector table
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
   }
 
   it should "restrict semantic dedup to within-cluster equi-join candidates" in {
