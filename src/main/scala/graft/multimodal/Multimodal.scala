@@ -259,6 +259,19 @@ object Multimodal {
     }
   }
 
+  /** binaryFile scan → typed media rows: `media_id` parsed from the file
+    * name (first capture group of `idPattern`), typed `meta` sniffed from
+    * the on-disk header bytes, `content` the raw payload. Everything is a
+    * narrow map over the scan — at 100 TB the files list across executors
+    * and no payload ever shuffles. Input is the fixed binaryFile schema
+    * (path, modificationTime, length, content). */
+  def fromBinaryFiles(df: DataFrame, idPattern: String = "(\\d+)"): DataFrame =
+    sniffMeta(df.select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), idPattern, 1)
+          .cast("long").as("media_id"),
+        col("content")))
+      .select("media_id", "meta", "content")
+
   /** Populate typed metadata from the binary column itself (narrow map). */
   def sniffMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
     val sniffUdf = udf { (content: Array[Byte]) =>

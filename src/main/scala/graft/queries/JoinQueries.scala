@@ -121,27 +121,11 @@ object JoinQueries {
     * shift from `id / 20` — so every ~20th document is a BRIGHTNESS-JITTERED
     * near-copy, not a byte-identical file. Encoded through the JDK's real
     * PNG codec, so the dedup below exercises a genuine encode→decode→hash
-    * round trip. */
-  private[queries] def synthPng(id: Long): Array[Byte] = {
-    val pattern = (id % 20).toInt
-    val bright = ((id / 20) % 3).toInt * 4
-    val im = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < 16) {
-      var x = 0
-      while (x < 16) {
-        val h = (1103515245L * (pattern * 256 + y * 16 + x) + 12345L) / 65536L
-        val v = (if ((h % 2 + 2) % 2 == 1) 200 else 40) + bright
-        im.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(im, "png", bos)
-    bos.toByteArray
-  }
+    * round trip. Shared with the on-disk fixture
+    * ([[graft.multimodal.MediaFixture]]) so the in-memory and real-file
+    * dedup queries hash the SAME planted structure. */
+  private[queries] def synthPng(id: Long): Array[Byte] =
+    graft.multimodal.MediaFixture.pngBytes(id)
 
   /** Image-level exact/near dedup via perceptual hashing — the multimodal
     * analog of URL/text dedup: synthesize a deterministic PNG per document
@@ -182,11 +166,92 @@ object JoinQueries {
       |FROM documents WHERE doc_id < 200
       |GROUP BY doc_id % 20 ORDER BY min_id""".stripMargin
 
+  /** The fixture id set: the first 200 documents, identical at every SF
+    * (doc_id is dense from 0). Bounded driver-side collect BY DESIGN — it
+    * only sizes the planted fixture; the queries themselves read the files
+    * back distributed. */
+  private def fixtureIds(s: SparkSession, dir: String): Seq[Long] = {
+    import org.apache.spark.sql.Encoders
+    tPar(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 200)
+      .as[Long](Encoders.scalaLong).collect().toSeq
+  }
+
+  private def mediaSource(name: String, path: String, glob: Option[String],
+      recursive: Boolean = false) =
+    graft.sources.MediaFileSourceConfig(name, path, glob,
+      idPattern = "(\\d+)", recursive = recursive,
+      watermarkColumn = None, maxLateness = "5 minutes")
+
+  /** REAL-FILE image dedup: the planted PNGs are written to disk once
+    * ([[graft.multimodal.MediaFixture]]) and read back through the
+    * `binaryFile` media source — listing, payload bytes, media_id parsing
+    * and perceptual hashing all run over genuine on-disk files, the gap
+    * [[imageDedup]]'s in-query synthesis leaves open. The oracle states the
+    * planted ground truth (groups = id mod 20, brightness jitter invisible
+    * to aHash), so a hash match proves the whole
+    * list→read→decode→hash→group pipeline reproduces it from disk. */
+  def fileDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val root = graft.multimodal.MediaFixture.ensure(fixtureIds(s, dir))
+    val media = mediaSource("mm-png-files", s"$root/png", Some("*.png"))
+      .read(s, batchMode = true)
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hash = graft.multimodal.Multimodal.ImageHash.aHash64(bytes)
+            .getOrElse(sys.error(s"fixture png for doc $id did not decode"))
+          (id, hash)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "ahash")
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_members"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .select(col("n_members"), col("min_id"), col("max_id"))
+      .orderBy("min_id")
+  }
+
+  val fileDedupSql: String = imageDedupSql // same planted ground truth
+
+  /** REAL-FILE typed-metadata extraction: one PNG and one WAV per document
+    * on disk, read back recursively through the media source; `meta` comes
+    * from [[Multimodal.MediaSniffer]] over the on-disk header bytes. The
+    * oracle re-derives every planted property (PNG dimensions, WAV sample
+    * rate and exact duration) arithmetically from the id — a header-parse
+    * or duration-arithmetic bug anywhere in the path changes the hash. */
+  def fileMeta(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.multimodal.MediaFixture.ensure(fixtureIds(s, dir))
+    val media = mediaSource("mm-media-files", root, None, recursive = true)
+      .read(s, batchMode = true)
+    media.select(col("media_id"),
+        col("meta.kind").as("kind"), col("meta.mimeType").as("mime"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.sampleRate").cast("long").as("sample_rate"),
+        col("meta.durationMs").as("duration_ms"))
+      .orderBy("media_id", "kind")
+  }
+
+  val fileMetaSql: String =
+    """SELECT doc_id media_id, 'audio' kind, 'audio/wav' mime,
+      |       CAST(0 AS BIGINT) width, CAST(0 AS BIGINT) height,
+      |       CAST(8000 * (1 + doc_id % 3) AS BIGINT) sample_rate,
+      |       CAST(100 * (1 + doc_id % 5) AS BIGINT) duration_ms
+      |FROM documents WHERE doc_id < 200
+      |UNION ALL
+      |SELECT doc_id, 'image', 'image/png', 16, 16, 0, 0
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY media_id, kind""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "join_asof_control" -> (asofControl _),
     "join_interval_pairs" -> (intervalPairs _),
     "mm_media_features" -> (mediaFeatures _),
     "mm_image_dedup" -> (imageDedup _),
+    "mm_file_dedup" -> (fileDedup _),
+    "mm_file_meta" -> (fileMeta _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,5 +259,7 @@ object JoinQueries {
     "join_interval_pairs" -> intervalPairsSql,
     "mm_media_features" -> mediaFeaturesSql,
     "mm_image_dedup" -> imageDedupSql,
+    "mm_file_dedup" -> fileDedupSql,
+    "mm_file_meta" -> fileMetaSql,
   )
 }

@@ -87,6 +87,15 @@ object SourceConfig {
         AvroParquetSourceConfig(name,
           path = opts.getOrElse("path", sys.error(s"sources.$name.path required")),
           schemaJson = opts("avro.schema"), wmCol, lateness)
+      // real-file media ingestion: binaryFile listing → typed media rows
+      // (media_id from the file name, meta sniffed from header bytes)
+      case "media" | "binaryfile" =>
+        MediaFileSourceConfig(name,
+          path = opts.getOrElse("path", sys.error(s"sources.$name.path required")),
+          glob = opts.get("path.glob.filter"),
+          idPattern = opts.getOrElse("id.pattern", "(\\d+)"),
+          recursive = opts.get("recursive").exists(_.toBoolean),
+          wmCol, lateness, idleness)
       case "file" =>
         FileSourceConfig(name,
           path = opts.getOrElse("path", sys.error(s"sources.$name.path required")),
@@ -128,7 +137,7 @@ object SourceConfig {
     * `kafka_in` implies its connector. */
   private[sources] def infer(name: String): String = {
     val n = name.toLowerCase
-    Seq("hybrid", "file", "socket", "rate", "generator", "kafka", "memory", "empty", "mock")
+    Seq("hybrid", "media", "file", "socket", "rate", "generator", "kafka", "memory", "empty", "mock")
       .find(c => n.contains(c))
       .getOrElse("file")
   }
@@ -157,6 +166,40 @@ final case class FileSourceConfig(
       }
       withSchema.load(path)
     }
+}
+
+/** Real-file media source: Spark's `binaryFile` format lists the files
+  * across executors and reads each payload as one opaque `content: binary`
+  * cell; [[graft.multimodal.Multimodal.fromBinaryFiles]] then parses a
+  * `media_id` from the file name and sniffs typed metadata from the header
+  * bytes — all narrow maps, no payload shuffle. Batch and streaming share
+  * the declaration: in streaming mode the same format runs under the file
+  * stream source (new files picked up per micro-batch) with the fixed
+  * binaryFile schema supplied explicitly, the reference's
+  * monitor-a-directory continuous mode (FileSourceConfig.scala:263-344).
+  */
+final case class MediaFileSourceConfig(
+    name: String,
+    path: String,
+    glob: Option[String],
+    idPattern: String,
+    recursive: Boolean,
+    watermarkColumn: Option[String],
+    maxLateness: String,
+    override val maxIdleness: Option[String] = None) extends SourceConfig {
+
+  private def binarySchema = StructType.fromDDL(
+    "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+
+  override def read(spark: SparkSession, batchMode: Boolean): DataFrame = {
+    val opts = glob.map("pathGlobFilter" -> _).toMap ++
+      (if (recursive) Map("recursiveFileLookup" -> "true") else Map.empty)
+    val files =
+      if (batchMode) spark.read.format("binaryFile").options(opts).load(path)
+      else spark.readStream.format("binaryFile").schema(binarySchema)
+        .options(opts).load(path)
+    graft.multimodal.Multimodal.fromBinaryFiles(files, idPattern)
+  }
 }
 
 /** Hybrid source (reference model/source/HybridSourceConfig.scala:21-56):
