@@ -694,6 +694,68 @@ object NearestCodes {
   }
 }
 
+/** char_window_hashes(str, L, base, mod): polynomial hash of EVERY length-L
+  * byte window of the UTF-8 string — the candidate generator for byte-span
+  * exact-substring dedup (Lee et al. 2021 run their suffix-array pass on
+  * 50-byte spans; over the engine's [a-z0-9 ]-normalized text bytes ==
+  * characters). Computed with the rolling update
+  * h_{i+1} = ((h_i − b_i·base^{L−1})·base + b_{i+L}) mod p, so the row
+  * costs O(n), NOT O(n·L), and no window substring is ever materialized —
+  * the HOF equivalent would build (n−L+1) length-L strings per document.
+  * Strings shorter than L yield one whole-string hash (the shingle
+  * machinery's short-doc contract, so short exact-dup docs still dedup). */
+case class CharWindowHashes(child: Expression, l: Int, base: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharWindowHashes.compute(input.asInstanceOf[UTF8String], l, base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharWindowHashes.compute($c, $l, ${base}L, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharWindowHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_char_window_hashes"
+}
+
+object CharWindowHashes {
+  /** Shared by the interpreted and codegen paths (one definition, two
+    * callers — the [[ShingleHashes]] discipline). */
+  def compute(s: UTF8String, l: Int, base: Long, mod: Long):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.numBytes()
+    if (n < l) {
+      // whole-string fallback window — same fold as PolyHash
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * base + (s.getByte(i) & 0xff)) % mod; i += 1 }
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(h))
+    }
+    val m = n - l + 1
+    val out = new Array[Long](m)
+    // base^(L-1) mod p, for rolling off the window's leading byte
+    var powL = 1L
+    var e = 0
+    while (e < l - 1) { powL = (powL * base) % mod; e += 1 }
+    var h = 0L
+    var i = 0
+    while (i < l) { h = (h * base + (s.getByte(i) & 0xff)) % mod; i += 1 }
+    out(0) = h
+    var w = 1
+    while (w < m) {
+      val off = ((s.getByte(w - 1) & 0xff) * powL) % mod
+      h = ((h - off + mod) % mod * base + (s.getByte(w + l - 1) & 0xff)) % mod
+      out(w) = h
+      w += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** Session registration for the native expressions — callable from SQL and
   * from the DataFrame API via `call_function`. Usable either through
   * [[GraftExtensions]] (spark.sql.extensions=graft.functions.GraftExtensions)
@@ -760,6 +822,15 @@ object GraftFunctions {
         require(args.length == 4, "graft_shingle_hashes(text, k, base, mod)")
         ShingleHashes(Cast(args.head, StringType),
           longLit(args(1), "k").toInt, longLit(args(2), "base"), longLit(args(3), "mod"))
+      }),
+    (FunctionIdentifier("graft_char_window_hashes"),
+      new ExpressionInfo(classOf[CharWindowHashes].getName, "graft_char_window_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_char_window_hashes(text, L, base, mod)")
+        val l = longLit(args(1), "L").toInt
+        require(l >= 1, s"graft_char_window_hashes: L must be >= 1, got $l")
+        CharWindowHashes(Cast(args.head, StringType),
+          l, longLit(args(2), "base"), longLit(args(3), "mod"))
       }),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),

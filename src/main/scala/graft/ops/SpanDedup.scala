@@ -76,4 +76,54 @@ object SpanDedup {
         when(col("__words").isNull, lit(null).cast("string"))
           .otherwise(concat_ws(" ", kept)).as("kept_text"))
   }
+
+  /** BYTE-span variant — the paper's actual granularity (Lee et al. run
+    * their suffix-array pass on 50-BYTE spans): rewrite each document
+    * dropping the characters of any length-`L` window of the NORMALIZED
+    * text whose content appears elsewhere in the corpus, keeping the
+    * lexicographic (id, position) first occurrence. Over the engine's
+    * [a-z0-9 ]-normalized text characters ARE bytes, so this is exact
+    * byte-span semantics. Catches duplicates the word-k-gram form misses:
+    * a duplicated region spanning fewer than k full shared words (e.g. a
+    * shared 3-word phrase inside different sentences) still produces
+    * identical byte windows.
+    *
+    * Same one-groupBy shape as [[rewrite]]; the per-position window hashes
+    * come from ONE rolling-hash native expression
+    * ([[graft.functions.CharWindowHashes]] — O(len) per row, no window
+    * strings materialized), and reconstruction is a narrow per-row char
+    * filter. Docs shorter than L fall back to one whole-text window. At
+    * the paper's corpus scale the suffix array is the memory-optimal
+    * candidate generator; this hash-window form trades ~8 bytes per
+    * position for the same dedup decisions in two shuffles. */
+  def rewriteBytes(docs: DataFrame, idCol: String, textCol: String, L: Int,
+      base: Long = 31L, p: Long = 1000000007L): DataFrame = {
+    require(L >= 2, s"byte spans of L=$L: need L >= 2")
+    val w = docs.select(col(idCol).as("__id"),
+      NearDup.normFused(col(textCol)).as("__norm"))
+    val win = graft.util.CacheBin.persist(w
+      .filter(col("__norm").isNotNull)
+      .select(col("__id"), posexplode(call_function("graft_char_window_hashes",
+        col("__norm"), lit(L), lit(base), lit(p))).as(Seq("__pos", "__wh"))))
+    val firsts = win.groupBy("__wh").agg(count(lit(1)).as("__cnt"),
+      min(struct(col("__id"), col("__pos"))).as("__first"))
+    val starts = win.join(firsts, "__wh")
+      .filter(col("__cnt") >= 2 && !(col("__first.__id") === col("__id") &&
+        col("__first.__pos") === col("__pos")))
+      .groupBy("__id").agg(collect_list("__pos").as("__starts"))
+    val st = coalesce(col("__starts"), typedlit(Seq.empty[Int]))
+    // char j survives unless some redundant window [s, s+L) covers it;
+    // split("") would yield [""] — guard the empty document explicitly
+    val chars = when(length(col("__norm")) === 0, typedlit(Seq.empty[String]))
+      .otherwise(split(col("__norm"), ""))
+    val kept = filter(chars, (_, j) => !exists(st, s => s <= j && j < s + L))
+    w.join(starts, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        when(col("__norm").isNull, 0L)
+          .otherwise(length(col("__norm")).cast("long")).as("n_chars"),
+        when(col("__norm").isNull, 0L)
+          .otherwise(size(kept).cast("long")).as("n_kept"),
+        when(col("__norm").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("", kept)).as("kept_text"))
+  }
 }

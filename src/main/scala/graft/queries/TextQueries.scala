@@ -561,6 +561,55 @@ object TextQueries {
        |ORDER BY CAST(len(words) AS BIGINT) - coalesce(ka.n_kept, 0) DESC, w.doc_id
        |LIMIT 25""".stripMargin
 
+  /** BYTE-span exact-substring removal (Lee et al. 2021's actual 50-byte
+    * granularity): every length-50 character window of the normalized text
+    * (chars == bytes after [a-z0-9 ] normalization) occurring anywhere
+    * else in the corpus is removed, keeping the lexicographic
+    * (doc_id, position) first. Catches word-boundary-crossing duplicates
+    * the word-4-gram [[spanDedup]] misses (SpanDedupSpec pins one).
+    * Machinery: [[graft.ops.SpanDedup.rewriteBytes]] — ONE rolling-hash
+    * native expression for all window hashes, one map-side-combined
+    * groupBy, narrow char-filter reconstruction. Reports the 25
+    * most-rewritten docs with full rewritten text, as [[spanDedup]]. */
+  def spanBytes(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SpanDedup.rewriteBytes(tPar(s, dir, "documents"), "doc_id", "text", 50)
+      .filter(col("n_kept") < col("n_chars"))
+      .orderBy((col("n_chars") - col("n_kept")).desc, col("doc_id"))
+      .limit(25)
+
+  val spanBytesSql: String = {
+    val L = 50
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |wh AS (SELECT doc_id, pos,
+       |              ${polyHashSql(s"substring(norm, pos, $L)", 31L, P1)} h
+       |       FROM (SELECT doc_id, norm,
+       |               unnest(generate_series(1, greatest(length(norm) - ${L - 1}, 1))) pos
+       |             FROM n)),
+       |red AS (SELECT doc_id, pos FROM (
+       |          SELECT doc_id, pos,
+       |                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn
+       |          FROM wh) WHERE rn >= 2),
+       |tok AS (SELECT doc_id, j, substring(norm, j, 1) ch FROM (
+       |          SELECT doc_id, norm, unnest(generate_series(1, length(norm))) j
+       |          FROM n)),
+       |cov AS (SELECT DISTINCT t.doc_id, t.j
+       |        FROM tok t JOIN red r ON t.doc_id = r.doc_id
+       |          AND t.j BETWEEN r.pos AND r.pos + ${L - 1}),
+       |kept AS (SELECT t.doc_id, t.j, t.ch
+       |         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+       |         WHERE c.j IS NULL),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_kept,
+       |              array_to_string(list(ch ORDER BY j), '') kept_text
+       |       FROM kept GROUP BY 1)
+       |SELECT n.doc_id, CAST(length(n.norm) AS BIGINT) n_chars,
+       |       coalesce(ka.n_kept, 0) n_kept,
+       |       coalesce(ka.kept_text, '') kept_text
+       |FROM n LEFT JOIN ka ON n.doc_id = ka.doc_id
+       |WHERE CAST(length(n.norm) AS BIGINT) > coalesce(ka.n_kept, 0)
+       |ORDER BY CAST(length(n.norm) AS BIGINT) - coalesce(ka.n_kept, 0) DESC, n.doc_id
+       |LIMIT 25""".stripMargin
+  }
+
   /** Classifier-based quality scoring (the CCNet/GPT-3 quality-filter
     * shape): a hashed bag-of-words linear model ([[graft.ops.Quality
     * .linearScore]], fastText's architecture) scores every document as a
@@ -671,6 +720,7 @@ object TextQueries {
     "text_dup_clusters" -> (dupClusters _),
     "text_shared_ngrams" -> (sharedNgrams _),
     "text_span_dedup" -> (spanDedup _),
+    "text_span_bytes" -> (spanBytes _),
     "text_quality_model" -> (qualityModel _),
     "text_cluster_best" -> (clusterBest _),
     "text_bpe_tokens" -> (bpeTokens _),
@@ -691,6 +741,7 @@ object TextQueries {
     "text_dup_clusters" -> dupClustersSql,
     "text_shared_ngrams" -> sharedNgramsSql,
     "text_span_dedup" -> spanDedupSql,
+    "text_span_bytes" -> spanBytesSql,
     "text_quality_model" -> qualityModelSql,
     "text_cluster_best" -> clusterBestSql,
     "text_bpe_tokens" -> bpeTokensSql,

@@ -25,28 +25,51 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * shared across executors, and append-only per micro-batch with
   * deterministic overwrite into the batch's own partition, so micro-batch
   * REPLAY is idempotent (same discipline as the commitTag-named avro
-  * sink). State is bounded by `retainBatches`: partitions older than the
-  * window are deleted as the stream advances, which is the band-key form
-  * of dropDuplicatesWithinWatermark's state eviction. Lookups are one
-  * left-semi equi-join per batch on (band, k) — never a pair scan.
+  * sink). Lookups are one left-semi equi-join per batch on (band, k) —
+  * never a pair scan.
+  *
+  * Retention comes in two forms, composable:
+  *  - `retainBatches`: keep the last N batch partitions (operational cap).
+  *  - EVENT-TIME retention (`eventTimeCol` + `retentionMs`): the
+  *    watermark-aligned form real ingest wants — a key expires once its
+  *    event time falls more than `retentionMs` behind the observed
+  *    watermark (max event time across the batch and retained state, so it
+  *    never regresses on a late batch). Each band key registers with the
+  *    max event time of the docs that carried it; the lookup filters
+  *    expired keys row-precise, and whole partitions whose MAX event time
+  *    expired are deleted from disk — dropDuplicatesWithinWatermark's
+  *    eviction discipline applied to band-key state.
   */
 object StreamNearDup {
 
   /** Process one micro-batch against the band-key state at `statePath`:
     * returns the kept rows of `batch`, registers all of the batch's band
-    * keys under `batch=<batchId>`, and evicts partitions older than
-    * `retainBatches`. Callable from any foreachBatch loop (see
-    * [[frontDoor]]) and directly testable as a batch function. */
+    * keys under `batch=<batchId>`, and evicts expired partitions. Callable
+    * from any foreachBatch loop (see [[frontDoor]]) and directly testable
+    * as a batch function.
+    *
+    * `eventTimeCol` must be numeric epoch-based and `retentionMs` in the
+    * same unit (named for the common millis case). A state dir written
+    * without event-time mode cannot be read with it (no `et` column) —
+    * pick one mode per state path. */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
       statePath: String, p: NearDup.Params = NearDup.Params(),
-      batchId: Long = 0L, retainBatches: Int = Int.MaxValue): DataFrame = {
+      batchId: Long = 0L, retainBatches: Int = Int.MaxValue,
+      eventTimeCol: Option[String] = None, retentionMs: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
-    // (doc_id, band, k): narrow shingle→minhash maps + one explode.
+    require(eventTimeCol.isEmpty || retentionMs > 0,
+      s"event-time retention needs retentionMs > 0, got $retentionMs")
+    // (doc_id, band, k [, et]): narrow shingle→minhash maps + one explode.
     // Feeds the state lookup, the in-batch window AND the register write —
     // persist for the micro-batch, released before returning
-    val bands = NearDup.bandKeys(
+    val bands0 = NearDup.bandKeys(
       NearDup.signatures(NearDup.shingleHashes(batch, idCol, textCol, p), p), p)
-      .persist()
+    val bands = (eventTimeCol match {
+      case Some(c) => bands0.join(
+        batch.select(col(idCol).as("__eid"), col(c).cast("long").as("et")),
+        bands0("doc_id") === col("__eid")).drop("__eid")
+      case None => bands0
+    }).persist()
     // explicit existence check, not a broad AnalysisException catch: a
     // CORRUPTED state dir must fail the batch loudly, not silently dedup
     // against nothing
@@ -57,7 +80,21 @@ object StreamNearDup {
     val seen: Option[DataFrame] =
       if (hasState) Some(spark.read.parquet(statePath).filter(col("batch") < batchId))
       else None // first batch
-    val stateHits = seen.map(s =>
+    // watermark-aligned expiry floor: a key is live iff et >= floor.
+    // The watermark is the max event time over this batch AND retained
+    // state, so a late (regressing) batch cannot resurrect expired keys.
+    val floorOpt: Option[Long] = eventTimeCol.map { _ =>
+      val batchMax = Option(bands.agg(max("et")).head().get(0))
+        .map(_.asInstanceOf[Long])
+      val stateMax = seen.flatMap(s => Option(s.agg(max("et")).head().get(0))
+        .map(_.asInstanceOf[Long]))
+      (batchMax ++ stateMax).maxOption.getOrElse(Long.MinValue) - retentionMs
+    }
+    val live = (seen, floorOpt) match {
+      case (Some(s), Some(floor)) => Some(s.filter(col("et") >= floor))
+      case _ => seen
+    }
+    val stateHits = live.map(s =>
         bands.join(s, Seq("band", "k"), "left_semi"))
       .getOrElse(bands.limit(0))
       .select("doc_id").distinct()
@@ -72,27 +109,58 @@ object StreamNearDup {
     // executor memory with lineage truncated
     val kept = batch.join(dropped,
       batch(idCol) === dropped("doc_id"), "left_anti").localCheckpoint()
-    // register this batch's keys idempotently (overwrite OUR partition only)
-    bands.select("band", "k").distinct()
-      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    // register this batch's keys idempotently (overwrite OUR partition
+    // only); in event-time mode each key carries the max event time of
+    // the docs holding it
+    val register = eventTimeCol match {
+      case Some(_) => bands.groupBy("band", "k").agg(max("et").as("et"))
+      case None => bands.select("band", "k").distinct()
+    }
+    register.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
     bands.unpersist()
     evictExpired(spark, statePath, batchId, retainBatches)
+    floorOpt.foreach(evictExpiredByTime(spark, statePath, _))
     kept
   }
 
-  /** Delete state partitions older than the retention window. */
+  /** Delete state partitions older than the batch-count retention window. */
   private def evictExpired(spark: org.apache.spark.sql.SparkSession,
       statePath: String, batchId: Long, retainBatches: Int): Unit = {
     if (retainBatches == Int.MaxValue) return
     val floor = batchId - retainBatches + 1
+    deletePartitions(spark, statePath,
+      _.stripPrefix("batch=").toLongOption.exists(_ < floor))
+  }
+
+  /** Delete state partitions whose MAX event time fell behind the expiry
+    * floor — every key in them is expired, so the files are dead weight.
+    * Row-precision is already handled by the lookup filter; this is the
+    * disk-space half of the eviction. */
+  private def evictExpiredByTime(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, floor: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    // per-partition max event time: one small agg over the retained state
+    // (bounded by the retention window), collected as (batchId, maxEt)
+    // the inferred partition-column type is INT for small ids — cast
+    val perBatch = spark.read.parquet(statePath)
+      .groupBy(col("batch").cast("long").as("batch")).agg(max("et").as("__mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expired = perBatch.filter { case (_, mx) => mx < floor }.keySet
+    if (expired.nonEmpty)
+      deletePartitions(spark, statePath,
+        _.stripPrefix("batch=").toLongOption.exists(expired.contains))
+  }
+
+  private def deletePartitions(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, matches: String => Boolean): Unit = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("batch=") &&
-          name.stripPrefix("batch=").toLongOption.exists(_ < floor))
-        fs.delete(st.getPath, true)
+      if (name.startsWith("batch=") && matches(name)) fs.delete(st.getPath, true)
     }
   }
 
@@ -100,9 +168,11 @@ object StreamNearDup {
     * screened, then handed (kept rows only) to `emit`. */
   def frontDoor(stream: DataFrame, idCol: String, textCol: String,
       statePath: String, p: NearDup.Params = NearDup.Params(),
-      retainBatches: Int = Int.MaxValue)(
+      retainBatches: Int = Int.MaxValue,
+      eventTimeCol: Option[String] = None, retentionMs: Long = -1L)(
       emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (b: DataFrame, id: java.lang.Long) =>
-      emit(processBatch(b, idCol, textCol, statePath, p, id, retainBatches), id)
+      emit(processBatch(b, idCol, textCol, statePath, p, id, retainBatches,
+        eventTimeCol, retentionMs), id)
     }
 }

@@ -239,6 +239,52 @@ class NativeExpressionsSpec extends SparkSpec {
       nullable = false)).eval(row) shouldBe 3L
   }
 
+  behavior of "graft_char_window_hashes"
+
+  it should "match direct per-window poly hashes (rolling == direct) incl. short-string fallback" in {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val L = 4; val base = 31L; val p = 1000000007L
+    def fold(s: String): Long = s.foldLeft(0L)((a, c) => (a * base + c) % p)
+    def direct(s: String): Seq[Long] =
+      if (s.length < L) Seq(fold(s))
+      else (0 to s.length - L).map(i => fold(s.substring(i, i + L)))
+    val texts = Seq("abcdefgh", "aaaaaaaaaa", "ab", "", "xyxyxyxyx",
+      "the quick brown fox jumps over the lazy dog")
+    val out = texts.toDF("t")
+      .select(call_function("graft_char_window_hashes",
+        col("t"), lit(L), lit(base), lit(p)))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    out shouldBe texts.map(direct)
+  }
+
+  it should "participate in whole-stage codegen and be null-safe" in {
+    GraftFunctions.register(spark)
+    val df = spark.range(100).select(
+      call_function("graft_char_window_hashes",
+        col("id").cast("string"), lit(2L), lit(31L), lit(97L)).as("h"))
+    df.queryExecution.executedPlan.toString should
+      include("*(1) Project [graft_char_window_hashes")
+    df.count() shouldBe 100L
+    spark.sql("SELECT graft_char_window_hashes(CAST(NULL AS STRING), 4, 31, 1000000007) h")
+      .head().isNullAt(0) shouldBe true
+  }
+
+  it should "agree between interpreted eval and the dataframe path" in {
+    GraftFunctions.register(spark)
+    val expr = CharWindowHashes(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.StringType, nullable = false),
+      4, 31L, 1000000007L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcdefgh"))
+    val got = expr.eval(row)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    def fold(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31L + c) % 1000000007L)
+    got shouldBe (0 to 4).map(i => fold("abcdefgh".substring(i, i + 4)))
+  }
+
   behavior of "graft_nearest_codes"
 
   // deterministic pseudo-vectors (LCG), no Math.random in tests

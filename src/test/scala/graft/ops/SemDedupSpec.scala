@@ -43,6 +43,27 @@ class SemDedupSpec extends SparkSpec {
     drops shouldBe (100L to 105L).toSet
   }
 
+  it should "compose with a Pq-TRAINED codebook end-to-end (k > 8, planted dups found)" in {
+    // the advertised composition (SemDedup doc: "a Pq/k-means-trained
+    // codebook drops in"): Pq.train with ONE subspace spanning the full
+    // dimension IS seeded k-means with exact integer Lloyd refits —
+    // cb(0) is a k×dim codebook in SemDedup's shape
+    val cb = Pq.train(vecs, "vec_id", "v", s = 1, sub = 24, kc = 12, iters = 2)(0)
+    cb.length shouldBe 12
+    cb.foreach(_.length shouldBe 24)
+    // the trained centroids differ from the raw seeds (the refit moved
+    // them toward their members) — this is NOT seedCodebook in disguise
+    val seeds = SemDedup.seedCodebook(vecs, "vec_id", "v", k = 12)
+    cb should not equal seeds
+    val kept = SemDedup.clean(vecs, "vec_id", "v", cb, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // an exact copy has identical distances to every trained centroid and
+    // the tie-break is deterministic, so it co-clusters with its original
+    // and must be found by the within-cluster search
+    (100L to 105L).foreach(id => kept should not contain id)
+    (0L until 24L).foreach(id => kept should contain(id))
+  }
+
   it should "refuse input that already carries the columns it adds" in {
     val withCluster = vecs.withColumn("cluster", lit(0L))
     val cb = SemDedup.seedCodebook(vecs, "vec_id", "v", k = 4)

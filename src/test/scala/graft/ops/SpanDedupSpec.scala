@@ -86,4 +86,74 @@ class SpanDedupSpec extends SparkSpec {
     out(3L)._3 shouldBe ""
     out(4L) shouldBe ((1L, 0L, ""))
   }
+
+  // ---- byte-span variant ----
+
+  private def rewriteBytes(l: Int, docs: (Long, String)*): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    graft.util.CacheBin.withScope {
+      SpanDedup.rewriteBytes(docs.toDF("doc_id", "text"), "doc_id", "text", l)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3))))
+        .toMap
+    }
+  }
+
+  behavior of "SpanDedup.rewriteBytes"
+
+  it should "catch a word-boundary-crossing duplicate the word form misses" in {
+    // the shared content "aaa bbb ccc" is only THREE words — the word
+    // 4-gram form sees no duplicated window, but the 13-char common
+    // region " aaa bbb ccc " contains three full 11-byte windows
+    val a = 1L -> "xx yy aaa bbb ccc zz ww"
+    val b = 2L -> "qq aaa bbb ccc rr ss tt"
+    val wordOut = rewrite(4, a, b)
+    wordOut(1L) shouldBe ((7L, 7L, "xx yy aaa bbb ccc zz ww")) // untouched
+    wordOut(2L) shouldBe ((7L, 7L, "qq aaa bbb ccc rr ss tt")) // MISSED
+    val byteOut = rewriteBytes(11, a, b)
+    byteOut(1L) shouldBe ((23L, 23L, "xx yy aaa bbb ccc zz ww")) // canonical
+    // doc 2's windows at chars 2,3,4 duplicate doc 1's; merged coverage is
+    // chars 2..14, so the span (and its flanking spaces) is cut out
+    byteOut(2L) shouldBe ((23L, 10L, "qqrr ss tt"))
+  }
+
+  it should "remove a within-doc byte-level repeat, keeping the earlier occurrence" in {
+    val out = rewriteBytes(5, 3L -> "abcdefg xx abcdefg")
+    // norm = "abcdefg xx abcdefg" (18 chars): the second "abcdefg" starts
+    // at char 11; its 5-byte windows at 11,12,13 duplicate those at
+    // 0,1,2, so merged coverage is chars 11..17 — the earlier occurrence
+    // and the separator survive verbatim
+    out(3L) shouldBe ((18L, 11L, "abcdefg xx "))
+  }
+
+  it should "dedup whole short documents via the whole-text fallback window" in {
+    val out = rewriteBytes(50,
+      4L -> "tiny pair",
+      5L -> "tiny pair",
+      6L -> "other words")
+    out(4L) shouldBe ((9L, 9L, "tiny pair"))
+    out(5L) shouldBe ((9L, 0L, ""))
+    out(6L) shouldBe ((11L, 11L, "other words"))
+  }
+
+  it should "keep null text NULL and dedup empty docs separately (byte form)" in {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq((1L, null: String), (2L, ""), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.util.CacheBin.withScope {
+      SpanDedup.rewriteBytes(docs, "doc_id", "text", 50).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    }
+    out(1L) shouldBe ((0L, 0L, null))
+    out(2L) shouldBe ((0L, 0L, "")) // canonical empty doc
+    out(3L) shouldBe ((0L, 0L, ""))
+  }
+
+  it should "reject L < 2" in {
+    an[IllegalArgumentException] should be thrownBy rewriteBytes(1, 1L -> "a b")
+  }
 }

@@ -128,6 +128,20 @@ class GraftPlanSpec extends SparkSpec {
     "PosExplode|posexplode".r.findAllIn(plan).length should be <= 2
   }
 
+  it should "rewrite byte spans with one rolling-hash explode and no cartesian" in {
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = TextQueries.spanBytes(spark, dir)
+      q.count()
+      q
+    })
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // all window hashes come from ONE native rolling-hash expression —
+    // a single posexplode, never a per-window substring materialization
+    plan should include("graft_char_window_hashes")
+    "PosExplode|posexplode".r.findAllIn(plan).length should be <= 2
+  }
+
   it should "score the linear quality model with zero shuffles up to the top-k" in {
     val plan = planOf(TextQueries.qualityModel(spark, dir))
     // scan → narrow fold → TakeOrderedAndProject: the model is a literal,

@@ -68,4 +68,73 @@ class StreamNearDupSpec extends SparkSpec {
       Seq(2L -> A2)) // batch 0 still retained
     kept shouldBe Seq(0L -> 1L)
   }
+
+  behavior of "StreamNearDup event-time retention"
+
+  private def etBatch(rows: (Long, String, Long)*) = {
+    import org.apache.spark.sql.functions.col
+    implicit val enc: Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    spark.createDataset(rows).toDF("doc_id", "text", "ts")
+      .select(col("doc_id"), col("text"), col("ts"))
+  }
+
+  it should "drop a near-dup inside the window and re-admit one after it expires" in {
+    graft.functions.GraftFunctions.register(spark)
+    val statePath = graft.SparkSpec.tempDir("snd_et")
+    def process(id: Long, rows: (Long, String, Long)*): Seq[Long] =
+      StreamNearDup.processBatch(etBatch(rows: _*), "doc_id", "text",
+          statePath, batchId = id, eventTimeCol = Some("ts"), retentionMs = 800L)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+    process(0L, (1L, A, 1000L)) shouldBe Seq(1L)
+    process(1L, (2L, B, 1700L)) shouldBe Seq(2L) // watermark 1700, floor 900
+    // doc 3 is a reworded near-dup of doc 1; doc 1's keys (et 1000) are
+    // INSIDE the window (floor = 1750 - 800 = 950) -> dropped
+    process(2L, (3L, A2, 1750L)) shouldBe Seq.empty
+    // an unrelated doc advances the watermark to 3000 (floor 2200): every
+    // A-family key (ets 1000, 1750) is now expired
+    process(3L, (4L, C, 3000L)) shouldBe Seq(4L)
+    // the SAME text arriving after the retention window is KEPT
+    process(4L, (5L, A, 3100L)) shouldBe Seq(5L)
+  }
+
+  it should "delete state partitions whose max event time expired" in {
+    graft.functions.GraftFunctions.register(spark)
+    val statePath = graft.SparkSpec.tempDir("snd_et2")
+    def process(id: Long, rows: (Long, String, Long)*): Unit =
+      StreamNearDup.processBatch(etBatch(rows: _*), "doc_id", "text",
+        statePath, batchId = id, eventTimeCol = Some("ts"), retentionMs = 500L)
+    process(0L, (1L, A, 1000L))
+    process(1L, (2L, B, 1200L))
+    val d = new java.io.File(statePath)
+    d.list().count(_.startsWith("batch=")) shouldBe 2
+    // watermark jumps to 5000 -> floor 4500: batches 0 and 1 (max ets
+    // 1000/1200) are dead weight and their partitions are deleted
+    process(2L, (3L, C, 5000L))
+    d.list().filter(_.startsWith("batch=")).toSeq shouldBe Seq("batch=2")
+  }
+
+  it should "never let a late batch regress the watermark" in {
+    graft.functions.GraftFunctions.register(spark)
+    val statePath = graft.SparkSpec.tempDir("snd_et3")
+    def process(id: Long, rows: (Long, String, Long)*): Seq[Long] =
+      StreamNearDup.processBatch(etBatch(rows: _*), "doc_id", "text",
+          statePath, batchId = id, eventTimeCol = Some("ts"), retentionMs = 300L)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    process(0L, (1L, A, 1000L)) shouldBe Seq(1L)
+    process(1L, (2L, B, 5000L)) shouldBe Seq(2L) // watermark 5000
+    // a LATE near-dup (et 1100): the watermark stays 5000 (max over
+    // retained state), floor 4700, so doc 1's keys are expired -> kept —
+    // and equally, the late batch cannot resurrect them for later batches
+    process(2L, (3L, A2, 1100L)) shouldBe Seq(3L)
+  }
+
+  it should "reject event-time mode without a positive retention" in {
+    graft.functions.GraftFunctions.register(spark)
+    an[IllegalArgumentException] should be thrownBy
+      StreamNearDup.processBatch(etBatch((1L, A, 1000L)), "doc_id", "text",
+        graft.SparkSpec.tempDir("snd_et4"), batchId = 0L,
+        eventTimeCol = Some("ts"))
+  }
 }
