@@ -34,14 +34,15 @@ object RecallScan {
       }
       println(f"[recall] ivf   nprobe=$np%-2d                      recall@5 = ${recall(rows)}%.3f")
     }
-    for (np <- Seq(4, 5); kc <- Seq(16); it <- Seq(1); rr <- Seq(20, 50, 100)) {
+    for (np <- Seq(4, 5); kc <- Seq(16); it <- Seq(1, 2); rr <- Seq(20, 50, 100)) {
       val got = try {
         val rows = graft.util.CacheBin.withScope {
           annIvfPq(spark, dir, np, kc, it, rr).select("q_id", "n_id").collect()
             .map(x => (x.getLong(0), x.getLong(1)))
         }
         f"recall@5 = ${recall(rows)}%.3f"
-      } catch { case e: Throwable => s"FAILED: ${e.getMessage.take(80)}" }
+        // NonFatal only: an OOM/VM error must crash the scan, not print a line
+      } catch { case scala.util.control.NonFatal(e) => s"FAILED: ${e.getMessage.take(80)}" }
       println(f"[recall] ivfpq nprobe=$np%-2d kc=$kc%-3d iters=$it rr=$rr%-3d $got")
     }
     spark.stop()
