@@ -86,17 +86,51 @@ object MediaFixture {
     out
   }
 
+  /** Planted GVID video parameters, arithmetically stated for the oracle:
+    * frame count varies with the id (so videos are ragged), while frame
+    * CONTENT is keyed on (id mod 10, frame index) — every ~10th video is a
+    * frame-for-frame duplicate, the structure the frame-dedup query must
+    * reproduce from disk. */
+  val GvidFps = 30
+  val GvidFrameLen = 64
+  def gvidFrameCount(id: Long): Int = 4 + (id % 3).toInt
+  def gvidContentKey(id: Long): Long = id % 10
+
+  /** One fixed-length frame, LCG-filled from the (content key, index) pair
+    * — distinct pairs give distinct frames, equal pairs identical ones. */
+  def frameBytes(key: Long, idx: Int): Array[Byte] = {
+    val out = new Array[Byte](GvidFrameLen)
+    var h = (key * 97L + idx) * 6364136223846793005L + 1442695040888963407L
+    var i = 0
+    while (i < GvidFrameLen) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(i) = (h >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic GVID frame container (see
+    * [[Multimodal.FrameContainer]]). */
+  def gvidBytes(id: Long): Array[Byte] =
+    Multimodal.FrameContainer.pack(
+      (0 until gvidFrameCount(id)).map(j => frameBytes(gvidContentKey(id), j)),
+      GvidFps)
+
   /** Write any missing fixture files for `ids` and return the fixture root.
-    * Layout: `<root>/png/doc_<id>.png`, `<root>/wav/doc_<id>.wav`. */
+    * Layout: `<root>/png/doc_<id>.png`, `<root>/wav/doc_<id>.wav`,
+    * `<root>/gvid/doc_<id>.gvid`. */
   def ensure(ids: Seq[Long]): String = {
     val root = new File(sys.props("java.io.tmpdir"), "graft_media_fixture_v1")
     val png = new File(root, "png"); val wav = new File(root, "wav")
-    png.mkdirs(); wav.mkdirs()
-    require(png.isDirectory && wav.isDirectory,
+    val gvid = new File(root, "gvid")
+    png.mkdirs(); wav.mkdirs(); gvid.mkdirs()
+    require(png.isDirectory && wav.isDirectory && gvid.isDirectory,
       s"media fixture dirs not creatable under $root")
     ids.foreach { id =>
       writeIfMissing(new File(png, f"doc_$id%05d.png"), pngBytes(id))
       writeIfMissing(new File(wav, f"doc_$id%05d.wav"), wavBytes(id))
+      writeIfMissing(new File(gvid, f"doc_$id%05d.gvid"), gvidBytes(id))
     }
     root.getAbsolutePath
   }

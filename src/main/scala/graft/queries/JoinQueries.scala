@@ -243,7 +243,48 @@ object JoinQueries {
       |UNION ALL
       |SELECT doc_id, 'image', 'image/png', 16, 16, 0, 0
       |FROM documents WHERE doc_id < 200
+      |UNION ALL
+      |SELECT doc_id, 'video', 'video/x-graft-frames', 0, 0, 0,
+      |       CAST((4 + doc_id % 3) * 1000 // 30 AS BIGINT)
+      |FROM documents WHERE doc_id < 200
       |ORDER BY media_id, kind""".stripMargin
+
+  /** Cross-video FRAME dedup over on-disk frame containers: each planted
+    * GVID video ([[graft.multimodal.MediaFixture.gvidBytes]]) is read back
+    * through the binaryFile media source, frame-SAMPLED (every 2nd frame,
+    * capped — the bounded-output skew guard of
+    * [[Multimodal.frameSample]]), and identical frames are grouped by
+    * content hash across videos. The planted structure: frame content is
+    * keyed on (id mod 10, frame index) while frame COUNTS vary with
+    * id mod 3, so groups are ragged — the oracle re-derives the exact
+    * (members, min, max) of every sampled frame group arithmetically. A
+    * hash match proves list → read → demux → stride-sample → hash → group
+    * reproduces the planted structure from genuine on-disk bytes. Narrow
+    * per-partition demux + explode (bounded per payload), ONE tiny
+    * groupBy — no shuffle touches frame bytes. */
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.multimodal.MediaFixture.ensure(fixtureIds(s, dir))
+    val media = mediaSource("mm-gvid-files", s"$root/gvid", Some("*.gvid"))
+      .read(s, batchMode = true)
+    graft.multimodal.Multimodal.frameSample(media, "content", every = 2, maxFrames = 4)
+      .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("fhash"))
+      .groupBy("fhash")
+      .agg(min("frame_idx").as("frame_idx"), count(lit(1)).as("n_members"),
+        min("media_id").as("min_id"), max("media_id").as("max_id"))
+      .select(col("frame_idx"), col("n_members"), col("min_id"), col("max_id"))
+      .orderBy("frame_idx", "min_id")
+  }
+
+  /** Planted ground truth: sampled frame indexes are {0, 2, 4}; a video
+    * has frame j iff its frame count 4 + id%3 exceeds j; frames of two
+    * videos are identical iff id mod 10 matches (same index). */
+  val frameDedupSql: String =
+    """SELECT CAST(f.j AS BIGINT) frame_idx, CAST(count(*) AS BIGINT) n_members,
+      |       min(doc_id) min_id, max(doc_id) max_id
+      |FROM documents, (VALUES (0), (2), (4)) f(j)
+      |WHERE doc_id < 200 AND 4 + doc_id % 3 > f.j
+      |GROUP BY doc_id % 10, f.j
+      |ORDER BY frame_idx, min_id""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
     "join_asof_control" -> (asofControl _),
@@ -252,6 +293,7 @@ object JoinQueries {
     "mm_image_dedup" -> (imageDedup _),
     "mm_file_dedup" -> (fileDedup _),
     "mm_file_meta" -> (fileMeta _),
+    "mm_frame_dedup" -> (frameDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -261,5 +303,6 @@ object JoinQueries {
     "mm_image_dedup" -> imageDedupSql,
     "mm_file_dedup" -> fileDedupSql,
     "mm_file_meta" -> fileMetaSql,
+    "mm_frame_dedup" -> frameDedupSql,
   )
 }

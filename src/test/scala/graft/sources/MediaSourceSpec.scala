@@ -68,6 +68,35 @@ class MediaSourceSpec extends SparkSpec {
     }
   }
 
+  it should "demux planted frame containers read from disk" in {
+    // same content key (3 mod 10): frame-for-frame duplicates — but ragged
+    // counts (3 -> 4 frames, 23 -> 6), so only doc 23 has a frame 4
+    val ids = Seq(3L, 23L)
+    val root = MediaFixture.ensure(ids)
+    // the fixture root is SHARED (other tests/queries plant more ids
+    // there) — restrict to this test's two videos
+    val media = MediaFileSourceConfig("mm", s"$root/gvid", Some("*.gvid"),
+        "(\\d+)", recursive = false, None, "5 minutes")
+      .read(spark, batchMode = true)
+      .filter(org.apache.spark.sql.functions.col("media_id").isin(ids: _*))
+    // sniffed as video with the planted exact duration
+    val kinds = media.select("media_id", "meta.kind", "meta.durationMs")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    ids.foreach { id =>
+      kinds(id) shouldBe (("video",
+        MediaFixture.gvidFrameCount(id).toLong * 1000L / MediaFixture.GvidFps))
+    }
+    // frame sampling over the on-disk payloads: stride-2 indexes, planted
+    // bytes verbatim, and the two videos' shared frames are IDENTICAL
+    val frames = Multimodal.frameSample(media, "content", every = 2, maxFrames = 4)
+      .select("media_id", "frame_idx", "frame").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Array[Byte]](2)).toMap
+    frames.keys.toSet shouldBe Set((3L, 0L), (3L, 2L), (23L, 0L), (23L, 2L), (23L, 4L))
+    frames((3L, 0L)) shouldBe MediaFixture.frameBytes(3L, 0)
+    frames((3L, 2L)) shouldBe frames((23L, 2L))
+    frames((23L, 4L)) shouldBe MediaFixture.frameBytes(3L, 4)
+  }
+
   it should "stream new files through the same declaration" in {
     val dir = graft.SparkSpec.tempDir("graft-media-stream")
     Seq(1L, 2L).foreach { id =>
