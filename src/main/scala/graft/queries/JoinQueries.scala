@@ -193,9 +193,14 @@ object JoinQueries {
     * list→read→decode→hash→group pipeline reproduces it from disk. */
   def fileDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val root = graft.multimodal.MediaFixture.ensure(fixtureIds(s, dir))
+    val ids = fixtureIds(s, dir)
+    val root = graft.multimodal.MediaFixture.ensure(ids)
+    // the fixture dir is shared/cumulative (other SFs and specs plant
+    // there too) — restrict to THIS table's ids or stray files would
+    // desync the oracle
     val media = mediaSource("mm-png-files", s"$root/png", Some("*.png"))
       .read(s, batchMode = true)
+      .filter(col("media_id").isin(ids: _*))
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
@@ -222,9 +227,11 @@ object JoinQueries {
     * rate and exact duration) arithmetically from the id — a header-parse
     * or duration-arithmetic bug anywhere in the path changes the hash. */
   def fileMeta(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.multimodal.MediaFixture.ensure(fixtureIds(s, dir))
+    val ids = fixtureIds(s, dir)
+    val root = graft.multimodal.MediaFixture.ensure(ids)
     val media = mediaSource("mm-media-files", root, None, recursive = true)
       .read(s, batchMode = true)
+      .filter(col("media_id").isin(ids: _*)) // shared fixture dir — see fileDedup
     media.select(col("media_id"),
         col("meta.kind").as("kind"), col("meta.mimeType").as("mime"),
         col("meta.width").cast("long").as("width"),
@@ -263,9 +270,11 @@ object JoinQueries {
     * per-partition demux + explode (bounded per payload), ONE tiny
     * groupBy — no shuffle touches frame bytes. */
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.multimodal.MediaFixture.ensure(fixtureIds(s, dir))
+    val ids = fixtureIds(s, dir)
+    val root = graft.multimodal.MediaFixture.ensure(ids)
     val media = mediaSource("mm-gvid-files", s"$root/gvid", Some("*.gvid"))
       .read(s, batchMode = true)
+      .filter(col("media_id").isin(ids: _*)) // shared fixture dir — see fileDedup
     graft.multimodal.Multimodal.frameSample(media, "content", every = 2, maxFrames = 4)
       .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("fhash"))
       .groupBy("fhash")

@@ -33,12 +33,17 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *  - EVENT-TIME retention (`eventTimeCol` + `retentionMs`): the
   *    watermark-aligned form real ingest wants — a key expires once its
   *    event time falls more than `retentionMs` behind the observed
-  *    watermark (max event time across the batch and retained state, so it
-  *    never regresses on a late batch). Each band key registers with the
-  *    max event time of the docs that carried it; the lookup filters
-  *    expired keys row-precise, and whole partitions whose MAX event time
-  *    expired are deleted from disk — dropDuplicatesWithinWatermark's
-  *    eviction discipline applied to band-key state.
+  *    watermark (max event time across the batch and ALL state
+  *    partitions, so neither a late nor a replayed batch regresses it).
+  *    Each band key registers with the max event time of the docs that
+  *    carried it; each partition records its max in a `_MAX_ET` sidecar,
+  *    so the watermark and the eviction set come from driver-side sidecar
+  *    reads, never a per-batch state scan. The lookup filters expired
+  *    keys row-precise, and whole partitions whose MAX event time expired
+  *    are deleted from disk — dropDuplicatesWithinWatermark's eviction
+  *    discipline applied to band-key state. A NULL event time fails the
+  *    batch loudly (it could neither match later lookups nor register
+  *    honestly).
   */
 object StreamNearDup {
 
@@ -81,14 +86,27 @@ object StreamNearDup {
       if (hasState) Some(spark.read.parquet(statePath).filter(col("batch") < batchId))
       else None // first batch
     // watermark-aligned expiry floor: a key is live iff et >= floor.
-    // The watermark is the max event time over this batch AND retained
-    // state, so a late (regressing) batch cannot resurrect expired keys.
-    val floorOpt: Option[Long] = eventTimeCol.map { _ =>
-      val batchMax = Option(bands.agg(max("et")).head().get(0))
-        .map(_.asInstanceOf[Long])
-      val stateMax = seen.flatMap(s => Option(s.agg(max("et")).head().get(0))
-        .map(_.asInstanceOf[Long]))
-      (batchMax ++ stateMax).maxOption.getOrElse(Long.MinValue) - retentionMs
+    // The watermark is the max event time over this batch AND every state
+    // partition (read from the per-partition _MAX_ET sidecars — no state
+    // scan), so neither a late nor a replayed batch can regress it. No
+    // event time observed anywhere -> no floor (nothing filtered, nothing
+    // evicted) — never an underflowed sentinel arithmetic.
+    val batchMaxOpt: Option[Long] = eventTimeCol.flatMap { etCol =>
+      val r = bands.agg(max("et").as("mx"),
+        count(when(col("et").isNull, 1)).as("nulls")).head()
+      // a null event time can neither match later lookups (null >= floor
+      // is never true — a silent dedup miss) nor register honestly; the
+      // engine's degenerate-input policy is to fail the batch loudly
+      require(r.getLong(1) == 0L,
+        s"StreamNearDup: ${r.getLong(1)} band keys with NULL '$etCol' in batch " +
+          s"$batchId — filter or repair null event times upstream")
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val partMax: Map[Long, Long] =
+      if (eventTimeCol.isDefined && hasState) partitionMaxes(spark, statePath)
+      else Map.empty
+    val floorOpt: Option[Long] = eventTimeCol.flatMap { _ =>
+      (batchMaxOpt ++ partMax.values).maxOption.map(_ - retentionMs)
     }
     val live = (seen, floorOpt) match {
       case (Some(s), Some(floor)) => Some(s.filter(col("et") >= floor))
@@ -117,10 +135,54 @@ object StreamNearDup {
       case None => bands.select("band", "k").distinct()
     }
     register.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    // per-partition max event time as a sidecar, so later batches derive
+    // the watermark and the eviction set WITHOUT re-scanning state
+    batchMaxOpt.foreach(mx =>
+      writeSidecar(spark, s"$statePath/batch=$batchId", mx))
     bands.unpersist()
     evictExpired(spark, statePath, batchId, retainBatches)
-    floorOpt.foreach(evictExpiredByTime(spark, statePath, _))
+    floorOpt.foreach { floor =>
+      val maxes = partMax ++ batchMaxOpt.map(batchId -> _)
+      evictExpiredByTime(spark, statePath, maxes, floor)
+    }
     kept
+  }
+
+  private val SidecarName = "_MAX_ET"
+
+  private def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+      partitionPath: String, maxEt: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(partitionPath, SidecarName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(maxEt.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (batchId → max event time) for every state partition: from the
+    * `_MAX_ET` sidecars, falling back to a one-partition parquet agg for a
+    * partition whose sidecar is missing (crash between the two writes) —
+    * driver-side file reads, no full state scan. */
+  private def partitionMaxes(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Map[Long, Long] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).flatMap { st =>
+      val name = st.getPath.getName
+      name.stripPrefix("batch=").toLongOption.filter(_ => name.startsWith("batch=")).flatMap { id =>
+        val sc = new org.apache.hadoop.fs.Path(st.getPath, SidecarName)
+        val fromSidecar: Option[Long] =
+          if (fs.exists(sc)) {
+            val in = fs.open(sc)
+            val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            s.trim.toLongOption
+          } else None
+        fromSidecar.orElse {
+          val r = spark.read.parquet(st.getPath.toString).agg(max("et")).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }.map(id -> _)
+      }
+    }.toMap
   }
 
   /** Delete state partitions older than the batch-count retention window. */
@@ -135,19 +197,11 @@ object StreamNearDup {
   /** Delete state partitions whose MAX event time fell behind the expiry
     * floor — every key in them is expired, so the files are dead weight.
     * Row-precision is already handled by the lookup filter; this is the
-    * disk-space half of the eviction. */
+    * disk-space half of the eviction. The per-partition maxes come from
+    * the sidecars collected this batch — no state scan here. */
   private def evictExpiredByTime(spark: org.apache.spark.sql.SparkSession,
-      statePath: String, floor: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    // per-partition max event time: one small agg over the retained state
-    // (bounded by the retention window), collected as (batchId, maxEt)
-    // the inferred partition-column type is INT for small ids — cast
-    val perBatch = spark.read.parquet(statePath)
-      .groupBy(col("batch").cast("long").as("batch")).agg(max("et").as("__mx"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expired = perBatch.filter { case (_, mx) => mx < floor }.keySet
+      statePath: String, partitionMax: Map[Long, Long], floor: Long): Unit = {
+    val expired = partitionMax.filter { case (_, mx) => mx < floor }.keySet
     if (expired.nonEmpty)
       deletePartitions(spark, statePath,
         _.stripPrefix("batch=").toLongOption.exists(expired.contains))

@@ -130,6 +130,18 @@ class StreamNearDupSpec extends SparkSpec {
     process(2L, (3L, A2, 1100L)) shouldBe Seq(3L)
   }
 
+  it should "fail a batch loudly on NULL event times instead of silently missing dedups" in {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    graft.functions.GraftFunctions.register(spark)
+    val docs = etBatch((1L, A, 1000L), (2L, B, 999L))
+      .withColumn("ts", when(col("doc_id") === 2L, lit(null)).otherwise(col("ts")))
+    val e = the[IllegalArgumentException] thrownBy
+      StreamNearDup.processBatch(docs, "doc_id", "text",
+        graft.SparkSpec.tempDir("snd_et5"), batchId = 0L,
+        eventTimeCol = Some("ts"), retentionMs = 500L)
+    e.getMessage should include("NULL 'ts'")
+  }
+
   it should "reject event-time mode without a positive retention" in {
     graft.functions.GraftFunctions.register(spark)
     an[IllegalArgumentException] should be thrownBy
