@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE merge-rule training (Sennrich, Haddow, Birch, "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016): learn the k
+  * most frequent adjacent symbol pairs over the corpus word-frequency
+  * table, merging each winner into a new symbol before counting the next —
+  * the tokenizer-training half of the BPE story
+  * ([[graft.queries.TextQueries.bpeTokens]] is the inference-side
+  * regex tokenizer).
+  *
+  * The algorithm runs on the word-frequency table, NOT the corpus: the
+  * per-word symbol sequences weighted by word frequency are BPE's
+  * sufficient statistic, which is why real trainers handle web-scale
+  * corpora — at 100 TB the corpus-sized work is ONE tokenize + groupBy
+  * (map-side combined), and every merge round then touches only the vocab
+  * (millions of rows, not billions). Per round: one pair-count groupBy
+  * (narrow explode of adjacent pairs → map-side-combined sum) + a driver
+  * top-1 + one narrow fold applying the merge. k rounds = k small
+  * shuffles over the shrinking vocab.
+  *
+  * Determinism contract: the winning pair ties break on (count desc,
+  * lhs asc, rhs asc); merge application is an exact LEFT-TO-RIGHT
+  * non-overlapping fold (`aggregate` HOF — in "aaaaa" merging (a,a)
+  * yields [aa, aa, a], the textbook greedy scan), so a SQL engine
+  * replaying the same fold (DuckDB `list_reduce`) reproduces every round
+  * bit-for-bit.
+  */
+object BpeTrain {
+
+  /** Word-frequency table of the corpus: (freq, syms = chars of the word).
+    * The ONE corpus-sized pass. */
+  private def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(call_function("graft_words", col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("syms"))
+
+  /** Adjacent-pair counts weighted by word frequency. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(0), size(col("syms")) - 2),
+        i => struct(element_at(col("syms"), i + 1).as("lhs"),
+          element_at(col("syms"), i + 2).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Exact left-to-right non-overlapping merge of (a, b) → ab over a
+    * symbol array — a narrow fold, no shuffle. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    // try_element_at: NULL (not ANSI error) on the empty accumulator —
+    // the null condition falls through to otherwise, appending as usual
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `k` merge rules; returns (rank, lhs, rhs, cnt) in learning
+    * order. Fails loudly if the vocabulary runs out of adjacent pairs
+    * before `k` merges (corpus too small for the requested vocab). */
+  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"BpeTrain.merges: k=$k — need at least one merge")
+    val spark = docs.sparkSession
+    var cur = graft.util.CacheBin.persist(wordFreqs(docs, textCol))
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to k) {
+      val top = pairCounts(cur)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1).collect()
+      require(top.nonEmpty,
+        s"BpeTrain.merges: no adjacent pairs left at round $r (k=$k too large)")
+      val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      out += ((r.toLong, l, rr, c))
+      val next = graft.util.CacheBin.persist(
+        cur.select(col("freq"), applyMerge(col("syms"), l, rr).as("syms")))
+      next.count() // materialize before dropping the parent
+      cur.unpersist()
+      cur = next
+    }
+    cur.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result().map(Row.fromTuple), 1),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+}

@@ -610,6 +610,47 @@ object TextQueries {
        |LIMIT 25""".stripMargin
   }
 
+  /** BPE merge-rule training over the corpus word-frequency table
+    * ([[graft.ops.BpeTrain]]): the 6 most frequent adjacent symbol pairs,
+    * each merged before counting the next — tokenizer TRAINING, where
+    * [[bpeTokens]] is tokenizer inference. The DuckDB mirror replays all
+    * six rounds exactly (same tie-break, same left-to-right fold via
+    * `list_reduce`), so the learned rules and their counts hash-match. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.BpeTrain.merges(tPar(s, dir, "documents"), "text", k = 6)
+      .orderBy("rank")
+
+  val bpeMergesSql: String = {
+    val k = 6
+    // fold applying round r's winning merge (mr.l, mr.r) to a symbol
+    // string: exact left-to-right non-overlapping, like the Spark fold
+    def foldSql(prev: String, m: String): String =
+      s"""trim(list_reduce(list_prepend('', string_split($prev.syms, ' ')),
+         |  (acc, x) -> CASE WHEN ends_with(acc, ' ' || $m.l) AND x = $m.r
+         |              THEN left(acc, length(acc) - length($m.l)) || $m.l || $m.r
+         |              ELSE acc || ' ' || x END))""".stripMargin
+    val rounds = (1 to k).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT l, r, CAST(sum(freq) AS BIGINT) cnt FROM (
+         |  SELECT freq, sy[i] l, sy[i + 1] r FROM (
+         |    SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) i
+         |    FROM (SELECT freq, string_split(syms, ' ') sy FROM $prev)))
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$r AS (SELECT $prev.freq, ${foldSql(prev, s"m$r")} syms FROM $prev, m$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) rank, l lhs, r rhs, cnt FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH n AS (SELECT $normSql norm FROM documents),
+       |t AS (SELECT unnest(string_split(norm, ' ')) w FROM n),
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) freq FROM t WHERE w <> '' GROUP BY 1),
+       |s0 AS (SELECT freq, array_to_string(string_split(w, ''), ' ') syms FROM wf),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Classifier-based quality scoring (the CCNet/GPT-3 quality-filter
     * shape): a hashed bag-of-words linear model ([[graft.ops.Quality
     * .linearScore]], fastText's architecture) scores every document as a
@@ -721,6 +762,7 @@ object TextQueries {
     "text_shared_ngrams" -> (sharedNgrams _),
     "text_span_dedup" -> (spanDedup _),
     "text_span_bytes" -> (spanBytes _),
+    "text_bpe_merges" -> (bpeMerges _),
     "text_quality_model" -> (qualityModel _),
     "text_cluster_best" -> (clusterBest _),
     "text_bpe_tokens" -> (bpeTokens _),
@@ -742,6 +784,7 @@ object TextQueries {
     "text_shared_ngrams" -> sharedNgramsSql,
     "text_span_dedup" -> spanDedupSql,
     "text_span_bytes" -> spanBytesSql,
+    "text_bpe_merges" -> bpeMergesSql,
     "text_quality_model" -> qualityModelSql,
     "text_cluster_best" -> clusterBestSql,
     "text_bpe_tokens" -> bpeTokensSql,
