@@ -141,6 +141,55 @@ object TextQueries {
        |       (n_words >= 20 AND stop_cnt*100 >= n_words*2 AND n_punct*100 <= n_chars_t*10) quality_ok
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Per-source quota cap — the C4/RefinedWeb-style curation rule "keep at
+    * most CAP documents per domain, best first" that stops one hot domain
+    * from dominating a crawl-derived corpus. Ranking key is the stopword
+    * density in exact integer ppm (a real quality proxy, engine-independent
+    * arithmetic), tie-break on doc_id.
+    *
+    * Scale shape: ranking runs through [[graft.agg.BoundedTopK]] — exact
+    * top-k as an algebraic aggregate with O(CAP) state per key, so map-side
+    * combine ships CAP rows per (partition, source) no matter how hot the
+    * source. The DuckDB oracle IS the window form (`row_number() OVER
+    * (PARTITION BY source ...)`) the aggregator must equal row for row —
+    * at 100 TB the window form sorts every row of the hottest domain on one
+    * task; the aggregate form never materializes a group. */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val CAP = 8
+    val scored = graft.ops.Quality.withSignals(
+        tPar(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text")))
+      .filter(col("n_words") > 0)
+      .select(col("source"), expr("stop_cnt * 1000000 div n_words").as("score_ppm"),
+        col("doc_id"))
+      .as[(String, Long, Long)]
+    val topk = new graft.agg.BoundedTopK[(String, Long, Long)](_._2, _._3, CAP)
+    scored.groupByKey(_._1)
+      .agg(topk.toColumn.name("kept"))
+      .toDF("source", "kept")
+      .select(col("source"), posexplode(col("kept")).as(Seq("i", "s")))
+      .select(col("source"), (col("i") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").as("score_ppm"))
+      .orderBy("source", "rank")
+  }
+
+  val sourceCapSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(string_split($normSql, ' '),
+       |              w -> w IN ('the','and','of','to','in','a','is','for','on','with'))) AS BIGINT) stop_cnt,
+       |         CAST(len(string_split($normSql, ' ')) AS BIGINT) n_words
+       |  FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT source, doc_id, (stop_cnt * 1000000) // n_words score_ppm
+       |       FROM b WHERE n_words > 0),
+       |r AS (SELECT source, doc_id, score_ppm,
+       |             row_number() OVER (PARTITION BY source ORDER BY score_ppm DESC, doc_id) rn
+       |      FROM sc)
+       |SELECT source, CAST(rn AS BIGINT) rank, doc_id, score_ppm
+       |FROM r WHERE rn <= 8 ORDER BY source, rank""".stripMargin
+
   /** Language-ID by distinct-marker-word scoring with a fixed tie-break
     * (n-gram/stopword heuristic; all-integer, fully deterministic). */
   def langId(s: SparkSession, dir: String): DataFrame = {
@@ -767,6 +816,7 @@ object TextQueries {
     "text_cluster_best" -> (clusterBest _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_quality_score" -> (qualityScore _),
+    "text_source_cap" -> (sourceCap _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_dedup_exact" -> (dedupExactDocs _),
@@ -789,6 +839,7 @@ object TextQueries {
     "text_cluster_best" -> clusterBestSql,
     "text_bpe_tokens" -> bpeTokensSql,
     "text_quality_score" -> qualityScoreSql,
+    "text_source_cap" -> sourceCapSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_dedup_exact" -> dedupExactDocsSql,
