@@ -104,6 +104,19 @@ class GraftPlanSpec extends SparkSpec {
     "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
   }
 
+  it should "route IVF-SQ8 candidates through broadcast equi-joins like the PQ path" in {
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = VectorQueries.annSq(spark, dir)
+      q.count() // materialize so the AQE final plan reflects the join choice
+      q
+    })
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // probes broadcast into the cell equi-join AND the dequantized-score
+    // shortlist broadcast into the exact re-rank — same discipline as ivfpq
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
+  }
+
   it should "restrict semantic dedup to within-cluster equi-join candidates" in {
     val plan = planOf(graft.util.CacheBin.withScope {
       val q = VectorQueries.semDedup(spark, dir)
