@@ -117,6 +117,21 @@ class GraftPlanSpec extends SparkSpec {
     "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
   }
 
+  it should "run the Hamming ANN as a broadcast signature scan + broadcast re-rank" in {
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = VectorQueries.annHamming(spark, dir)
+      q.count()
+      q
+    })
+    // the signature scan is DELIBERATELY a broadcast nested-loop: 10 probes
+    // against a 3-long-wide signature projection — that linear scan IS the
+    // operator (8 bytes/vector at scale). What must never appear is an
+    // un-broadcast cartesian, and the exact re-rank must stay a broadcast
+    // bounded equi-join like the PQ/SQ paths.
+    plan should not include "CartesianProduct"
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 1
+  }
+
   it should "restrict semantic dedup to within-cluster equi-join candidates" in {
     val plan = planOf(graft.util.CacheBin.withScope {
       val q = VectorQueries.semDedup(spark, dir)
