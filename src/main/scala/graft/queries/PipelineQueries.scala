@@ -176,15 +176,59 @@ object PipelineQueries {
        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin
   }
 
+  /** Z-order layout report — the data-layout stage of a 100 TB pipeline:
+    * interleave `(l_partkey, l_suppkey)` into a Morton z-value
+    * ([[graft.ops.ZOrder]]) and report, per fixed-grid z-cell (`z >> 16`,
+    * i.e. all but the low 8 bits of each key fixed), the row count and the
+    * per-key bounding box. The box spans are the point: every cell's span
+    * is ≤ 255 in BOTH keys (the z-curve grid-cell bound), which is exactly
+    * why a z-ordered write prunes on either column from min/max file
+    * statistics — the report is the evidence a table-optimizer would emit
+    * after `OPTIMIZE ZORDER BY`.
+    *
+    * Scale shape: the z-value is a static codegen'd narrow map; the report
+    * is ONE map-side-combined groupBy over ≤ #cells groups. The cluster
+    * write path is `repartitionByRange` on the z-value + partitioned write;
+    * this report is its oracle-checkable twin. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val BITS = 21
+    val SHIFT = 16
+    tPar(s, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+      .withColumn("cell",
+        shiftright(graft.ops.ZOrder.zvalue(col("pk"), col("sk"), BITS), SHIFT))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min("pk").as("min_pk"), max("pk").as("max_pk"),
+        min("sk").as("min_sk"), max("sk").as("max_sk"))
+      .select(col("cell"), col("n_rows"),
+        col("min_pk"), col("max_pk"), col("min_sk"), col("max_sk"),
+        (col("max_pk") - col("min_pk")).as("pk_span"),
+        (col("max_sk") - col("min_sk")).as("sk_span"))
+      .orderBy("cell")
+  }
+
+  val zorderLayoutSql: String = {
+    val zSql = graft.ops.ZOrder.zvalueSql("l_partkey", "l_suppkey", 21)
+    s"""WITH z AS (SELECT l_partkey pk, l_suppkey sk, $zSql z FROM lineitem)
+       |SELECT z >> 16 cell, CAST(count(*) AS BIGINT) n_rows,
+       |       min(pk) min_pk, max(pk) max_pk, min(sk) min_sk, max(sk) max_sk,
+       |       max(pk) - min(pk) pk_span, max(sk) - min(sk) sk_span
+       |FROM z GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_shard_plan" -> (shardPlan _),
     "pipe_pack_sequences" -> (packSequences _),
+    "pipe_zorder_layout" -> (zorderLayout _),
   )
 
   val oracle: Map[String, String] = Map(
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_shard_plan" -> shardPlanSql,
     "pipe_pack_sequences" -> packSequencesSql,
+    "pipe_zorder_layout" -> zorderLayoutSql,
   )
 }
