@@ -218,11 +218,58 @@ object PipelineQueries {
        |FROM z GROUP BY 1 ORDER BY cell""".stripMargin
   }
 
+  /** Shuffle-skew audit — the pre-flight diagnostic every 100 TB
+    * groupBy/join needs: for the hottest keys of a shuffle column, report
+    * exact share and the salt factor that would level them. Per top-10 key
+    * (count desc, key asc): count, corpus share in ppm, skew multiple in
+    * ppm (count · distinct-keys / total — 1 000 000 = perfectly level),
+    * and `salt_rec` = ⌈count · P / total⌉ for P=32 — the number of salt
+    * buckets that caps the key's per-bucket share at one partition's fair
+    * share (1 = no salting needed). All integer arithmetic, engine-exact.
+    *
+    * Scale shape: ONE map-side-combined groupBy over the key domain, a
+    * bounded global top-k (TakeOrderedAndProject — never a full sort), and
+    * the totals row joined in as a broadcast single-row aggregate. Driver
+    * state: 10 rows. */
+  def skewAudit(s: SparkSession, dir: String): DataFrame = {
+    val P = 32
+    val counts = events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+    // rank over the already-bounded 10-row top: the unpartitioned window
+    // sees 10 rows by construction (same category as the broadcast 1-row
+    // totals), never the key domain
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("user_id"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("user_id"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr("cnt * n_keys * 1000000 div total").as("skew_x_ppm"),
+        expr(s"(cnt * $P + total - 1) div total").as("salt_rec"))
+      .orderBy("rank")
+  }
+
+  val skewAuditSql: String =
+    """WITH c AS (SELECT user_id, count(*) cnt FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) total, count(*) n_keys FROM c),
+      |r AS (SELECT user_id, cnt,
+      |             row_number() OVER (ORDER BY cnt DESC, user_id) rank
+      |      FROM c)
+      |SELECT CAST(r.rank AS BIGINT) rank, r.user_id, CAST(r.cnt AS BIGINT) cnt,
+      |       (r.cnt * 1000000) // t.total share_ppm,
+      |       (r.cnt * t.n_keys * 1000000) // t.total skew_x_ppm,
+      |       (r.cnt * 32 + t.total - 1) // t.total salt_rec
+      |FROM r, t WHERE r.rank <= 10 ORDER BY rank""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_shard_plan" -> (shardPlan _),
     "pipe_pack_sequences" -> (packSequences _),
     "pipe_zorder_layout" -> (zorderLayout _),
+    "pipe_skew_audit" -> (skewAudit _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -230,5 +277,6 @@ object PipelineQueries {
     "pipe_shard_plan" -> shardPlanSql,
     "pipe_pack_sequences" -> packSequencesSql,
     "pipe_zorder_layout" -> zorderLayoutSql,
+    "pipe_skew_audit" -> skewAuditSql,
   )
 }
