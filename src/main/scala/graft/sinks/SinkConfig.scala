@@ -87,7 +87,20 @@ object SinkConfig {
 
 /** File sink with datetime/bucket partitioning (reference
   * FileSinkConfig.scala:79-261 — bucket assigners map to partition columns;
-  * rolling-on-checkpoint maps to streaming micro-batch file commits). */
+  * rolling-on-checkpoint maps to streaming micro-batch file commits).
+  *
+  * Batch writes additionally support Z-ORDER CLUSTERING (additive — the
+  * `OPTIMIZE ZORDER BY` layout of Delta/Iceberg, no reference
+  * counterpart) via options:
+  *   - `zorder.cols`  = "colA,colB" — two nonnegative integer columns
+  *   - `zorder.files` = target file count (default: cluster parallelism)
+  *   - `zorder.bits`  = interleave width (default 21)
+  * The frame is range-partitioned and sorted on the Morton z-value
+  * ([[graft.ops.ZOrder]]), so every output file covers a small bounding
+  * box in BOTH columns and scans with a predicate on either column prune
+  * most files from footer min/max statistics. Streaming rejects the
+  * option loudly: z-ordering is a batch layout job (compaction), not a
+  * per-micro-batch transform. */
 final case class FileSinkConfig(
     name: String,
     path: String,
@@ -98,17 +111,54 @@ final case class FileSinkConfig(
     isSideOutput: Boolean) extends SinkConfig {
 
   override def writeBatch(df: DataFrame): Unit = {
-    val w = df.write.format(format).mode(mode).options(options)
+    val (clustered, writerOpts) = FileSinkConfig.applyZOrder(df, options)
+    val w = clustered.write.format(format).mode(mode).options(writerOpts)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
   }
 
   override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery = {
+    require(!options.contains(FileSinkConfig.ZCols),
+      s"FileSinkConfig($name): zorder.cols is batch-only — z-ordering is a " +
+        "layout/compaction job, not a per-micro-batch transform")
     val w = df.writeStream.format(format).options(options)
       .option("path", path)
       .option("checkpointLocation", s"$checkpointDir/$name")
       .trigger(Trigger.AvailableNow())
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
+}
+
+object FileSinkConfig {
+  private[sinks] val ZCols = "zorder.cols"
+  private val ZFiles = "zorder.files"
+  private val ZBits = "zorder.bits"
+
+  /** Range-partition + sort the frame on the Morton z-value of the two
+    * configured columns; strips the zorder.* keys so they never reach the
+    * underlying writer. The z column is dropped AFTER the sort — a
+    * projection, so the clustered distribution and order survive into the
+    * file commit. */
+  private[sinks] def applyZOrder(df: DataFrame,
+      options: Map[String, String]): (DataFrame, Map[String, String]) =
+    options.get(ZCols) match {
+      case None => (df, options)
+      case Some(spec) =>
+        import org.apache.spark.sql.functions._
+        val cols = spec.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.length == 2,
+          s"$ZCols expects exactly two columns, got '$spec'")
+        val files = options.get(ZFiles).map(_.toInt)
+          .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+        require(files > 0, s"$ZFiles must be positive, got $files")
+        val bits = options.get(ZBits).map(_.toInt).getOrElse(21)
+        val z = graft.ops.ZOrder.zvalue(
+          col(cols(0)).cast("long"), col(cols(1)).cast("long"), bits)
+        val clustered = df.withColumn("__graft_z", z)
+          .repartitionByRange(files, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+        (clustered, options - ZCols - ZFiles - ZBits)
+    }
 }
 
 /** Avro container-file sink (reference FileSinkConfig avro writers): expects
