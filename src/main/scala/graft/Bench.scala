@@ -29,8 +29,9 @@ object Bench {
 
   /** Brute-force O(n²) pair-scan oracles; their scale-path counterparts
     * (text_minhash_pairs, vec_ann_lsh) are benchmarked instead. Also the
-    * recall self-check, a composite that re-runs three queries (ann_topk,
-    * ann_ivf, ann_ivfpq) that are each already timed individually. */
+    * recall self-check, a composite that re-runs five queries (ann_topk,
+    * ann_ivf, ann_ivfpq, ann_sq, ann_hamming) that are each already timed
+    * individually. */
   private val SKIP = Set("text_ngram_jaccard", "text_simhash_pairs",
     "vec_cosine_pairs", "vec_ann_recall")
 
