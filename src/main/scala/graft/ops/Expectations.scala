@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the validation gate a 100 TB
+  * ingest runs before publishing a table (the public Deequ /
+  * Great-Expectations discipline, re-expressed as pure Catalyst
+  * aggregates): each expectation names a rule (`not_null`, `unique`,
+  * `in_range`, `accepted_values`, or any custom violation predicate) and
+  * the report states, per rule, the exact violation count and pass/fail.
+  *
+  * Scale shape: EVERY check compiles to one aggregate expression over a
+  * single shared scan — the whole report is ONE job with ONE map-side-
+  * combined aggregate producing ONE row, melted to per-check rows by a
+  * constant-width projection. Never a pass per check, never a join; the
+  * only non-trivial plan node is the Expand that `unique`'s distinct
+  * count introduces. Driver state: one row of counters.
+  *
+  * Determinism contract: violation counts are integer sums of boolean
+  * predicates over exact comparisons — identical in any engine, so the
+  * report hash-matches a SQL mirror computing the same aggregates.
+  */
+object Expectations {
+
+  /** One named rule: `violations` must be an aggregate expression
+    * counting offending rows. */
+  final case class Expectation(name: String, violations: Column)
+
+  def notNull(c: String): Expectation =
+    Expectation(s"not_null:$c", sum(when(col(c).isNull, 1L).otherwise(0L)))
+
+  /** Closed interval in whatever ordering the column's type gives;
+    * NULLs are not range violations (pair with [[notNull]]). */
+  def inRange(c: String, lo: Column, hi: Column): Expectation =
+    Expectation(s"in_range:$c",
+      sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+        .otherwise(0L)))
+
+  /** Key uniqueness over a non-null expression (compose a multi-column
+    * key into one expression so distinct-count semantics stay identical
+    * across engines): violations = rows beyond the first per key. */
+  def unique(name: String, key: Column): Expectation =
+    Expectation(s"unique:$name", count(key) - countDistinct(key))
+
+  def acceptedValues(c: String, allowed: Seq[String]): Expectation =
+    Expectation(s"accepted_values:$c",
+      sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)
+        .otherwise(0L)))
+
+  /** Escape hatch: count rows where `violation` is true. */
+  def satisfies(name: String, violation: Column): Expectation =
+    Expectation(s"satisfies:$name", sum(when(violation, 1L).otherwise(0L)))
+
+  /** The one-pass report: (check, n_rows, n_violations, pass) per
+    * expectation, ordered by check name. */
+  def report(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "Expectations.report: no checks given")
+    require(checks.map(_.name).distinct.length == checks.length,
+      s"Expectations.report: duplicate check names in ${checks.map(_.name)}")
+    val aggs = checks.map(c => coalesce(c.violations, lit(0L)).cast("long")
+      .as(c.name)) :+ count(lit(1)).as("__n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n_rows"), explode(array(checks.map { c =>
+        struct(lit(c.name).as("check"), col(c.name).as("n_violations"))
+      }: _*)).as("e"))
+      .select(col("e.check").as("check"), col("__n_rows").as("n_rows"),
+        col("e.n_violations").as("n_violations"),
+        (col("e.n_violations") === 0L).as("pass"))
+      .orderBy("check")
+  }
+}

@@ -264,12 +264,55 @@ object PipelineQueries {
       |       (r.cnt * 32 + t.total - 1) // t.total salt_rec
       |FROM r, t WHERE r.rank <= 10 ORDER BY rank""".stripMargin
 
+  /** Data-quality gate — the Deequ-style validation report
+    * ([[graft.ops.Expectations]]) a pipeline runs before publishing:
+    * seven declarative rules over `lineitem` (null checks, composite-key
+    * uniqueness, value ranges, accepted enums), each an exact violation
+    * count. The whole report is ONE job: one shared scan, one
+    * map-side-combined aggregate row, melted to per-check rows by a
+    * constant projection — never a pass per rule, never a join. */
+  def dataQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    report(tPar(s, dir, "lineitem"), Seq(
+      notNull("l_orderkey"),
+      notNull("l_shipdate"),
+      unique("order_line", col("l_orderkey") * 8 + col("l_linenumber")),
+      inRange("l_quantity", lit(1.0), lit(50.0)),
+      inRange("l_discount", lit(0.0), lit(0.1)),
+      satisfies("positive_price",
+        col("l_extendedprice").isNotNull && col("l_extendedprice") <= 0),
+      acceptedValues("l_returnflag", Seq("R", "A", "N"))))
+  }
+
+  val dataQualitySql: String =
+    """WITH a AS (
+      |  SELECT count(*) n_rows,
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) c1,
+      |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) c2,
+      |    CAST(count(l_orderkey * 8 + l_linenumber)
+      |         - count(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT) c3,
+      |    CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT) c4,
+      |    CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) c5,
+      |    CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) c6,
+      |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END) AS BIGINT) c7
+      |  FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'not_null:l_orderkey' "check", n_rows, c1 n_violations, c1 = 0 pass FROM a
+      |  UNION ALL SELECT 'not_null:l_shipdate', n_rows, c2, c2 = 0 FROM a
+      |  UNION ALL SELECT 'unique:order_line', n_rows, c3, c3 = 0 FROM a
+      |  UNION ALL SELECT 'in_range:l_quantity', n_rows, c4, c4 = 0 FROM a
+      |  UNION ALL SELECT 'in_range:l_discount', n_rows, c5, c5 = 0 FROM a
+      |  UNION ALL SELECT 'satisfies:positive_price', n_rows, c6, c6 = 0 FROM a
+      |  UNION ALL SELECT 'accepted_values:l_returnflag', n_rows, c7, c7 = 0 FROM a
+      |) ORDER BY "check"""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_shard_plan" -> (shardPlan _),
     "pipe_pack_sequences" -> (packSequences _),
     "pipe_zorder_layout" -> (zorderLayout _),
     "pipe_skew_audit" -> (skewAudit _),
+    "pipe_data_quality" -> (dataQuality _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -278,5 +321,6 @@ object PipelineQueries {
     "pipe_pack_sequences" -> packSequencesSql,
     "pipe_zorder_layout" -> zorderLayoutSql,
     "pipe_skew_audit" -> skewAuditSql,
+    "pipe_data_quality" -> dataQualitySql,
   )
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Declarative expectations: planted violations are counted exactly, the
+  * whole report is one aggregate job with no join, and malformed check
+  * sets fail loudly. */
+class ExpectationsSpec extends SparkSpec {
+
+  import Expectations._
+
+  private def planted = {
+    import spark.implicits._
+    Seq(
+      (Some(1L), Some("a"), 5.0),   // clean
+      (Some(2L), Some("b"), 5.0),   // clean
+      (Some(2L), Some("x"), -1.0),  // dup key, bad enum, out-of-range
+      (None, Some("a"), 5.0),       // null key (excluded from unique)
+      (Some(4L), None, 120.0)       // null enum (not an enum violation), range violation
+    ).map { case (k, e, v) => (k, e, v) }
+      .toDF("k", "enum", "v")
+  }
+
+  behavior of "Expectations"
+
+  it should "count planted violations exactly" in {
+    val rows = report(planted, Seq(
+      notNull("k"),
+      unique("k", col("k")),
+      inRange("v", lit(0.0), lit(100.0)),
+      acceptedValues("enum", Seq("a", "b"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    rows("not_null:k") shouldBe ((5L, 1L, false))
+    rows("unique:k") shouldBe ((5L, 1L, false))          // 2 appears twice
+    rows("in_range:v") shouldBe ((5L, 2L, false))        // -1 and 120
+    rows("accepted_values:enum") shouldBe ((5L, 1L, false)) // only 'x'
+  }
+
+  it should "pass everything on a clean frame and survive an empty one" in {
+    import spark.implicits._
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "enum")
+    val r1 = report(clean, Seq(notNull("k"), unique("k", col("k")),
+      acceptedValues("enum", Seq("a", "b")))).collect()
+    r1.foreach(_.getBoolean(3) shouldBe true)
+    val empty = Seq.empty[(Long, String)].toDF("k", "enum")
+    val r2 = report(empty, Seq(notNull("k"), unique("k", col("k")))).collect()
+    r2.foreach { r =>
+      r.getLong(1) shouldBe 0L
+      r.getLong(2) shouldBe 0L
+      r.getBoolean(3) shouldBe true
+    }
+  }
+
+  it should "run the whole report as one aggregate with no join" in {
+    val plan = report(planted, Seq(notNull("k"), unique("k", col("k")),
+      inRange("v", lit(0.0), lit(100.0))))
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should include("partial_count")
+  }
+
+  it should "reject duplicate check names" in {
+    val ex = intercept[IllegalArgumentException] {
+      report(planted, Seq(notNull("k"), notNull("k")))
+    }
+    ex.getMessage should include("duplicate check names")
+  }
+}

@@ -132,6 +132,24 @@ class GraftPlanSpec extends SparkSpec {
     "BroadcastHashJoin".r.findAllIn(plan).length should be >= 1
   }
 
+  it should "compute the z-order layout report as narrow map + one partial agg" in {
+    val plan = planOf(PipelineQueries.zorderLayout(spark, dir))
+    // the Morton interleave must stay a projection (no join, no UDF), and
+    // the per-cell report must partially aggregate before its one shuffle
+    plan should not include "Join"
+    plan should not include "BatchEvalPython"
+    plan should include("partial_count")
+  }
+
+  it should "bound the skew-audit top-k with TakeOrdered, never a full sort" in {
+    val plan = planOf(PipelineQueries.skewAudit(spark, dir))
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+    // totals arrive via a broadcast single-row join, not a shuffle join
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).length should be <= 1
+    "SortMergeJoin".r.findAllIn(plan).length shouldBe 0
+  }
+
   it should "restrict semantic dedup to within-cluster equi-join candidates" in {
     val plan = planOf(graft.util.CacheBin.withScope {
       val q = VectorQueries.semDedup(spark, dir)
