@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * Determinism contract: violation counts are integer sums of boolean
   * predicates over exact comparisons — identical in any engine, so the
   * report hash-matches a SQL mirror computing the same aggregates.
+  *
+  * Streaming parity: [[report]] is pure lazy Catalyst, so the SAME
+  * function monitors an unbounded stream — write its result with
+  * `outputMode("complete")` and every micro-batch emits the cumulative
+  * per-check report (spec-proven on a MemoryStream). State is one row of
+  * counters; no watermark needed for a global aggregate.
   */
 object Expectations {
 

@@ -67,4 +67,32 @@ class ExpectationsSpec extends SparkSpec {
     }
     ex.getMessage should include("duplicate check names")
   }
+
+  it should "monitor a stream with the SAME report in complete mode" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Option[Long], String)]
+    val out = report(input.toDS().toDF("k", "enum"),
+      Seq(notNull("k"), acceptedValues("enum", Seq("a", "b"))))
+    val q = out.writeStream.format("memory").queryName("dq_out")
+      .outputMode("complete")
+      .option("checkpointLocation", graft.SparkSpec.tempDir("dq_ck"))
+      .start()
+    def byCheck = spark.table("dq_out").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+    input.addData((Some(1L), "a"), (Some(2L), "b"))
+    q.processAllAvailable()
+    byCheck("not_null:k") shouldBe ((2L, 0L, true))
+    byCheck("accepted_values:enum") shouldBe ((2L, 0L, true))
+
+    // a second micro-batch with violations: cumulative counts update
+    input.addData((None, "a"), (Some(3L), "zz"))
+    q.processAllAvailable()
+    byCheck("not_null:k") shouldBe ((4L, 1L, false))
+    byCheck("accepted_values:enum") shouldBe ((4L, 1L, false))
+    q.stop()
+  }
 }
