@@ -45,6 +45,20 @@ object RecallScan {
       } catch { case scala.util.control.NonFatal(e) => s"FAILED: ${e.getMessage.take(80)}" }
       println(f"[recall] ivfpq nprobe=$np%-2d kc=$kc%-3d iters=$it rr=$rr%-3d $got")
     }
+    for (np <- Seq(2, 4, 5); rr <- Seq(50, 100)) {
+      val rows = graft.util.CacheBin.withScope {
+        annSq(spark, dir, np, rr).select("q_id", "n_id").collect()
+          .map(x => (x.getLong(0), x.getLong(1)))
+      }
+      println(f"[recall] sq    nprobe=$np%-2d rr=$rr%-3d            recall@5 = ${recall(rows)}%.3f")
+    }
+    for (rr <- Seq(50, 100, 200, 400)) {
+      val rows = graft.util.CacheBin.withScope {
+        annHamming(spark, dir, rr).select("q_id", "n_id").collect()
+          .map(x => (x.getLong(0), x.getLong(1)))
+      }
+      println(f"[recall] bq    rr=$rr%-4d                     recall@5 = ${recall(rows)}%.3f")
+    }
     spark.stop()
   }
 }
