@@ -51,12 +51,14 @@ object Bq {
 
   /** One 32-bit signature word for dims [off, off+32): bit (d−off) is set
     * iff `micro(x_d) > t_d`. A static ≤32-term codegen'd sum over literal
-    * thresholds. */
+    * thresholds. A window entirely past the trained dimensionality
+    * (off ≥ dim — e.g. the standard `word(v, th, 32)` call on a ≤32-dim
+    * space) is the empty word `0L`, not an error. */
   def word(vec: Column, th: Thresholds, off: Int): Column =
     (off until math.min(off + 32, th.t.length)).map { d =>
       when(microOf(element_at(vec, d + 1)) > lit(th.t(d)),
         lit(1L << (d - off))).otherwise(lit(0L))
-    }.reduce(_ + _)
+    }.foldLeft(lit(0L))(_ + _)
 
   /** Hamming distance between two (lo, hi) signature word pairs —
     * codegen'd popcount-of-xor, integer-only. */

@@ -69,14 +69,19 @@ object Sq {
 
   /** Encode `vec` (array<double>) to one code per dimension
     * (array<long>, each ∈ [0, 255]) — a codegen'd narrow map over the
-    * literal ranges. */
+    * literal ranges. Values outside the trained per-dimension range (an
+    * unseen query vector) SATURATE to 0 / 255 — the standard SQ8
+    * saturating encode — so codes are in [0, 255] for any input, and
+    * decode never extrapolates outside the trained range. For in-range
+    * inputs (the training corpus itself) the clamp is the identity, so
+    * corpus codes are unchanged by it. */
   def encode(vec: Column, r: Ranges): Column = {
     val mnLit = typedlit(r.mn.toSeq)
     val mxLit = typedlit(r.mx.toSeq)
     transform(vec, (x, d) => {
       val lo = element_at(mnLit, (d + 1).cast("int"))
       val hi = element_at(mxLit, (d + 1).cast("int"))
-      ldiv((microOf(x) - lo) * 255, hi - lo)
+      ldiv(greatest(lit(0L), least(hi - lo, microOf(x) - lo)) * 255, hi - lo)
     })
   }
 

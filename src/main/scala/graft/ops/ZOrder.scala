@@ -40,6 +40,38 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
+  /** [[zvalue]] with the documented precondition ENFORCED per row: each
+    * input must be nonnegative and < 2^bits, else the job fails with a
+    * clear message instead of silently aliasing high keys into the same
+    * z-prefix (which would break the bounding-box/pruning property the
+    * layout advertises). The guard is a codegen'd `when`/`raise_error`
+    * wrapper — for conforming data it costs two comparisons per input and
+    * changes no value. */
+  def zvalueChecked(x: Column, y: Column, bits: Int): Column = {
+    def guard(c: Column): Column =
+      when(c >= 0 && c < lit(1L << bits), c).otherwise(
+        raise_error(concat(
+          lit(s"ZOrder: key out of [0, 2^$bits) — value "), c.cast("string"),
+          lit("; raise zorder.bits or let the sink auto-size it"))).cast("long"))
+    zvalue(guard(x), guard(y), bits)
+  }
+
+  /** The smallest `bits` that fits both columns — ONE small max/min
+    * aggregate over the frame (a layout/compaction job rewrites all data
+    * anyway, so the extra scan is the cheap part). Fails loudly on
+    * negative keys or keys ≥ 2^31. */
+  def autoBits(df: org.apache.spark.sql.DataFrame, x: Column, y: Column): Int = {
+    val r = df.agg(max(greatest(x, y)).as("mx"), min(least(x, y)).as("mn")).head()
+    if (r.isNullAt(0)) 1 // empty frame: any bits work
+    else {
+      val mx = r.getLong(0)
+      val mn = r.getLong(1)
+      require(mn >= 0, s"ZOrder.autoBits: negative key value $mn")
+      require(mx < (1L << 31), s"ZOrder.autoBits: key value $mx >= 2^31")
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(mx))
+    }
+  }
+
   /** SQL mirror of [[zvalue]] — the identical shift/mask/add terms over
     * 64-bit integers, for cross-engine oracles. */
   def zvalueSql(x: String, y: String, bits: Int): String =

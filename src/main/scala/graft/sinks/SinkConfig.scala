@@ -150,9 +150,15 @@ object FileSinkConfig {
         val files = options.get(ZFiles).map(_.toInt)
           .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
         require(files > 0, s"$ZFiles must be positive, got $files")
-        val bits = options.get(ZBits).map(_.toInt).getOrElse(21)
-        val z = graft.ops.ZOrder.zvalue(
-          col(cols(0)).cast("long"), col(cols(1)).cast("long"), bits)
+        // zorder.bits absent → auto-size from column stats (one cheap
+        // max/min agg — a layout job rewrites everything anyway); explicit
+        // bits → per-row checked z-value so keys ≥ 2^bits fail loudly
+        // instead of silently aliasing and voiding the pruning property.
+        val xc = col(cols(0)).cast("long")
+        val yc = col(cols(1)).cast("long")
+        val bits = options.get(ZBits).map(_.toInt)
+          .getOrElse(graft.ops.ZOrder.autoBits(df, xc, yc))
+        val z = graft.ops.ZOrder.zvalueChecked(xc, yc, bits)
         val clustered = df.withColumn("__graft_z", z)
           .repartitionByRange(files, col("__graft_z"))
           .sortWithinPartitions("__graft_z")

@@ -72,6 +72,16 @@ class BqSpec extends SparkSpec {
     dupD shouldBe 0L
   }
 
+  it should "yield the zero word for a window past the dimensionality" in {
+    import spark.implicits._
+    // dim <= 32 with the standard word(v, th, 32) call: the high word is
+    // entirely past the trained dims and must be 0L, not an exception
+    val df = Seq((0L, Array(1.0, -1.0, 2.0, -2.0))).toDF("id", "v")
+    val th = Bq.trainThresholds(df.union(df), "v", 4)
+    val hi = df.select(Bq.word(col("v"), th, 32).as("hi")).head().getLong(0)
+    hi shouldBe 0L
+  }
+
   it should "fail loudly on an empty corpus" in {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Double])].toDF("id", "v")

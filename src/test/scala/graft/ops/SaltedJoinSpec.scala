@@ -36,11 +36,69 @@ class SaltedJoinSpec extends SparkSpec {
 
   it should "spread the hot key across multiple salt sub-keys" in {
     val saltCount = skewed
-      .withColumn("s", pmod(xxhash64(struct(col("k"), col("payload")), lit(0L)),
-        lit(8L)))
+      .withColumn("s", SaltedJoin.saltExpr(Seq("k", "payload"), 8, 0L))
       .filter(col("k") === 999L)
       .select(countDistinct("s")).head().getLong(0)
     saltCount shouldBe 8L
+  }
+
+  it should "spread a hot key made of EXACT DUPLICATE rows" in {
+    import spark.implicits._
+    // 5000 identical rows: a pure content hash sends all to ONE bucket;
+    // the row-ordinal term must still level them across all 8
+    val dupes = Seq.fill(5000)((999L, 0L)).toDF("k", "payload")
+      .repartition(8)
+    val saltCount = dupes
+      .withColumn("s", SaltedJoin.saltExpr(Seq("k", "payload"), 8, 0L))
+      .select(countDistinct("s")).head().getLong(0)
+    saltCount shouldBe 8L
+    // and the join result is still the plain join's multiset
+    val plain = dupes.join(dim, Seq("k"), "inner")
+    val salted = SaltedJoin.inner(dupes, dim, "k", salt = 8)
+    salted.count() shouldBe plain.count()
+    salted.exceptAll(plain).count() shouldBe 0L
+  }
+
+  it should "match the plain left-outer join, unmatched rows appearing once" in {
+    import spark.implicits._
+    // keys 2000+ have no dimension row — must surface exactly once w/ nulls
+    val left = skewed.union(
+      (0 until 40).map(i => (2000L + i % 4, 7L)).toDF("k", "payload"))
+    val plain = left.join(dim, Seq("k"), "left_outer")
+      .select("k", "payload", "name")
+    val salted = SaltedJoin.leftOuter(left, dim, "k", salt = 8)
+      .select("k", "payload", "name")
+    salted.count() shouldBe plain.count()
+    salted.exceptAll(plain).count() shouldBe 0L
+    plain.exceptAll(salted).count() shouldBe 0L
+    // the unmatched hot key appears exactly its input multiplicity
+    salted.filter(col("k") === 2000L).count() shouldBe 10L
+    salted.filter(col("k") === 2000L && col("name").isNull).count() shouldBe 10L
+  }
+
+  it should "wire the audit recommendation end-to-end via fromAudit" in {
+    // hot key 999 holds 5000/5500 rows: with P=32 the recommendation is
+    // ceil(5000*32/5500) = 30 — well above 1, so salting engages
+    SaltedJoin.recommendSalt(skewed, "k", 32) shouldBe 30
+    // a uniform frame recommends 1 (plain join, zero overhead)
+    SaltedJoin.recommendSalt(dim, "k", 32) shouldBe 1
+    val plain = skewed.join(dim, Seq("k"), "inner").select("k", "payload", "name")
+    val auto = SaltedJoin.fromAudit(skewed, dim, "k")
+      .select("k", "payload", "name")
+    auto.exceptAll(plain).count() shouldBe 0L
+    plain.exceptAll(auto).count() shouldBe 0L
+    val ex = intercept[IllegalArgumentException] {
+      SaltedJoin.fromAudit(skewed, dim, "k", how = "full_outer")
+    }
+    ex.getMessage should include("full_outer")
+  }
+
+  it should "reject inputs already carrying the salt column" in {
+    val tainted = skewed.withColumn("__graft_salt", lit(0))
+    val ex = intercept[IllegalArgumentException] {
+      SaltedJoin.inner(tainted, dim, "k", salt = 4)
+    }
+    ex.getMessage should include("__graft_salt")
   }
 
   it should "keep the plan an equi-join on (key, salt) with no cartesian" in {

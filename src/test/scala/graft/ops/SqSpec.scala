@@ -66,6 +66,29 @@ class SqSpec extends SparkSpec {
     diff shouldBe 0L
   }
 
+  it should "saturate out-of-range (unseen) vectors to codes 0 / 255" in {
+    import spark.implicits._
+    val df = corpus(64, 2)
+    val r = Sq.trainRanges(df, "v", 2)
+    // a query vector far outside the trained range in both directions
+    val queries = Seq(
+      (0L, Array(-1e6, -1e6)),
+      (1L, Array(1e6, 1e6))).toDF("id", "v")
+    val got = queries.select(col("id"), Sq.encode(col("v"), r).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    got(0L) shouldBe Seq(0L, 0L)
+    got(1L) shouldBe Seq(255L, 255L)
+    // and decode of a saturated code stays within half a quantization
+    // step of the trained range (code 255's bucket midpoint sits
+    // (hi-lo)/510 above hi by the decode contract — bounded, not the
+    // unbounded extrapolation the unclamped encode produced)
+    val halfStep = (0 until 2).map(d => (r.mx(d) - r.mn(d)) / 510 + 1).max
+    val rec = queries.select(Sq.decodeMicro(Sq.encode(col("v"), r), r).as("rm"))
+      .select(explode(col("rm")).as("m")).agg(min("m"), max("m")).head()
+    rec.getLong(0) should be >= r.mn.min - halfStep
+    rec.getLong(1) should be <= r.mx.max + halfStep
+  }
+
   it should "fail loudly on a constant dimension" in {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, Array(i.toDouble, 7.0)))

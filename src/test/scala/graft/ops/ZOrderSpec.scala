@@ -64,4 +64,38 @@ class ZOrderSpec extends SparkSpec {
     }
     ex.getMessage should include("bits=32")
   }
+
+  it should "fail loudly on keys outside [0, 2^bits) via zvalueChecked" in {
+    import spark.implicits._
+    // in-range keys: checked == unchecked, value for value
+    val ok = (0L until 64L).map(v => (v, 63L - v)).toDF("x", "y")
+    ok.filter(ZOrder.zvalueChecked(col("x"), col("y"), 6) =!=
+        ZOrder.zvalue(col("x"), col("y"), 6))
+      .count() shouldBe 0L
+    // a key >= 2^bits must raise, not silently alias
+    val bad = Seq((64L, 1L)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      bad.select(ZOrder.zvalueChecked(col("x"), col("y"), 6)).collect()
+    }
+    ex.getMessage should include("ZOrder")
+    // negative keys likewise
+    val neg = Seq((-1L, 1L)).toDF("x", "y")
+    intercept[Exception] {
+      neg.select(ZOrder.zvalueChecked(col("x"), col("y"), 6)).collect()
+    }
+  }
+
+  it should "auto-size bits from column stats" in {
+    import spark.implicits._
+    // max key 2_500_000 > 2^21: BITS=21 would alias; autoBits must say 22
+    val df = Seq((2500000L, 3L), (17L, 1000L)).toDF("x", "y")
+    ZOrder.autoBits(df, col("x"), col("y")) shouldBe 22
+    // small domain sizes down, empty frame is legal, negatives rejected
+    ZOrder.autoBits(Seq((5L, 3L)).toDF("x", "y"), col("x"), col("y")) shouldBe 3
+    ZOrder.autoBits(df.filter(col("x") < 0), col("x"), col("y")) shouldBe 1
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.autoBits(Seq((-2L, 3L)).toDF("x", "y"), col("x"), col("y"))
+    }
+    ex.getMessage should include("negative")
+  }
 }
