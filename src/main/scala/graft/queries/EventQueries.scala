@@ -17,8 +17,8 @@ import Q._
   *  - Histogram magnitude bins: model/aggregate/Histogram.scala:40-75
   *  - JSON decode: serde/Codec.scala:41-89
   *
-  * Time parity: `events.ts` is TIMESTAMP(NANOS) parquet. Spark (nanosAsLong)
-  * and DuckDB both see µs after flooring — see [[Q.events]].
+  * Time parity: `events.ts`'s parquet layout varies by testdata generation;
+  * [[Q.events]] adapts and exposes the same µs view DuckDB sees.
   */
 object EventQueries {
 

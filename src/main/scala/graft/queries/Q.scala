@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * DuckDB-parity notes the oracle SQL must respect:
   *   - integer sums: DuckDB `sum(BIGINT)` returns HUGEINT — always
   *     `CAST(sum(x) AS BIGINT)`;
-  *   - `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as a nanos
-  *     long (`spark.sql.legacy.parquet.nanosAsLong`), DuckDB truncates to a
-  *     micros TIMESTAMP. [[events]] floors ns→µs to mirror DuckDB exactly;
+  *   - `events.ts`'s parquet logical type has varied across driver testdata
+  *     generations (TIMESTAMP(NANOS), TIMESTAMP_MICROS NTZ). [[events]]
+  *     adapts on the read dtype and always exposes the same µs view DuckDB
+  *     sees, so the oracle SQL is layout-independent;
   *   - epoch seconds: Spark `unix_timestamp` floors; DuckDB must use
   *     `CAST(floor(epoch(ts)) AS BIGINT)` (plain `::BIGINT` of the fractional
   *     epoch would round).
@@ -56,17 +57,35 @@ object Q {
   }
 
   /** events table with DuckDB-equivalent timestamp semantics:
-    * `ts_us` — epoch micros (long), floor(ns/1000), identical to DuckDB's
-    *           TIMESTAMP view of the nanos column;
-    * `ts`    — TimestampType(µs) derived from ts_us (UTC session).
+    * `ts_us` — epoch micros (long), identical to DuckDB's TIMESTAMP view of
+    *           the column; `ts` — TimestampType(µs) derived from ts_us (UTC
+    *           session).
+    *
+    * Schema-ADAPTIVE on the physical layout of `ts`, because the driver has
+    * regenerated the testdata with different parquet logical types across
+    * rounds:
+    *   - TIMESTAMP(NANOS): Spark (with `nanosAsLong`) reads a nanos long →
+    *     floor-divide to µs, mirroring DuckDB's truncating TIMESTAMP read;
+    *   - TIMESTAMP_MICROS/MILLIS NTZ: read as TIMESTAMP_NTZ → cast to
+    *     TimestampType under the UTC session zone (bit-identical instant),
+    *     then `unix_micros`;
+    *   - TIMESTAMP_MICROS/MILLIS (UTC-adjusted): TimestampType →
+    *     `unix_micros` directly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val raw = t(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp")) // UTC session → exact
+      case _ =>
+        unix_micros(col("ts"))
+    }
+    raw
+      .withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
-      .drop("ts_ns")
   }
 
   /** Exact integer cents of a 2-decimal money double. Round is half-away-from-
