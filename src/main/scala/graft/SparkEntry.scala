@@ -31,4 +31,14 @@ object SparkEntry {
     CoreQueries.oracle ++ CoreQueries2.oracle ++ EventQueries.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++ JoinQueries.oracle ++
       PipelineQueries.oracle ++ CorpusQueries.oracle
+
+  /** Queries deliberately without a DuckDB oracle: probabilistic sketches
+    * whose exact twins ARE oracle-checked (core_distinct_counts,
+    * text_boilerplate, core_median_prices, ev_dedup_exact), and the ANN
+    * recall self-check whose floors are spec-enforced (AnnRecallSpec).
+    * AllQueriesSmokeSpec asserts queries = oracleSql ∪ this set, so a new
+    * query cannot silently ship without either an oracle or an entry here. */
+  val noOracle: Set[String] = Set(
+    "sk_hll_users", "sk_sbf_dedup", "sk_heavy_hitters", "sk_quantiles",
+    "vec_ann_recall")
 }

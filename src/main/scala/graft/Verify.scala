@@ -20,6 +20,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must appear as an explicit RED entry in the dump, not
+    // vanish from it — the r11/r12 events incident: 16 queries threw here,
+    // were logged to stderr only, and the round's correctness silently
+    // shrank. Failures are collected and written to errors.json (name →
+    // exception) so the driver (and any human reading the outDir) sees them.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -28,7 +34,9 @@ object Verify {
           .parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        failures(name) = msg
+        System.err.println(s"[verify] QUERY FAILED (will be red in dump): $name — $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +55,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so its ABSENCE is also a
+    // signal: an errors.json missing from a dump means Verify died mid-run.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -65,17 +65,27 @@ object Q {
     * regenerated the testdata with different parquet logical types across
     * rounds:
     *   - TIMESTAMP(NANOS): Spark (with `nanosAsLong`) reads a nanos long →
-    *     floor-divide to µs, mirroring DuckDB's truncating TIMESTAMP read;
+    *     truncating-divide (`div` truncates toward zero, matching DuckDB's
+    *     toward-zero ns→µs conversion; driver testdata is strictly
+    *     post-epoch so floor-vs-truncate never differs here);
     *   - TIMESTAMP_MICROS/MILLIS NTZ: read as TIMESTAMP_NTZ → cast to
     *     TimestampType under the UTC session zone (bit-identical instant),
     *     then `unix_micros`;
     *   - TIMESTAMP_MICROS/MILLIS (UTC-adjusted): TimestampType →
     *     `unix_micros` directly.
+    *
+    * Both conf sets below mutate session state (idempotent; every graft
+    * entry point wants exactly these values — UTC makes the NTZ cast an
+    * exact instant, nanosAsLong makes a NANOS file readable at all).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(spark, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
+      // a long-typed ts is assumed NANOS (the only INT64 layout the driver
+      // has generated; plain-INT64-micros would need no divide — a
+      // magnitude check in EventsLayoutSpec pins this assumption)
       case org.apache.spark.sql.types.LongType =>
         expr("ts div 1000")
       case org.apache.spark.sql.types.TimestampNTZType =>
