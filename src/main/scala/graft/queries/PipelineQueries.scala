@@ -28,8 +28,14 @@ object PipelineQueries {
     * the shingle hashing downstream; the filter runs first so dropped rows
     * never pay normalization or md5. */
   private def qualityKept(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Quality.withSignals(
-        tPar(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")))
+    qualityFingerprints(
+      tPar(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")))
+
+  /** Stage 1 on any (doc_id, text, …) frame — ALSO the per-micro-batch
+    * stage of [[graft.streaming.CleanCorpusStream]], defined once so the
+    * streamed pipeline provably applies the identical keep rule. */
+  private[graft] def qualityFingerprints(docs: DataFrame): DataFrame =
+    graft.ops.Quality.withSignals(docs)
       .filter(graft.ops.Quality.keepFlag)
       .withColumn("norm", graft.ops.NearDup.normFused(col("text")))
       .withColumn("fp", md5(col("norm")))
