@@ -56,6 +56,35 @@ object ZOrder {
     zvalue(guard(x), guard(y), bits)
   }
 
+  /** Linear scale of `c` from its observed [mn, mx] domain onto the
+    * z-grid [0, 2^bits) — the per-dimension NORMALIZATION a balanced
+    * z-order needs. Interleaving raw keys with unequal domains degenerates:
+    * a 2000-value key beside a 100-value key leaves the narrow key's high
+    * bits always zero, so the top z-bits depend on the wide key alone and
+    * the layout collapses back to a single-column sort (measured in
+    * ZOrderSinkSpec). Scaling both dimensions to the same bit-width first
+    * is what Delta/Iceberg's OPTIMIZE ZORDER does with range-partition
+    * ids; the linear form keeps it one codegen'd integer expression —
+    * exact for the uniform-ish key domains a layout job sees, and never
+    * worse than unnormalized interleaving for pruning.
+    *
+    * Pure long arithmetic, no overflow: (c − mn) ≤ mx < 2^31 and
+    * 2^bits ≤ 2^31 keep the product under 2^62. A NULL key fails loudly
+    * (same contract as [[zvalueChecked]] — a silently-null z-value would
+    * cluster all null-key rows into one unprunable cell). */
+  def scaleTo(c: Column, mn: Long, mx: Long, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"ZOrder.scaleTo: bits=$bits not in [1, 31]")
+    require(mn >= 0 && mx >= mn && mx < (1L << 31),
+      s"ZOrder.scaleTo: domain [$mn, $mx] not in [0, 2^31)")
+    val scaled = // integral divide (`div`) — `/` would detour through double
+      if (mx == mn) lit(0L)
+      else call_function("div", (c - lit(mn)) * lit(1L << bits), lit(mx - mn + 1L))
+    when(c.isNotNull && c >= lit(mn) && c <= lit(mx), scaled.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"ZOrder: key outside the scanned domain [$mn, $mx] — value "),
+        c.cast("string"))).cast("long"))
+  }
+
   /** The smallest `bits` that fits both columns — ONE small max/min
     * aggregate over the frame (a layout/compaction job rewrites all data
     * anyway, so the extra scan is the cheap part). Fails loudly on

@@ -150,15 +150,26 @@ object FileSinkConfig {
         val files = options.get(ZFiles).map(_.toInt)
           .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
         require(files > 0, s"$ZFiles must be positive, got $files")
-        // zorder.bits absent → auto-size from column stats (one cheap
-        // max/min agg — a layout job rewrites everything anyway); explicit
-        // bits → per-row checked z-value so keys ≥ 2^bits fail loudly
-        // instead of silently aliasing and voiding the pruning property.
+        // Each dimension is NORMALIZED onto the same `bits`-wide grid from
+        // its observed min/max (one cheap agg — a layout job rewrites all
+        // data anyway) before interleaving. Without this, unequal key
+        // domains degenerate the curve: the narrow key's high bits are
+        // always zero, the top z-bits depend on the wide key alone, and
+        // the layout collapses toward a single-column sort
+        // (ZOrderSinkSpec measures exactly this against ORDER BY).
+        // zorder.bits = grid resolution per dimension (default 16 —
+        // 2^32 cells, far finer than any file count); a key outside the
+        // scanned domain fails per-row with a clear message.
         val xc = col(cols(0)).cast("long")
         val yc = col(cols(1)).cast("long")
-        val bits = options.get(ZBits).map(_.toInt)
-          .getOrElse(graft.ops.ZOrder.autoBits(df, xc, yc))
-        val z = graft.ops.ZOrder.zvalueChecked(xc, yc, bits)
+        val bits = options.get(ZBits).map(_.toInt).getOrElse(16)
+        val r = df.agg(min(xc).as("xmn"), max(xc).as("xmx"),
+          min(yc).as("ymn"), max(yc).as("ymx")).head()
+        val z =
+          if (r.isNullAt(0) || r.isNullAt(2)) lit(0L) // empty/all-null frame
+          else graft.ops.ZOrder.zvalue(
+            graft.ops.ZOrder.scaleTo(xc, r.getLong(0), r.getLong(1), bits),
+            graft.ops.ZOrder.scaleTo(yc, r.getLong(2), r.getLong(3), bits), bits)
         val clustered = df.withColumn("__graft_z", z)
           .repartitionByRange(files, col("__graft_z"))
           .sortWithinPartitions("__graft_z")
