@@ -27,6 +27,13 @@ abstract class SparkRunner[ADT <: GraftEvent](
       .config("spark.sql.shuffle.partitions", config.getInt("shuffle.partitions", 32))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", config.getString("ui.enabled", "false"))
+      // RocksDB state store: required by transformWithState (EmaState,
+      // ControlGate, TtlDedup, CountWindows, SBF dedup) and the right
+      // default at scale anyway — state spills to local disk instead of
+      // living on the executor heap. Override with state.store.provider.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        config.getString("state.store.provider",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
     // Per-source idleness (reference withIdleness): when any source declares
     // max.idleness, an idle source must not stall the combined watermark —
     // Spark's equivalent lever is the max multiple-watermark policy.
