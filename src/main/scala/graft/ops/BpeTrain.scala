@@ -59,28 +59,110 @@ object BpeTrain {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Does `syms` contain the ADJACENT pair (a, b)? — the per-row predicate
+    * selecting exactly the words [[applyMerge]] would change. Guarded for
+    * 0/1-symbol words (`sequence(0, -1)` would descend, not be empty). */
+  private def hasAdjacent(syms: Column, a: String, b: String): Column =
+    when(size(syms) >= 2,
+      exists(sequence(lit(0), size(syms) - 2),
+        i => element_at(syms, i + 1) === lit(a) && element_at(syms, i + 2) === lit(b)))
+      .otherwise(lit(false))
+
   /** Learn `k` merge rules; returns (rank, lhs, rhs, cnt) in learning
     * order. Fails loudly if the vocabulary runs out of adjacent pairs
-    * before `k` merges (corpus too small for the requested vocab). */
+    * before `k` merges (corpus too small for the requested vocab).
+    *
+    * DELTA-COUNTED rounds (the k=32k scale path): the pair-count frame is
+    * built ONCE from the full vocabulary, then maintained incrementally —
+    * merging (a, b) only changes the pair counts of words that contain
+    * (a, b) adjacently, so each round subtracts the affected words' old
+    * pair counts, adds their post-merge counts, and folds the (small)
+    * delta into the standing frame. Per round the full vocab pays one
+    * narrow predicate scan and the shuffles touch only the affected words
+    * plus the pre-aggregated pair frame — never the full re-explode the
+    * naive recount pays. Counts stay EXACT (integer add/subtract of exact
+    * multiset counts — BpeTrainSpec proves rank-for-rank equality with the
+    * naive recount), so the cross-engine oracle is unchanged. */
+  /** Drop the cached RDD behind an eager localCheckpoint (same rationale
+    * as DupGroups: `Dataset.unpersist` only consults the SQL cache
+    * manager, which knows nothing about checkpoint RDDs). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"BpeTrain.merges: k=$k — need at least one merge")
     val spark = docs.sparkSession
-    var cur = graft.util.CacheBin.persist(wordFreqs(docs, textCol))
+    // eager localCheckpoint per round, NOT persist: both frames are rebuilt
+    // from themselves every round, so a persist chain nests k
+    // InMemoryRelations — plan analysis cost (and driver plan memory) grows
+    // with the round number long before any data is big. The checkpoint
+    // truncates each round's plan to a constant-size LogicalRDD; the
+    // previous round's blocks are released explicitly right after the new
+    // round materializes.
+    var cur = wordFreqs(docs, textCol).localCheckpoint(eager = true)
+    var pairs = pairCounts(cur).localCheckpoint(eager = true)
     val out = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 1 to k) {
-      val top = pairCounts(cur)
+      val top = pairs
         .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1).collect()
       require(top.nonEmpty,
         s"BpeTrain.merges: no adjacent pairs left at round $r (k=$k too large)")
       val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       out += ((r.toLong, l, rr, c))
-      val next = graft.util.CacheBin.persist(
-        cur.select(col("freq"), applyMerge(col("syms"), l, rr).as("syms")))
-      next.count() // materialize before dropping the parent
-      cur.unpersist()
+      val touched = hasAdjacent(col("syms"), l, rr)
+      val affected = cur.filter(touched)
+      val merged = affected.select(col("freq"), applyMerge(col("syms"), l, rr).as("syms"))
+      // delta = post-merge counts of changed words − their pre-merge counts;
+      // folding it into the standing frame leaves exact multiset counts, so
+      // nothing can go negative and zero rows are pruned to keep it tight
+      val delta = pairCounts(merged)
+        .unionByName(pairCounts(affected).withColumn("cnt", -col("cnt")))
+      val nextPairs = pairs.unionByName(delta)
+        .groupBy("lhs", "rhs").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") =!= 0)
+        .localCheckpoint(eager = true)
+      // the union SUMS its sides' partition counts and nothing downstream
+      // reshuffles cur — without the narrow coalesce the vocab frame's
+      // partitions would double every round (2^k by round k)
+      val next = cur.filter(!touched).unionByName(merged)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager = true)
+      releaseCheckpoint(cur); releaseCheckpoint(pairs)
+      cur = next; pairs = nextPairs
+    }
+    releaseCheckpoint(cur); releaseCheckpoint(pairs)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result().map(Row.fromTuple), 1),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+
+  /** The naive full-recount trainer — every round re-explodes the whole
+    * vocabulary. Kept as the differential-testing twin for [[merges]]
+    * (BpeTrainSpec proves rank-for-rank equality at k≈50); not used in
+    * production paths. */
+  private[graft] def mergesNaive(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"BpeTrain.mergesNaive: k=$k — need at least one merge")
+    val spark = docs.sparkSession
+    var cur = wordFreqs(docs, textCol).localCheckpoint(eager = true)
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to k) {
+      val top = pairCounts(cur)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1).collect()
+      require(top.nonEmpty,
+        s"BpeTrain.mergesNaive: no adjacent pairs left at round $r (k=$k too large)")
+      val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      out += ((r.toLong, l, rr, c))
+      val next = cur.select(col("freq"), applyMerge(col("syms"), l, rr).as("syms"))
+        .localCheckpoint(eager = true)
+      releaseCheckpoint(cur)
       cur = next
     }
-    cur.unpersist()
+    releaseCheckpoint(cur)
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.result().map(Row.fromTuple), 1),
       StructType(Seq(StructField("rank", LongType, nullable = false),

@@ -53,4 +53,32 @@ class BpeTrainSpec extends SparkSpec {
     // single word "ab": round 1 merges (a,b); nothing is adjacent after
     an[IllegalArgumentException] should be thrownBy learn(2, "ab")
   }
+
+  it should "match the naive full-recount trainer rank-for-rank at k=40" in {
+    // the delta-counting differential proof: a deterministic ~120-word
+    // corpus with heavy pair reuse (so merges cascade through merged
+    // symbols), deep enough that any drift in the maintained pair frame —
+    // a missed delta, a stale count, a wrong zero-prune — surfaces as a
+    // different winner at SOME round (the corpus supports exactly 40
+    // merges before running dry — both trainers must agree on all 40)
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val words = (1 to 40).map(i => ("abra" * (i % 3 + 1)) + "cad" + ("ra" * (i % 5))) ++
+      (1 to 40).map(i => "ban" * (i % 4 + 1) + "ana") ++
+      (1 to 40).map(i => "mississippi".take(i % 8 + 4))
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val k = 40
+    def run(f: (org.apache.spark.sql.DataFrame, String, Int) => org.apache.spark.sql.DataFrame) =
+      graft.util.CacheBin.withScope {
+        f(docs, "text", k).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq.sortBy(_._1)
+      }
+    val incremental = run(BpeTrain.merges)
+    val naive = run(BpeTrain.mergesNaive)
+    incremental should have size k.toLong
+    incremental shouldBe naive
+  }
 }
