@@ -75,4 +75,38 @@ object Expectations {
         (col("e.n_violations") === 0L).as("pass"))
       .orderBy("check")
   }
+
+  /** Per-GROUP expectations — the report partitioned by one or more key
+    * columns (per-source, per-partition-date, per-tenant …): one row per
+    * (group, check) with the group's own row and violation counts.
+    *
+    * Same one-job shape as [[report]]: every check is an aggregate
+    * expression in a single map-side-combined `groupBy(keys)` over one
+    * shared scan, melted per group by a constant-width projection — one
+    * shuffle on the group keys, never a pass per check, never a join.
+    * `unique`'s distinct-count is per group, which is exactly the
+    * per-partition uniqueness a partitioned publish checks. */
+  def reportBy(df: DataFrame, groupCols: Seq[String],
+      checks: Seq[Expectation]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "Expectations.reportBy: no group columns (use report for a global gate)")
+    require(checks.nonEmpty, "Expectations.reportBy: no checks given")
+    require(checks.map(_.name).distinct.length == checks.length,
+      s"Expectations.reportBy: duplicate check names in ${checks.map(_.name)}")
+    require(!checks.exists(c => groupCols.contains(c.name)),
+      "Expectations.reportBy: a check name collides with a group column")
+    val aggs = checks.map(c => coalesce(c.violations, lit(0L)).cast("long")
+      .as(c.name)) :+ count(lit(1)).as("__n_rows")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) :+ col("__n_rows") :+
+        explode(array(checks.map { c =>
+          struct(lit(c.name).as("check"), col(c.name).as("n_violations"))
+        }: _*)).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e.check").as("check") :+
+        col("__n_rows").as("n_rows") :+
+        col("e.n_violations").as("n_violations") :+
+        (col("e.n_violations") === 0L).as("pass"): _*)
+      .orderBy(groupCols.map(col) :+ col("check"): _*)
+  }
 }

@@ -312,6 +312,35 @@ object PipelineQueries {
       |  UNION ALL SELECT 'accepted_values:l_returnflag', n_rows, c7, c7 = 0 FROM a
       |) ORDER BY "check"""".stripMargin
 
+  /** Per-SOURCE data-quality gate over the documents corpus — the
+    * partitioned-publish variant of [[dataQuality]]: each ingest source
+    * gets its own pass/fail per rule, so a single bad feed is isolated
+    * instead of drowning in the global counts. One map-side-combined
+    * groupBy(source) job ([[graft.ops.Expectations.reportBy]]). */
+  def qualityBySource(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    reportBy(tPar(s, dir, "documents"), Seq("source"), Seq(
+      notNull("text"),
+      unique("doc", col("doc_id")),
+      inRange("n_chars", lit(60L), lit(600L)),
+      acceptedValues("lang", Seq("en", "de", "es"))))
+  }
+
+  val qualityBySourceSql: String =
+    """WITH a AS (
+      |  SELECT source, count(*) n_rows,
+      |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) c1,
+      |    CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) c2,
+      |    CAST(sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 60 OR n_chars > 600) THEN 1 ELSE 0 END) AS BIGINT) c3,
+      |    CAST(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','es') THEN 1 ELSE 0 END) AS BIGINT) c4
+      |  FROM documents GROUP BY source)
+      |SELECT * FROM (
+      |  SELECT source, 'not_null:text' "check", n_rows, c1 n_violations, c1 = 0 pass FROM a
+      |  UNION ALL SELECT source, 'unique:doc', n_rows, c2, c2 = 0 FROM a
+      |  UNION ALL SELECT source, 'in_range:n_chars', n_rows, c3, c3 = 0 FROM a
+      |  UNION ALL SELECT source, 'accepted_values:lang', n_rows, c4, c4 = 0 FROM a
+      |) ORDER BY source, "check"""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_shard_plan" -> (shardPlan _),
@@ -319,6 +348,7 @@ object PipelineQueries {
     "pipe_zorder_layout" -> (zorderLayout _),
     "pipe_skew_audit" -> (skewAudit _),
     "pipe_data_quality" -> (dataQuality _),
+    "pipe_quality_by_source" -> (qualityBySource _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -328,5 +358,6 @@ object PipelineQueries {
     "pipe_zorder_layout" -> zorderLayoutSql,
     "pipe_skew_audit" -> skewAuditSql,
     "pipe_data_quality" -> dataQualitySql,
+    "pipe_quality_by_source" -> qualityBySourceSql,
   )
 }

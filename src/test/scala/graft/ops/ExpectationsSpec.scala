@@ -68,6 +68,73 @@ class ExpectationsSpec extends SparkSpec {
     ex.getMessage should include("duplicate check names")
   }
 
+  behavior of "Expectations.reportBy (per-group rules)"
+
+  it should "count violations per group, not globally" in {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", Some(1L), "a"), ("s1", Some(1L), "b"), // dup key in s1 only
+      ("s1", Some(2L), "x"),                        // bad enum in s1
+      ("s2", Some(1L), "a"),                        // same key, DIFFERENT group: no dup
+      ("s2", None, "b")                             // null in s2 only
+    ).toDF("src", "k", "enum")
+    val rows = reportBy(df, Seq("src"), Seq(
+      notNull("k"), unique("k", col("k")),
+      acceptedValues("enum", Seq("a", "b"))))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    rows(("s1", "not_null:k")) shouldBe ((3L, 0L, true))
+    rows(("s1", "unique:k")) shouldBe ((3L, 1L, false))
+    rows(("s1", "accepted_values:enum")) shouldBe ((3L, 1L, false))
+    rows(("s2", "not_null:k")) shouldBe ((2L, 1L, false))
+    rows(("s2", "unique:k")) shouldBe ((2L, 0L, true))
+    rows(("s2", "accepted_values:enum")) shouldBe ((2L, 0L, true))
+  }
+
+  it should "stay one groupBy job with no join" in {
+    import spark.implicits._
+    val df = Seq(("s1", 1L)).toDF("src", "k")
+    val plan = reportBy(df, Seq("src"), Seq(notNull("k"), unique("k", col("k"))))
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should include("partial_count")
+  }
+
+  it should "reject empty group columns and name collisions" in {
+    import spark.implicits._
+    val df = Seq(("s1", 1L)).toDF("src", "k")
+    intercept[IllegalArgumentException] {
+      reportBy(df, Nil, Seq(notNull("k")))
+    }.getMessage should include("no group columns")
+    intercept[IllegalArgumentException] {
+      reportBy(df, Seq("src"), Seq(Expectation("src", sum(lit(0L)))))
+    }.getMessage should include("collides")
+  }
+
+  it should "monitor a stream per group in complete mode" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Option[Long])]
+    val out = reportBy(input.toDS().toDF("src", "k"), Seq("src"), Seq(notNull("k")))
+    val q = out.writeStream.format("memory").queryName("dqg_out")
+      .outputMode("complete")
+      .option("checkpointLocation", graft.SparkSpec.tempDir("dqg_ck"))
+      .start()
+    def rows = spark.table("dqg_out").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    input.addData(("s1", Some(1L)), ("s2", None))
+    q.processAllAvailable()
+    rows("s1") shouldBe ((1L, 0L, true))
+    rows("s2") shouldBe ((1L, 1L, false))
+    input.addData(("s2", Some(2L)))
+    q.processAllAvailable()
+    rows("s2") shouldBe ((2L, 1L, false)) // cumulative per group
+    q.stop()
+  }
+
   it should "monitor a stream with the SAME report in complete mode" in {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
