@@ -27,14 +27,14 @@ object RecallScan {
     def recall(rows: Array[(Long, Long)]): Double =
       rows.count(exact).toDouble / exact.size
 
-    for (np <- Seq(2, 3, 4, 5)) {
+    for (np <- Seq(2, 3, 4, 5, 6, 8)) {
       val rows = graft.util.CacheBin.withScope {
         annIvf(spark, dir, np).select("q_id", "n_id").collect()
           .map(x => (x.getLong(0), x.getLong(1)))
       }
       println(f"[recall] ivf   nprobe=$np%-2d                      recall@5 = ${recall(rows)}%.3f")
     }
-    for (np <- Seq(4, 5); kc <- Seq(16); it <- Seq(1, 2); rr <- Seq(20, 50, 100)) {
+    for (np <- Seq(4, 6, 8); kc <- Seq(8, 16); it <- Seq(1); rr <- Seq(100)) {
       val got = try {
         val rows = graft.util.CacheBin.withScope {
           annIvfPq(spark, dir, np, kc, it, rr).select("q_id", "n_id").collect()
@@ -45,7 +45,7 @@ object RecallScan {
       } catch { case scala.util.control.NonFatal(e) => s"FAILED: ${e.getMessage.take(80)}" }
       println(f"[recall] ivfpq nprobe=$np%-2d kc=$kc%-3d iters=$it rr=$rr%-3d $got")
     }
-    for (np <- Seq(2, 4, 5); rr <- Seq(50, 100)) {
+    for (np <- Seq(4, 6, 8); rr <- Seq(100)) {
       val rows = graft.util.CacheBin.withScope {
         annSq(spark, dir, np, rr).select("q_id", "n_id").collect()
           .map(x => (x.getLong(0), x.getLong(1)))
