@@ -51,13 +51,24 @@ object Bench {
     if (chunk.isDefined) runInProcess(sfDir, chunk) // child: one chunk, one JSON line
     else if (fork) {
       forked(sfDir) match {
-        case Some(json) => println(json)
+        case Some(json) => println(json); writeFullLine(json)
         case None =>
           System.err.println("[bench] fork-per-group failed; single-JVM fallback")
           runInProcess(sfDir, None)
       }
     } else runInProcess(sfDir, None)
   }
+
+  /** The r13 verdict found the driver's captured bench line TRUNCATED mid-
+    * tail (~15 per-query numbers lost from the auditable set). The full
+    * line is therefore also written to BENCH_FULL.json in the working
+    * directory — same content, file-backed, immune to any pipe/log
+    * truncation downstream. Best-effort: bench numbers must never fail
+    * because the cwd is read-only. */
+  private def writeFullLine(json: String): Unit =
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}") }
 
   /** Max queries per child JVM. The round-8 measurement: a 24-query group
     * in one JVM re-creates the accumulated-heap-state inflation on its own
@@ -220,7 +231,9 @@ object Bench {
       System.err.println(s"[bench] $k failed in every pass — omitted") }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    if (chunk.isEmpty) writeFullLine(line) // whole-surface mode only, not per-chunk children
     spark.stop()
   }
 }
