@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** EXACT set-similarity self-join via prefix filtering — the deterministic
+  * complement of the probabilistic MinHash-LSH path in [[NearDup]]: returns
+  * precisely the pairs with Jaccard ≥ num/den, no false negatives, without
+  * ever materializing the O(n²) pair set.
+  *
+  * Algorithm (prefix-filtering principle; Chaudhuri/Ganti/Kaushik ICDE'06,
+  * Xiao et al. WWW'08 "PPJoin", distributed form per Vernica/Carey/Li
+  * SIGMOD'10):
+  *   1. order every set's tokens canonically by ascending global document
+  *      frequency (rare tokens first, ties by token value);
+  *   2. each set emits only its PREFIX — the first
+  *      `|A| - ceil(t·|A|) + 1` tokens in that order. Any pair with
+  *      Jaccard ≥ t must share at least one prefix token: a pair sharing
+  *      none can overlap on at most `ceil(t·|A|) - 1 < t·|A| ≤ t·|union|`
+  *      tokens of A, so its Jaccard is < t;
+  *   3. candidates come from ONE equi-join on prefix token (plus the
+  *      length filter `t·|A| ≤ |B| ≤ |A|/t`, also implied by Jaccard ≥ t),
+  *      then PPJoin's positional filter prunes pairs whose earliest shared
+  *      prefix position already caps the possible overlap below the
+  *      threshold (see the inline proof at the groupBy below);
+  *   4. survivors are verified exactly with an `array_intersect` count —
+  *      integer threshold arithmetic (`inter·den ≥ union·num`), so the
+  *      result is bit-identical to a brute-force scan.
+  *
+  * The reference has no similarity join at all (its only dedup is the exact
+  * SBF filter, operator/SBFDeduplicationFilter.scala:85-108) — this is part
+  * of the additive training-data-pipeline surface (SURVEY.md §2.10).
+  *
+  * Scale shape (100 TB contract): the token-frequency table is
+  * vocabulary-bounded; prefix emission is a narrow map after one
+  * groupBy(id); candidate generation is one equi-join shuffle keyed on
+  * prefix token, O(near-duplicates) not O(n²) because rare-first ordering
+  * sends high-df tokens to the suffix where they are never join keys; the
+  * verify step shuffles only the candidate set. No collect, no cross join,
+  * no driver loop.
+  */
+object SimilarityJoin {
+
+  /** All pairs (id_a < id_b) from `sets` with Jaccard(setCol_a, setCol_b)
+    * ≥ num/den. Output: id_a, id_b, inter_cnt, union_cnt (longs), exact.
+    *
+    * `sets` must have one row per id; the token array is deduplicated
+    * internally; empty sets (and null arrays) never pair.
+    */
+  def jaccardSelfJoin(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      num: Int,
+      den: Int): DataFrame = {
+    require(num > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+
+    val toks = sets
+      .select(col(idCol).as("id"), array_distinct(col(setCol)).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+
+    // Global token document frequency — vocabulary-bounded; drives the
+    // canonical rare-first ordering that makes the prefix filter selective.
+    val dfreq = toks
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+
+    // Canonical order: (df, tok) ascending. collect_list order is
+    // nondeterministic but array_sort canonicalizes it; (df, tok) pairs are
+    // unique within a set because the tokens are distinct.
+    val ordered = graft.util.CacheBin.persist(
+      toks
+        .select(col("id"), explode(col("toks")).as("tok"))
+        .join(dfreq, "tok")
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("dt"))
+        .select(
+          col("id"),
+          expr("transform(dt, x -> x.tok)").as("toks"),
+          size(col("dt")).as("len")))
+
+    // Prefix length |A| - ceil(t|A|) + 1, exact integer ceil. posexplode
+    // keeps each prefix token's 0-based position in the canonical order —
+    // the positional filter below needs it.
+    val prefixLen =
+      expr(s"cast(len - ((len * $num + ${den - 1}) div $den) + 1 as int)")
+    val prefix = ordered.select(
+      col("id"),
+      col("len"),
+      posexplode(slice(col("toks"), lit(1), prefixLen)))
+
+    // Candidate pairs: share a prefix token AND pass the length filter
+    // (Jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)). A pair may share
+    // several prefix tokens; the groupBy both dedupes and retains the
+    // EARLIEST shared position on each side for the positional filter.
+    //
+    // Positional filter (PPJoin): common prefix tokens appear in the same
+    // relative order in both arrays (both are sorted by the one global
+    // order), so min(pa) and min(pb) are positions of the SAME token t0 —
+    // and no common token can precede t0 at all (a common token before t0
+    // on either side would sit before t0's position on BOTH sides, hence
+    // inside both prefixes, contradicting t0 minimal). Therefore
+    // |A∩B| ≤ min(|A|-pa, |B|-pb); with Jaccard ≥ t requiring
+    // inter·(num+den) ≥ num·(|A|+|B|), any pair whose bound misses that is
+    // pruned BEFORE the expensive verify. On common-token-heavy corpora
+    // (tiny vocabularies) this is the filter that matters: unrelated pairs
+    // share only high-df tokens, which the rare-first order pushes to late
+    // positions, collapsing the bound.
+    val cand = prefix
+      .select(col("col").as("tok"), col("id").as("id_a"),
+        col("len").as("len_a"), col("pos").as("pa"))
+      .join(
+        prefix.select(col("col").as("tok_b"), col("id").as("id_b"),
+          col("len").as("len_b"), col("pos").as("pb")),
+        col("tok") === col("tok_b") && col("id_a") < col("id_b") &&
+          col("len_a") * num <= col("len_b") * den &&
+          col("len_b") * num <= col("len_a") * den)
+      .groupBy("id_a", "id_b", "len_a", "len_b")
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      .filter(
+        least(col("len_a") - col("pa"), col("len_b") - col("pb")) *
+          (num + den) >= (col("len_a") + col("len_b")) * num)
+      .select("id_a", "id_b")
+
+    // Exact verification on the candidate set only. Long-token sets (hashed
+    // shingles — the recommended scale form) verify with the codegen'd
+    // sorted-merge graft_intersect_size (requires
+    // graft.functions.GraftFunctions.register, like every graft_* caller);
+    // anything else falls back to the builtin array_intersect.
+    val isLong = sets.schema(setCol).dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    def interOf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (isLong) call_function("graft_intersect_size", a, b)
+      else size(array_intersect(a, b)).cast("long")
+    val fa = ordered.select(
+      col("id").as("va"), col("toks").as("toks_a"), col("len").as("la"))
+    val fb = ordered.select(
+      col("id").as("vb"), col("toks").as("toks_b"), col("len").as("lb"))
+    cand
+      .join(fa, col("id_a") === col("va"))
+      .join(fb, col("id_b") === col("vb"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        interOf(col("toks_a"), col("toks_b")).as("inter_cnt"),
+        (col("la") + col("lb")).cast("long").as("sz"))
+      .withColumn("union_cnt", col("sz") - col("inter_cnt"))
+      .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+      .select("id_a", "id_b", "inter_cnt", "union_cnt")
+  }
+}

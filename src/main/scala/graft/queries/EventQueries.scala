@@ -254,7 +254,43 @@ object EventQueries {
       |       count(*) cnt, CAST(sum(micro) AS BIGINT) sum_micro
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** LOCF resample ([[graft.ops.Resample.locf]]): per-user hourly series —
+    * last observation per hour (deterministic order: max (ts_us, event_id)
+    * packed into one decimal key, mirrored as a DuckDB HUGEINT), densified
+    * over each user's [first, last] hour and gap-filled by carrying the last
+    * value forward. The oracle aggregates the series (hours / observed /
+    * LOCF cents sum — any wrong fill shifts the sum), keeping the dump
+    * user-sized while checking every grid cell's filled value. */
+  def resampleLocf(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    // (ts_us, event_id) packed losslessly: event_id < 10^7, decimal(38,0)
+    // holds ts_us·10^7 exactly (DuckDB mirror: HUGEINT).
+    val ord = col("ts_us").cast("decimal(38,0)") * lit(10000000L) + col("event_id")
+    graft.ops.Resample.locf(ev, "user_id", "ts", "value", "1 hour", ord)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("observed").cast("long")).as("n_obs"),
+        sum(cents(col("value"))).as("sum_locf_cents"))
+      .orderBy("user_id")
+  }
+
+  val resampleLocfSql: String =
+    """WITH h AS (SELECT user_id, date_trunc('hour', ts) hr,
+      |                  max_by(value, epoch_us(ts)::HUGEINT * 10000000 + event_id) v
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(hr) h0, max(hr) h1 FROM h GROUP BY 1),
+      |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) hr FROM b),
+      |j AS (SELECT g.user_id, g.hr, h.v FROM g LEFT JOIN h
+      |      ON g.user_id = h.user_id AND g.hr = h.hr),
+      |f AS (SELECT user_id, v, last_value(v IGNORE NULLS) OVER (
+      |        PARTITION BY user_id ORDER BY hr
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) lv FROM j)
+      |SELECT user_id, count(*) n_hours, CAST(count(v) AS BIGINT) n_obs,
+      |       CAST(sum(CAST(round(lv*100) AS BIGINT)) AS BIGINT) sum_locf_cents
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_resample_locf" -> (resampleLocf _),
     "ev_count_windows" -> (countWindows _),
     "ev_tumbling_hourly" -> (tumblingHourly _),
     "ev_sliding_window" -> (slidingWindow _),
@@ -269,6 +305,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_resample_locf" -> resampleLocfSql,
     "ev_count_windows" -> countWindowsSql,
     "ev_tumbling_hourly" -> tumblingHourlySql,
     "ev_sliding_window" -> slidingWindowSql,

@@ -341,7 +341,36 @@ object PipelineQueries {
       |  UNION ALL SELECT source, 'accepted_values:lang', n_rows, c4, c4 = 0 FROM a
       |) ORDER BY source, "check"""".stripMargin
 
+  /** Deterministic train/val/test split assignment
+    * ([[graft.ops.SplitAssign]]): split = f(md5(doc_id)) with 90/5/5
+    * bucket thresholds — stable under reruns, appends and repartitioning
+    * (no rand(), no row numbering), and recomputable by any engine for
+    * audit (the oracle re-derives every assignment from scratch). Rolled up
+    * per (split, lang) so the dump stays small while pinning each doc's
+    * assignment through the counts and char sums. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SplitAssign.withSplit(
+        t(s, dir, "documents"), "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+
+  val splitAssignSql: String =
+    """WITH m AS (SELECT lang, n_chars, md5(CAST(doc_id AS VARCHAR)) h FROM documents),
+      |b AS (SELECT lang, n_chars,
+      |        ((strpos('0123456789abcdef', h[1:1]) - 1) * 16
+      |         + (strpos('0123456789abcdef', h[2:2]) - 1)) * 256
+      |        + ((strpos('0123456789abcdef', h[3:3]) - 1) * 16
+      |           + (strpos('0123456789abcdef', h[4:4]) - 1)) bucket
+      |      FROM m),
+      |s AS (SELECT CASE WHEN bucket < 58982 THEN 'train'
+      |                  WHEN bucket < 62259 THEN 'val'
+      |                  ELSE 'test' END split, lang, n_chars FROM b)
+      |SELECT split, lang, count(*) n_docs, CAST(sum(n_chars) AS BIGINT) sum_chars
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "pipe_split_assign" -> (splitAssign _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_shard_plan" -> (shardPlan _),
     "pipe_pack_sequences" -> (packSequences _),
@@ -352,6 +381,7 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_split_assign" -> splitAssignSql,
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_shard_plan" -> shardPlanSql,
     "pipe_pack_sequences" -> packSequencesSql,

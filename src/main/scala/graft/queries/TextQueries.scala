@@ -470,6 +470,43 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT bigram-shingle-hash Jaccard similarity join at jaccard ≥ 3/5 —
+    * the deterministic complement of text_ngram_lsh: prefix-filtered with
+    * PPJoin's positional filter ([[graft.ops.SimilarityJoin]], rare-first
+    * global-df token order, one prefix-token equi-join, sorted-merge
+    * verify) so the Spark side never scans the O(n²) pair set, while the
+    * ORACLE is the independent brute-force all-pairs scan over the SAME
+    * portable shingle hashes (the minhash-family convention). A hash match
+    * therefore also PROVES the prefix + positional filters lossless on
+    * real data — any dropped candidate would show as a missing row. */
+  def ssjoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"),
+          lit(2), lit(31L), lit(P1)).as("bg"))
+    graft.ops.SimilarityJoin.jaccardSelfJoin(docs, "doc_id", "bg", 3, 5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter_cnt"), col("union_cnt"),
+        (col("inter_cnt").cast("double") / col("union_cnt").cast("double"))
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ssjoinSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         ${shinglesSql("words", "norm", 2)},
+       |         g -> ${polyHashSql("g", 31L, 1000000007L)})) bg FROM w),
+       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |             CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) inter_cnt,
+       |             CAST(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)) AS BIGINT) union_cnt
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, inter_cnt, union_cnt,
+       |       CAST(inter_cnt AS DOUBLE)/CAST(union_cnt AS DOUBLE) jaccard
+       |FROM p WHERE inter_cnt * 5 >= union_cnt * 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val ngramLshSql: String = {
     val sigExprs = (0 until NUM_SIGS).map { i =>
       s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % $MH_P)) s$i"
@@ -826,6 +863,7 @@ object TextQueries {
     "text_simhash_lsh" -> (simhashLsh _),
     "text_ngram_jaccard" -> (ngramJaccard _),
     "text_ngram_lsh" -> (ngramLsh _),
+    "text_ssjoin" -> (ssjoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -849,5 +887,6 @@ object TextQueries {
     "text_simhash_lsh" -> simhashLshSql,
     "text_ngram_jaccard" -> ngramJaccardSql,
     "text_ngram_lsh" -> ngramLshSql,
+    "text_ssjoin" -> ssjoinSql,
   )
 }
