@@ -72,6 +72,81 @@ object Resample {
     filled.withColumnRenamed("key", keyCol)
   }
 
+  /** Linear-interpolation resample over INTEGER values — gap buckets get
+    * the exact integer interpolation between their neighboring
+    * observations, engine-portable because every step is integer
+    * arithmetic (no float accumulation, no ulp drift):
+    *
+    *   value(h) = (c0·(h1−h) + c1·(h−h0)) · subScale  div  (h1−h0)
+    *
+    * with h the grid index (bucket epoch div step), (h0,c0)/(h1,c1) the
+    * previous/next observed buckets, and div truncating — identical in
+    * Spark and DuckDB for the non-negative numerators a non-negative value
+    * column yields. Observed buckets carry c·subScale. The grid spans
+    * [first, last] observed bucket per key, so every gap has both
+    * neighbors.
+    *
+    * Input values must already be integers (e.g. money in cents via
+    * [[graft.queries.Q.cents]]); `subScale` adds fixed-point resolution to
+    * the interpolated quotient.
+    *
+    * Output: key, bucket, value_scaled (long, = value·subScale at observed
+    * buckets), observed. Same two-shuffle shape as [[locf]] (bucket
+    * groupBy + key window).
+    */
+  def linearScaled(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valLongCol: String,
+      step: String,
+      orderKey: Column,
+      subScale: Long = 10000L): DataFrame = {
+    val stepMs = stepMillis(step)
+    val bucketed = events
+      .groupBy(
+        col(keyCol).as("key"),
+        date_trunc(stepField(step), col(tsCol)).as("bucket"))
+      .agg(max_by(col(valLongCol), orderKey).as("obs"))
+
+    val grid = bucketed
+      .groupBy("key")
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(
+        col("key"),
+        explode(expr(s"sequence(b0, b1, interval $step)")).as("bucket"))
+
+    val w = Window.partitionBy("key").orderBy("bucket")
+    val joined = grid
+      .join(bucketed, Seq("key", "bucket"), "left")
+      .withColumn("h", expr(s"unix_millis(bucket) div $stepMs"))
+      .withColumn("hc",
+        when(col("obs").isNotNull, struct(col("h"), col("obs").as("c"))))
+    val filled = joined
+      .withColumn("p",
+        last(col("hc"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n",
+        first(col("hc"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .select(
+        col("key"),
+        col("bucket"),
+        when(col("obs").isNotNull, col("obs") * subScale)
+          .otherwise(expr(
+            s"((p.c * (n.h - h) + n.c * (h - p.h)) * $subScale) div (n.h - p.h)"))
+          .as("value_scaled"),
+        col("obs").isNotNull.as("observed"))
+    filled.withColumnRenamed("key", keyCol)
+  }
+
+  private def stepMillis(step: String): Long = stepField(step) match {
+    case "minute" => 60L * 1000
+    case "hour"   => 3600L * 1000
+    case "day"    => 86400L * 1000
+    case "week"   => 7L * 86400 * 1000
+  }
+
   /** date_trunc field for a supported grid step. Only calendar-aligned
     * steps are supported — they are what date_trunc (and every SQL engine's
     * oracle mirror) can express exactly. */

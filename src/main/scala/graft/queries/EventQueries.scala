@@ -289,7 +289,49 @@ object EventQueries {
       |       CAST(sum(CAST(round(lv*100) AS BIGINT)) AS BIGINT) sum_locf_cents
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Linear-interpolation resample ([[graft.ops.Resample.linearScaled]]):
+    * the same per-user hourly grid as ev_resample_locf, but gap hours get
+    * the EXACT integer interpolation (micro-cents, truncating div —
+    * engine-identical for the non-negative cents here) between the
+    * neighboring observed hours. Aggregated like the LOCF twin: any wrong
+    * interpolated cell shifts the per-user sum. */
+  def resampleInterp(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("c", cents(col("value")))
+    val ord = col("ts_us").cast("decimal(38,0)") * lit(10000000L) + col("event_id")
+    graft.ops.Resample.linearScaled(ev, "user_id", "ts", "c", "1 hour", ord)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("observed").cast("long")).as("n_obs"),
+        sum(col("value_scaled")).as("sum_interp_uc"))
+      .orderBy("user_id")
+  }
+
+  val resampleInterpSql: String =
+    """WITH h AS (SELECT user_id, date_trunc('hour', ts) hr,
+      |                  max_by(CAST(round(value*100) AS BIGINT),
+      |                         epoch_us(ts)::HUGEINT * 10000000 + event_id) c
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(hr) h0, max(hr) h1 FROM h GROUP BY 1),
+      |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) hr FROM b),
+      |j AS (SELECT g.user_id, g.hr, h.c FROM g LEFT JOIN h
+      |      ON g.user_id = h.user_id AND g.hr = h.hr),
+      |x AS (SELECT user_id, hr, c, CAST(floor(epoch(hr)) AS BIGINT) // 3600 hh FROM j),
+      |f AS (SELECT user_id, hr, c, hh,
+      |        last_value(CASE WHEN c IS NOT NULL THEN {'h': hh, 'c': c} END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY hr
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) p,
+      |        first_value(CASE WHEN c IS NOT NULL THEN {'h': hh, 'c': c} END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY hr
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) n
+      |      FROM x)
+      |SELECT user_id, count(*) n_hours, CAST(count(c) AS BIGINT) n_obs,
+      |       CAST(sum(CASE WHEN c IS NOT NULL THEN c * 10000
+      |                ELSE ((p.c * (n.h - hh) + n.c * (hh - p.h)) * 10000) // (n.h - p.h)
+      |                END) AS BIGINT) sum_interp_uc
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_resample_interp" -> (resampleInterp _),
     "ev_resample_locf" -> (resampleLocf _),
     "ev_count_windows" -> (countWindows _),
     "ev_tumbling_hourly" -> (tumblingHourly _),
@@ -305,6 +347,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_resample_interp" -> resampleInterpSql,
     "ev_resample_locf" -> resampleLocfSql,
     "ev_count_windows" -> countWindowsSql,
     "ev_tumbling_hourly" -> tumblingHourlySql,

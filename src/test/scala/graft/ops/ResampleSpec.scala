@@ -69,4 +69,44 @@ class ResampleSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Resample.locf(ev, "k", "t", "v", "7 minutes", col("seq"))
   }
+
+  behavior of "Resample.linearScaled"
+
+  it should "interpolate gap buckets with exact integer arithmetic" in {
+    import spark.implicits._
+    // cents 100 at hour 0, 400 at hour 3: gaps at h1, h2 get 200, 300
+    // (exact thirds land on integers here; sub-scale 10000)
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:30:00"), 100L, 1L),
+      ("a", ts("2024-01-01 03:30:00"), 400L, 2L)).toDF("k", "t", "c", "seq")
+    val r = Resample.linearScaled(ev, "k", "t", "c", "1 hour", col("seq"))
+      .orderBy("bucket")
+      .collect().map(x => (x.getLong(2), x.getBoolean(3)))
+    r shouldBe Array((1000000L, true), (2000000L, false),
+      (3000000L, false), (4000000L, true))
+  }
+
+  it should "truncate non-integral interpolation toward zero (div semantics)" in {
+    import spark.implicits._
+    // 0 → 100 cents over 3 hours: thirds truncate (333333, 666666)
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 0L, 1L),
+      ("a", ts("2024-01-01 03:00:00"), 100L, 2L)).toDF("k", "t", "c", "seq")
+    val r = Resample.linearScaled(ev, "k", "t", "c", "1 hour", col("seq"))
+      .orderBy("bucket")
+      .collect().map(_.getLong(2))
+    r shouldBe Array(0L, 333333L, 666666L, 1000000L)
+  }
+
+  it should "match LOCF on observed buckets and use max-order ties like it" in {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:05:00"), 10L, 1L),
+      ("a", ts("2024-01-01 00:55:00"), 70L, 3L), // wins
+      ("a", ts("2024-01-01 02:00:00"), 90L, 4L)).toDF("k", "t", "c", "seq")
+    val r = Resample.linearScaled(ev, "k", "t", "c", "1 hour", col("seq"))
+      .orderBy("bucket")
+      .collect().map(x => (x.getLong(2), x.getBoolean(3)))
+    r shouldBe Array((700000L, true), (800000L, false), (900000L, true))
+  }
 }

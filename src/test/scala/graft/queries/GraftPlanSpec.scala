@@ -90,6 +90,24 @@ class GraftPlanSpec extends SparkSpec {
     opPlan should not include "BroadcastNestedLoopJoin"
   }
 
+  it should "generate exact-similarity-join candidates via a prefix-token equi-join" in {
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = TextQueries.ssjoin(spark, dir)
+      q.count() // AQE final plan
+      q
+    })
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "keep the split assignment a narrow map until its rollup groupBy" in {
+    val plan = planOf(PipelineQueries.splitAssign(spark, dir))
+    // exactly the rollup's exchange plus the final orderBy's range exchange
+    // — the md5-bucket assignment itself must not shuffle
+    "Exchange".r.findAllIn(plan).length should be <= 3
+    plan should not include "CartesianProduct"
+  }
+
   it should "route IVF-PQ candidates through the broadcast cell equi-join" in {
     val plan = planOf(graft.util.CacheBin.withScope {
       val q = VectorQueries.annIvfPq(spark, dir)
