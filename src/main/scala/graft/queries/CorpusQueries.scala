@@ -629,7 +629,70 @@ object CorpusQueries {
        |SELECT doc_id, n_bigrams, lm_ppm FROM sc
        |ORDER BY lm_ppm, doc_id LIMIT 25""".stripMargin
 
+  /** Temperature-scaled source mixing (T = 2): sampling weights
+    * w_s = kept_words^(1/T) = sqrt(kept_words) — the standard
+    * multilingual/multi-source re-balancing that UP-samples small sources
+    * relative to proportional mixing (XLM-R style alpha-smoothing). T = 2
+    * keeps every arithmetic step engine-exact: sqrt is correctly rounded
+    * IEEE, and the weight TOTAL is accumulated in an explicit source-order
+    * cumulative window (identical addition order ⇒ bit-identical double
+    * on both engines; a plain SUM's addition order is unspecified). The
+    * per-source frame is sources-sized — the single-partition windows are
+    * bounded, never data-sized. */
+  def tempMix(s: SparkSession, dir: String): DataFrame = {
+    val flagged = graft.ops.Quality.withSignals(
+        tPar(s, dir, "documents").select(col("source"), col("text")))
+      .withColumn("kept", graft.ops.Quality.keepFlag)
+    val perSource = flagged.groupBy("source").agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+      sum(when(col("kept"), col("n_words")).otherwise(0L)).as("kept_words"))
+    val wOrd = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("w", sqrt(col("kept_words").cast("double")))
+      .withColumn("cum", sum(col("w")).over(wOrd))
+      .withColumn("total_w", max(col("cum")).over(wAll))
+      .withColumn("share_ppm",
+        round(col("w") / col("total_w") * lit(1000000.0)).cast("long"))
+      .withColumn("quota_docs",
+        least(col("kept_docs"),
+          floor(lit(200.0) * col("w") / col("total_w")).cast("long")))
+      .select(col("source"), col("kept_docs"), col("kept_words"),
+        col("share_ppm"), col("quota_docs"))
+      .orderBy("source")
+  }
+
+  val tempMixSql: String =
+    s"""WITH b AS (
+       |  SELECT source,
+       |         CAST(len(string_split($normSql, ' ')) AS BIGINT) n_words,
+       |         CAST(len(list_filter(string_split($normSql, ' '),
+       |              w -> w IN ('the','and','of','to','in','a','is','for','on','with'))) AS BIGINT) stop_cnt,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) n_punct,
+       |         CAST(length(text) AS BIGINT) n_chars_t
+       |  FROM documents),
+       |f AS (SELECT source, n_words,
+       |             (n_words >= 20 AND stop_cnt*100 >= n_words*2 AND
+       |              n_punct*100 <= n_chars_t*10) kept
+       |      FROM b),
+       |ps AS (SELECT source,
+       |              CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) kept_docs,
+       |              CAST(sum(CASE WHEN kept THEN n_words ELSE 0 END) AS BIGINT) kept_words
+       |       FROM f GROUP BY 1),
+       |w AS (SELECT source, kept_docs, kept_words,
+       |             sqrt(CAST(kept_words AS DOUBLE)) w FROM ps),
+       |c AS (SELECT *, sum(w) OVER (ORDER BY source
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM w),
+       |t AS (SELECT *, max(cum) OVER () total_w FROM c)
+       |SELECT source, kept_docs, kept_words,
+       |       CAST(round(w / total_w * 1000000.0) AS BIGINT) share_ppm,
+       |       least(kept_docs, CAST(floor(200.0 * w / total_w) AS BIGINT)) quota_docs
+       |FROM t ORDER BY source""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "pipe_temp_mix" -> (tempMix _),
     "text_tfidf" -> (tfidf _),
     "text_stratified_sample" -> (stratifiedSample _),
     "text_repetition" -> (repetition _),
@@ -645,6 +708,7 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_temp_mix" -> tempMixSql,
     "text_tfidf" -> tfidfSql,
     "text_stratified_sample" -> stratifiedSampleSql,
     "text_repetition" -> repetitionSql,

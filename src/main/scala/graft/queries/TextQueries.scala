@@ -842,7 +842,72 @@ object TextQueries {
        |FROM c GROUP BY comp ORDER BY "cluster"""".stripMargin
   }
 
+  /** Incremental ingestion dedup ([[graft.ops.IncrDedup]]): the new
+    * snapshot (doc_id % 5 = 0 — an interleaved 20% of the corpus) is
+    * classified against the existing corpus and itself: exact fingerprint
+    * tiers first, then MinHash-LSH near-dup at Jaccard ≥ 1/2 probed ONLY
+    * from the new batch — the existing corpus is never self-paired, which
+    * is the property that keeps continuous ingestion open-ended at scale.
+    * Oracle mirrors every tier (md5 fingerprints, the 9-sig/3-band minhash
+    * construction, the probe×index candidate join, exact hash-set Jaccard),
+    * so candidates and classifications match bit-for-bit. */
+  def incrDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+      .select(col("doc_id"), col("text"), (col("doc_id") % 5 === 0).as("is_new"))
+    graft.ops.IncrDedup.classify(docs, "doc_id", "text", "is_new", 1L, 2L)
+      .orderBy("doc_id")
+  }
+
+  val incrDedupSql: String = {
+    val sigExprs = (0 until NUM_SIGS).map { i =>
+      s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % $MH_P)) s$i"
+    }.mkString(", ")
+    val bandSelects = (0 until NUM_SIGS / BAND_ROWS).map { b =>
+      val ks = (0 until BAND_ROWS).map(r => s"s${b * BAND_ROWS + r}").mkString(", ")
+      s"SELECT doc_id, $b band, concat_ws(':', $ks) k FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
+       |sh AS (SELECT doc_id, ${shinglesSql("words", "norm", 3)} shs FROM w),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(shs, sg -> ${polyHashSql("sg", 31L, P1)})) hs FROM sh),
+       |sig AS (SELECT doc_id, $sigExprs FROM hs),
+       |bands AS ($bandSelects),
+       |m AS (SELECT doc_id, (doc_id % 5 = 0) is_new, md5(norm) fp FROM n),
+       |old_min AS (SELECT fp, min(doc_id) old_id FROM m WHERE NOT is_new GROUP BY 1),
+       |newd AS (SELECT doc_id, fp FROM m WHERE is_new),
+       |ex_old AS (SELECT d.doc_id, 'exact_dup_old' status, o.old_id partner
+       |           FROM newd d JOIN old_min o USING (fp)),
+       |rest AS (SELECT d.doc_id, d.fp FROM newd d LEFT JOIN old_min o USING (fp)
+       |         WHERE o.old_id IS NULL),
+       |canon AS (SELECT fp, min(doc_id) canon FROM rest GROUP BY 1),
+       |ex_new AS (SELECT r.doc_id, 'exact_dup_new' status, c.canon partner
+       |           FROM rest r JOIN canon c USING (fp) WHERE r.doc_id != c.canon),
+       |probe AS (SELECT r.doc_id FROM rest r JOIN canon c
+       |          ON r.fp = c.fp AND r.doc_id = c.canon),
+       |idx AS (SELECT doc_id, TRUE is_old FROM m WHERE NOT is_new
+       |        UNION ALL SELECT doc_id, FALSE FROM probe),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM bands a JOIN probe p ON a.doc_id = p.doc_id
+       |         JOIN bands b ON a.band = b.band AND a.k = b.k
+       |         JOIN idx i ON b.doc_id = i.doc_id
+       |                   AND (i.is_old OR b.doc_id < a.doc_id)),
+       |near AS (SELECT doc_a doc_id, 'near_dup' status, min(doc_b) partner
+       |         FROM cand JOIN hs x ON doc_a = x.doc_id JOIN hs y ON doc_b = y.doc_id
+       |         WHERE len(list_intersect(x.hs, y.hs)) * 2 >=
+       |               (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1
+       |         GROUP BY 1),
+       |cls AS (SELECT * FROM ex_old UNION ALL SELECT * FROM ex_new
+       |        UNION ALL SELECT * FROM near),
+       |keepd AS (SELECT d.doc_id, 'keep' status, CAST(-1 AS BIGINT) partner
+       |          FROM newd d LEFT JOIN cls c ON d.doc_id = c.doc_id
+       |          WHERE c.doc_id IS NULL)
+       |SELECT doc_id, status, CAST(partner AS BIGINT) partner
+       |FROM (SELECT * FROM cls UNION ALL SELECT * FROM keepd)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "text_incr_dedup" -> (incrDedup _),
     "text_token_counts" -> (tokenCounts _),
     "text_dup_clusters" -> (dupClusters _),
     "text_shared_ngrams" -> (sharedNgrams _),
@@ -867,6 +932,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_incr_dedup" -> incrDedupSql,
     "text_token_counts" -> tokenCountsSql,
     "text_dup_clusters" -> dupClustersSql,
     "text_shared_ngrams" -> sharedNgramsSql,
