@@ -109,34 +109,39 @@ object Resample {
         date_trunc(stepField(step), col(tsCol)).as("bucket"))
       .agg(max_by(col(valLongCol), orderKey).as("obs"))
 
-    val grid = bucketed
-      .groupBy("key")
-      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-      .select(
-        col("key"),
-        explode(expr(s"sequence(b0, b1, interval $step)")).as("bucket"))
-
+    // Segment form: lead() over the SPARSE observed rows pairs each
+    // observation with its successor; the dense grid is then GENERATED
+    // from each segment (observed row + its gap rows) by one explode.
+    // Never window over the dense grid — Spark evaluates a
+    // [current, unbounded following] frame by rescanning the remainder of
+    // the partition per row (O(rows²) per key), which at a 100 TB grid is
+    // the job that never finishes; the sparse lead() frame is O(obs).
     val w = Window.partitionBy("key").orderBy("bucket")
-    val joined = grid
-      .join(bucketed, Seq("key", "bucket"), "left")
+    val seg = bucketed
       .withColumn("h", expr(s"unix_millis(bucket) div $stepMs"))
-      .withColumn("hc",
-        when(col("obs").isNotNull, struct(col("h"), col("obs").as("c"))))
-    val filled = joined
-      .withColumn("p",
-        last(col("hc"), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n",
-        first(col("hc"), ignoreNulls = true)
-          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("nh", lead(col("h"), 1).over(w))
+      .withColumn("nc", lead(col("obs"), 1).over(w))
+    val filled = seg
       .select(
         col("key"),
-        col("bucket"),
-        when(col("obs").isNotNull, col("obs") * subScale)
+        col("bucket").as("b0"),
+        col("h"),
+        col("obs"),
+        col("nh"),
+        col("nc"),
+        explode(when(col("nh").isNull, array(col("h")))
+          .otherwise(expr("sequence(h, nh - 1)"))).as("g"))
+      .select(
+        col("key"),
+        // reconstruct from the segment's own bucket, not g·step: week grids
+        // are not epoch-aligned, the h indices only carry DISTANCE
+        timestamp_millis(expr(s"unix_millis(b0) + (g - h) * $stepMs"))
+          .as("bucket"),
+        when(col("g") === col("h"), col("obs") * subScale)
           .otherwise(expr(
-            s"((p.c * (n.h - h) + n.c * (h - p.h)) * $subScale) div (n.h - p.h)"))
+            s"((obs * (nh - g) + nc * (g - h)) * $subScale) div (nh - h)"))
           .as("value_scaled"),
-        col("obs").isNotNull.as("observed"))
+        (col("g") === col("h")).as("observed"))
     filled.withColumnRenamed("key", keyCol)
   }
 
