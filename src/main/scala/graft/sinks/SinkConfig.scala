@@ -100,7 +100,14 @@ object SinkConfig {
   * box in BOTH columns and scans with a predicate on either column prune
   * most files from footer min/max statistics. Streaming rejects the
   * option loudly: z-ordering is a batch layout job (compaction), not a
-  * per-micro-batch transform. */
+  * per-micro-batch transform.
+  *
+  * Batch writes alternatively support HASH BUCKETING (additive — the
+  * co-location layout; mutually exclusive with z-order) via options
+  * `bucket.cols`, `bucket.count`, `bucket.table` (+ optional
+  * `bucket.sortCols`): committed through the catalog as an external table
+  * at the sink path, so co-bucketed joins and bucket-key aggregations run
+  * with NO exchange (see [[FileSinkConfig.bucketSpec]]). */
 final case class FileSinkConfig(
     name: String,
     path: String,
@@ -112,14 +119,34 @@ final case class FileSinkConfig(
 
   override def writeBatch(df: DataFrame): Unit = {
     val (clustered, writerOpts) = FileSinkConfig.applyZOrder(df, options)
-    val w = clustered.write.format(format).mode(mode).options(writerOpts)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
+    FileSinkConfig.bucketSpec(name, options) match {
+      case Some(b) =>
+        require(!options.contains(FileSinkConfig.ZCols),
+          s"FileSinkConfig($name): zorder.cols and bucket.cols are mutually " +
+            "exclusive layouts — z-order clusters for range pruning, " +
+            "bucketing co-locates join/agg keys")
+        val w0 = clustered.write.format(format).mode(mode)
+          .options(writerOpts -- FileSinkConfig.BucketKeys)
+          .option("path", path) // external table rooted at the sink path
+          .bucketBy(b.count, b.cols.head, b.cols.tail: _*)
+        val w1 =
+          if (b.sortCols.nonEmpty) w0.sortBy(b.sortCols.head, b.sortCols.tail: _*)
+          else w0
+        val w2 = if (partitionCols.nonEmpty) w1.partitionBy(partitionCols: _*) else w1
+        w2.saveAsTable(b.table)
+      case None =>
+        val w = clustered.write.format(format).mode(mode).options(writerOpts)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
+    }
   }
 
   override def writeStream(df: DataFrame, checkpointDir: String): StreamingQuery = {
     require(!options.contains(FileSinkConfig.ZCols),
       s"FileSinkConfig($name): zorder.cols is batch-only — z-ordering is a " +
         "layout/compaction job, not a per-micro-batch transform")
+    require(!options.contains(FileSinkConfig.BCols),
+      s"FileSinkConfig($name): bucket.cols is batch-only — bucketed tables " +
+        "commit through the catalog (saveAsTable), not micro-batch appends")
     val w = df.writeStream.format(format).options(options)
       .option("path", path)
       .option("checkpointLocation", s"$checkpointDir/$name")
@@ -132,6 +159,43 @@ object FileSinkConfig {
   private[sinks] val ZCols = "zorder.cols"
   private val ZFiles = "zorder.files"
   private val ZBits = "zorder.bits"
+
+  private[sinks] val BCols = "bucket.cols"
+  private val BCount = "bucket.count"
+  private val BSort = "bucket.sortCols"
+  private val BTable = "bucket.table"
+  private val BucketKeys = Set(BCols, BCount, BSort, BTable)
+
+  /** Bucketed-table layout (additive — Spark's hash bucketing, the
+    * co-location lever the reference's plain file sink has no counterpart
+    * for): rows are hash-assigned to `bucket.count` buckets on
+    * `bucket.cols`, committed through the catalog as an EXTERNAL table at
+    * the sink path. Two tables bucketed the same way join (and a bucketed
+    * table aggregates) on those keys with NO shuffle — at 100 TB that is
+    * the difference between a map-side merge and re-shuffling the fact
+    * table on every query (BucketSinkSpec asserts the exchange-free plan).
+    * `bucket.sortCols` additionally sorts within each bucket file so the
+    * merge join needs no sort either. */
+  final case class BucketSpec(cols: Seq[String], count: Int,
+      sortCols: Seq[String], table: String)
+
+  private[sinks] def bucketSpec(name: String,
+      options: Map[String, String]): Option[BucketSpec] =
+    options.get(BCols).map { spec =>
+      val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, s"FileSinkConfig($name): $BCols is empty")
+      val count = options.get(BCount).map(_.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"FileSinkConfig($name): $BCols requires $BCount"))
+      require(count > 0, s"FileSinkConfig($name): $BCount must be positive")
+      val table = options.getOrElse(BTable,
+        throw new IllegalArgumentException(
+          s"FileSinkConfig($name): $BCols requires $BTable — bucketed " +
+            "layouts commit through the catalog (saveAsTable)"))
+      val sortCols = options.get(BSort).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      BucketSpec(cols, count, sortCols, table)
+    }
 
   /** Range-partition + sort the frame on the Morton z-value of the two
     * configured columns; strips the zorder.* keys so they never reach the
