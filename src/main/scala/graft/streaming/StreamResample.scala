@@ -143,4 +143,122 @@ object StreamResample {
       .transformWithState(new LocfProcessor(stepMs),
         TimeMode.EventTime(), OutputMode.Append(), outEnc)
   }
+
+  // ---- linear interpolation (streaming twin of Resample.linearScaled) ----
+
+  /** One observation with an INTEGER value (e.g. cents) — the exactness
+    * contract of [[graft.ops.Resample.linearScaled]]. */
+  final case class IObs(key: String, ts: java.sql.Timestamp, c: Long, seq: Long)
+
+  /** One grid cell: `valueScaled` = c·subScale at observed cells, the exact
+    * integer interpolation at gap cells. */
+  final case class IFilled(key: String, bucketStart: Long, valueScaled: Long, observed: Boolean)
+
+  /** Interpolation cursor: the last FINALIZED observation (open segment
+    * start). */
+  final case class ICursor(b0: Long, c0: Long, started: Boolean)
+
+  /** Best integer observation of a not-yet-finalized bucket. */
+  final case class IBest(ts: Long, seq: Long, c: Long)
+
+  private final class InterpProcessor(stepMs: Long, subScale: Long)
+      extends StatefulProcessor[String, IObs, IFilled] {
+
+    @transient private var cur: ValueState[ICursor] = _
+    @transient private var pend: MapState[Long, IBest] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cur = getHandle.getValueState[ICursor]("cur", Encoders.product[ICursor], TTLConfig.NONE)
+      pend = getHandle.getMapState[Long, IBest]("pend",
+        Encoders.scalaLong, Encoders.product[IBest], TTLConfig.NONE)
+    }
+
+    private def bucketOf(tsMs: Long): Long = Math.floorDiv(tsMs, stepMs) * stepMs
+
+    /** An observed bucket FINALIZES when the watermark passes its end (its
+      * best-of-bucket can no longer change). Finalization is prefix-closed
+      * in bucket order, and a finalized observation at b1 closes every gap
+      * cell of the segment (b0, b1) at once — gap values need BOTH
+      * endpoints, which is exactly why interpolation (unlike LOCF) never
+      * emits past the last finalized observation. */
+    private def drain(key: String, wmMs: Long): (ICursor, List[IFilled]) = {
+      var c = if (cur.exists()) cur.get() else ICursor(0L, 0L, started = false)
+      val ready = {
+        val ks = pend.keys()
+        val b = List.newBuilder[Long]
+        while (ks.hasNext) { val k = ks.next(); if (k + stepMs <= wmMs) b += k }
+        b.result().sorted
+      }
+      val out = List.newBuilder[IFilled]
+      ready.foreach { b1 =>
+        val obs = pend.getValue(b1)
+        pend.removeKey(b1)
+        if (c.started) {
+          val span = (b1 - c.b0) / stepMs
+          var i = 1L
+          while (i < span) {
+            // exact integer interpolation, identical to the batch twin
+            val v = (c.c0 * (span - i) + obs.c * i) * subScale / span
+            out += IFilled(key, c.b0 + i * stepMs, v, observed = false)
+            i += 1
+          }
+        }
+        out += IFilled(key, b1, obs.c * subScale, observed = true)
+        c = ICursor(b1, obs.c, started = true)
+      }
+      (c, out.result())
+    }
+
+    private def rearm(wmMs: Long): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val ks = pend.keys()
+      var next = Long.MaxValue
+      while (ks.hasNext) next = math.min(next, ks.next())
+      if (next != Long.MaxValue)
+        getHandle.registerTimer(math.max(next + stepMs, wmMs + 1))
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[IObs],
+        timerValues: TimerValues): Iterator[IFilled] = {
+      val c = if (cur.exists()) cur.get() else ICursor(0L, 0L, started = false)
+      rows.foreach { o =>
+        val b = bucketOf(o.ts.getTime)
+        if (!(c.started && b <= c.b0)) { // behind the finalized frontier: drop
+          val prev = pend.getValue(b)
+          if (prev == null || o.ts.getTime > prev.ts ||
+              (o.ts.getTime == prev.ts && o.seq > prev.seq))
+            pend.updateValue(b, IBest(o.ts.getTime, o.seq, o.c))
+        }
+      }
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (nc, out) = drain(key, wm)
+      cur.update(nc)
+      rearm(wm)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[IFilled] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (nc, out) = drain(key, wm)
+      cur.update(nc)
+      rearm(wm)
+      out.iterator
+    }
+  }
+
+  /** Linearly interpolated stream: grid cells emit as soon as both segment
+    * endpoints are finalized by the watermark — bit-identical values to
+    * [[graft.ops.Resample.linearScaled]] over the closed prefix. */
+  def linearScaled(
+      ds: Dataset[IObs],
+      stepMs: Long,
+      maxOutOfOrdernessMs: Long,
+      subScale: Long = 10000L): Dataset[IFilled] = {
+    implicit val outEnc: Encoder[IFilled] = Encoders.product[IFilled]
+    ds.withWatermark("ts", s"$maxOutOfOrdernessMs milliseconds")
+      .groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new InterpProcessor(stepMs, subScale),
+        TimeMode.EventTime(), OutputMode.Append(), outEnc)
+  }
 }

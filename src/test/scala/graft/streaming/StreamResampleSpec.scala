@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.streaming.StreamResample.{Filled, Obs}
+import graft.streaming.StreamResample.{Filled, IFilled, IObs, Obs}
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -109,6 +109,89 @@ class StreamResampleSpec extends SparkSpec {
 
       streamed shouldBe expected
       expected.size should be > 15 // the scenario must exercise real gaps
+    } finally q.stop()
+  }
+
+  // ---- linear interpolation ----
+
+  private implicit def iobsEnc: Encoder[IObs] = Encoders.product[IObs]
+
+  private def startInterp(input: MemoryStream[IObs], name: String) = {
+    val out = StreamResample.linearScaled(input.toDS(), stepMs = H,
+      maxOutOfOrdernessMs = 0L)
+    out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", graft.SparkSpec.tempDir(s"${name}_ck"))
+      .start()
+  }
+
+  private def irows(name: String): Seq[IFilled] = {
+    import spark.implicits._
+    spark.table(name).as[IFilled].collect().toSeq.filterNot(_.key == "zz")
+  }
+
+  it should "interpolate a closed segment's gap cells exactly" in {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[IObs]
+    val q = startInterp(input, "ri_out")
+    try {
+      // cents 100 at hour 0; nothing emits while the bucket is open
+      input.addData(IObs("a", new Timestamp(600000), 100L, 1L))
+      q.processAllAvailable()
+      irows("ri_out") shouldBe empty
+
+      // cents 400 at hour 3, watermark 3h20m: hour 3 is NOT yet finalized,
+      // so only hour 0 (observed) emits — interpolation needs both ends
+      input.addData(IObs("a", new Timestamp(3 * H + 1200000), 400L, 2L))
+      q.processAllAvailable()
+      irows("ri_out").map(r => (r.bucketStart / H, r.valueScaled, r.observed)) shouldBe
+        Seq((0L, 1000000L, true))
+
+      // sentinel finalizes hour 3: the segment closes, gaps interpolate
+      input.addData(IObs("zz", new Timestamp(10 * H), 0L, 9L))
+      q.processAllAvailable()
+      irows("ri_out").sortBy(_.bucketStart)
+        .map(r => (r.bucketStart / H, r.valueScaled, r.observed)) shouldBe
+        Seq((0L, 1000000L, true), (1L, 2000000L, false),
+          (2L, 3000000L, false), (3L, 4000000L, true))
+    } finally q.stop()
+  }
+
+  it should "equal the batch linearScaled over multiple micro-batches" in {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val batches: Seq[Seq[IObs]] = Seq(
+      Seq(IObs("a", new Timestamp(10 * 60000), 150L, 1L),
+        IObs("b", new Timestamp(H + 5 * 60000), 400L, 2L),
+        IObs("a", new Timestamp(H + 50 * 60000), 250L, 3L)),
+      Seq(IObs("a", new Timestamp(4 * H + 60000), 301L, 4L),
+        IObs("b", new Timestamp(4 * H + 120000), 500L, 5L),
+        IObs("c", new Timestamp(5 * H), 900L, 6L)),
+      Seq(IObs("a", new Timestamp(8 * H + 60000), 57L, 7L),
+        IObs("b", new Timestamp(7 * H + 60000), 601L, 8L)))
+
+    val input = MemoryStream[IObs]
+    val q = startInterp(input, "ri_eq")
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(IObs("zz", new Timestamp(20 * H), 0L, 99L))
+      q.processAllAvailable()
+
+      val streamed = irows("ri_eq")
+        .map(r => (r.key, r.bucketStart, r.valueScaled, r.observed)).toSet
+
+      val batchDf = batches.flatten.toDS().filter(col("key") =!= "zz")
+      val expected = graft.ops.Resample
+        .linearScaled(batchDf.toDF(), "key", "ts", "c", "1 hour",
+          struct(col("ts"), col("seq")))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getBoolean(3)))
+        .toSet
+
+      streamed shouldBe expected
+      // 301→57 over 4 hours exercises truncating division on a real gap
+      expected.size should be > 15
     } finally q.stop()
   }
 }
