@@ -330,7 +330,81 @@ object EventQueries {
       |                END) AS BIGINT) sum_interp_uc
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Inter-arrival time statistics per user — the burstiness/session-gap
+    * profile a pipeline calibrates sessionization and rate limits from.
+    * Exact integer µs arithmetic on the deterministic (ts, event_id)
+    * order; one lag() window pass on the same user_id shuffle the
+    * aggregation reuses. */
+  def interarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, dir)
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), min("gap").as("min_us"),
+        max("gap").as("max_us"), sum("gap").as("sum_us"))
+      .orderBy("user_id")
+  }
+
+  val interarrivalSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT tus,
+      |                  lag(epoch_us(ts)::BIGINT) OVER (
+      |                    PARTITION BY user_id ORDER BY ts, event_id) prev
+      |           FROM events)
+      |SELECT user_id, count(*) n_gaps,
+      |       CAST(min(tus - prev) AS BIGINT) min_us,
+      |       CAST(max(tus - prev) AS BIGINT) max_us,
+      |       CAST(sum(tus - prev) AS BIGINT) sum_us
+      |FROM e WHERE prev IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Rolling 24-hour revenue peak per user: hourly cents sums densified
+    * onto the user's hour grid (gaps = 0), a ROWS-based 24-cell sliding
+    * sum (Spark's sliding frame is O(rows), unlike the quadratic
+    * unbounded-following frame — SCALE.md), then each user's peak window
+    * and its first peak hour. The feature-engineering shape for
+    * "max activity in any 24h window". */
+  def rolling24h(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(cents(col("value"))).as("c"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+    val w = Window.partitionBy("user_id").orderBy("hr").rowsBetween(-23, 0)
+    val roll = grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("roll", sum("c").over(w))
+    val mx = roll.groupBy("user_id")
+      .agg(max("roll").as("max_roll_cents"))
+      .withColumnRenamed("user_id", "mu")
+    roll.join(mx, col("user_id") === col("mu") &&
+        col("roll") === col("max_roll_cents"))
+      .groupBy(col("user_id"), col("max_roll_cents"))
+      .agg(unix_timestamp(min("hr")).as("peak_hour_s"))
+      .orderBy("user_id")
+  }
+
+  val rolling24hSql: String =
+    """WITH h AS (SELECT user_id, date_trunc('hour', ts) hr,
+      |                  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) c
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(hr) h0, max(hr) h1 FROM h GROUP BY 1),
+      |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) hr FROM b),
+      |j AS (SELECT g.user_id, g.hr, coalesce(h.c, 0) c FROM g LEFT JOIN h
+      |      ON g.user_id = h.user_id AND g.hr = h.hr),
+      |r AS (SELECT user_id, hr, CAST(sum(c) OVER (PARTITION BY user_id ORDER BY hr
+      |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) roll FROM j),
+      |m AS (SELECT user_id, max(roll) mx FROM r GROUP BY 1)
+      |SELECT r.user_id, CAST(m.mx AS BIGINT) max_roll_cents,
+      |       CAST(floor(epoch(min(r.hr))) AS BIGINT) peak_hour_s
+      |FROM r JOIN m ON r.user_id = m.user_id AND r.roll = m.mx
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_interarrival" -> (interarrival _),
+    "ev_rolling_24h" -> (rolling24h _),
     "ev_resample_interp" -> (resampleInterp _),
     "ev_resample_locf" -> (resampleLocf _),
     "ev_count_windows" -> (countWindows _),
@@ -347,6 +421,8 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_interarrival" -> interarrivalSql,
+    "ev_rolling_24h" -> rolling24hSql,
     "ev_resample_interp" -> resampleInterpSql,
     "ev_resample_locf" -> resampleLocfSql,
     "ev_count_windows" -> countWindowsSql,

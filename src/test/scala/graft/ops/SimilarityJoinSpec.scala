@@ -89,6 +89,40 @@ class SimilarityJoinSpec extends SparkSpec {
     viaLong shouldBe naive(3, 5)
   }
 
+  it should "stay lossless on seeded-random corpora (differential trials)" in {
+    import spark.implicits._
+    // adversarial shape for prefix filtering: small vocabulary, heavy
+    // duplication, mixed lengths — the regime where the positional filter
+    // carries the pruning (the sf0.1 corpus's failure mode, miniaturized)
+    val rnd = new scala.util.Random(20240814L)
+    for (trial <- 1 to 3) {
+      val vocabSize = 12 + trial * 6
+      val vocab = (0 until vocabSize).map(i => f"w$i%02d")
+      val rows = (0 until 50).map { i =>
+        val len = 2 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocabSize))).distinct)
+      }
+      val df = rows.toDF("id", "toks")
+      val a = df.select(col("id").as("id_a"), col("toks").as("ta"))
+      val b = df.select(col("id").as("id_b"), col("toks").as("tb"))
+      val naiveSet = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          org.apache.spark.sql.functions.size(array_intersect(col("ta"), col("tb")))
+            .cast("long").as("i"),
+          (org.apache.spark.sql.functions.size(col("ta")) +
+            org.apache.spark.sql.functions.size(col("tb")) -
+            org.apache.spark.sql.functions.size(array_intersect(col("ta"), col("tb"))))
+            .cast("long").as("u"))
+        .filter(col("i") * 5 >= col("u") * 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fast = graft.util.CacheBin.withScope {
+        SimilarityJoin.jaccardSelfJoin(df, "id", "toks", 3, 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      withClue(s"trial $trial (naive=${naiveSet.size}): ") { fast shouldBe naiveSet }
+    }
+  }
+
   it should "dedupe input tokens and never pair empty or null sets" in {
     import spark.implicits._
     val df = Seq(
