@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ CoreQueries2.queries ++ EventQueries.queries ++
+      EventAnalytics.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ JoinQueries.queries ++
       SketchQueries.queries ++ PipelineQueries.queries ++ CorpusQueries.queries
 
@@ -29,8 +30,9 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ CoreQueries2.oracle ++ EventQueries.oracle ++
+      EventAnalytics.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++ JoinQueries.oracle ++
-      PipelineQueries.oracle ++ CorpusQueries.oracle
+      SketchQueries.oracle ++ PipelineQueries.oracle ++ CorpusQueries.oracle
 
   /** Queries deliberately without a DuckDB oracle: probabilistic sketches
     * whose exact twins ARE oracle-checked (core_distinct_counts,

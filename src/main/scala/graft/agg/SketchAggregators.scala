@@ -1,6 +1,6 @@
 package graft.agg
 
-import graft.algorithm.{HyperLogLog, SpaceSaving}
+import graft.algorithm.{CountMinSketch, HyperLogLog, SpaceSaving}
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -64,5 +64,41 @@ object SketchAggregators {
       Encoders.kryo[SpaceSaving]
     override def outputEncoder: Encoder[Seq[HeavyHitter]] =
       ExpressionEncoder[Seq[HeavyHitter]]()
+  }
+
+  /** Count-Min frequency sketch over a long key: the buffer IS the flat
+    * `depth×width` counter table (element-wise-add merge → map-side
+    * partials shuffle a constant-size array). `finish` returns the raw
+    * table; callers probe it with [[CountMinSketch.bucket]] — typically as
+    * a broadcast literal so per-row estimates stay codegen'd (see
+    * SketchQueries.cmsUsers). */
+  class CmsAggregator[IN](key: IN => Long, depth: Int, width: Int)
+      extends Aggregator[IN, Array[Long], Array[Long]] {
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    // in-place mutation, same ObjectHashAggregate contract as HllAggregator
+    override def reduce(buf: Array[Long], a: IN): Array[Long] = {
+      val k = key(a)
+      var i = 0
+      while (i < depth) {
+        buf(i * width + CountMinSketch.bucket(i, k, width)) += 1L
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
   }
 }

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Product-analytics operators over the events stream — the funnel /
+  * retention / history / anomaly family every event-analytics engine ships
+  * on top of its window primitives (the reference stops at the windowed
+  * aggregates themselves: flink/StreamJob.scala:286-315; these are the
+  * additive query layer above them).
+  *
+  * Cross-engine determinism: all comparisons and bucketings are exact
+  * integer µs / cents arithmetic (see [[Q]]); nothing here depends on
+  * float ordering.
+  */
+object EventAnalytics {
+
+  /** Ordered-sequence funnel: first `view`, then the first `click` strictly
+    * after it, then the first `purchase` strictly after that AND within 7
+    * days of the view. Per-step distinct-user counts.
+    *
+    * Scale shape: each step is a keyed aggregate joined to the previous
+    * step's per-user frame — all three joins hash on `user_id`, so one
+    * shuffle partitioning carries the whole chain, and each step's frame is
+    * at most one row per converting user (AQE broadcasts them when small).
+    * No per-user event-list collection, no window over the full stream. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select("user_id", "event_type", "ts_us")
+    val horizonUs = 7L * 24 * 3600 * 1000000 // 7 days in µs
+    val u1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val u2 = ev.filter(col("event_type") === "click")
+      .join(u1, "user_id")
+      .filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"), min("t1").as("t1"))
+    val u3 = ev.filter(col("event_type") === "purchase")
+      .join(u2, "user_id")
+      .filter(col("ts_us") > col("t2") &&
+        col("ts_us") <= col("t1") + lit(horizonUs))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    def step(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("step"), col("users"))
+    step(u1, "1_view")
+      .unionAll(step(u2, "2_click"))
+      .unionAll(step(u3, "3_purchase"))
+      .orderBy("step")
+  }
+
+  val funnelSql: String =
+    """WITH u1 AS (SELECT user_id, min(epoch_us(ts)::BIGINT) t1 FROM events
+      |            WHERE event_type='view' GROUP BY 1),
+      |u2 AS (SELECT e.user_id, min(epoch_us(ts)::BIGINT) t2, min(t1) t1
+      |       FROM events e JOIN u1 ON e.user_id=u1.user_id
+      |       WHERE event_type='click' AND epoch_us(ts)::BIGINT > t1 GROUP BY 1),
+      |u3 AS (SELECT e.user_id, min(epoch_us(ts)::BIGINT) t3
+      |       FROM events e JOIN u2 ON e.user_id=u2.user_id
+      |       WHERE event_type='purchase' AND epoch_us(ts)::BIGINT > t2
+      |         AND epoch_us(ts)::BIGINT <= t1 + 604800000000 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT '1_view' step, count(*)::BIGINT users FROM u1
+      |  UNION ALL SELECT '2_click', count(*)::BIGINT FROM u2
+      |  UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM u3)
+      |ORDER BY step""".stripMargin
+
+  /** Cohort retention: users cohorted by the (UTC) day of their first
+    * event; per cohort, distinct users active again at day offsets
+    * 0/1/3/7. One distinct (user, day) pass, then a user_id-keyed join of
+    * the per-user cohort day — the same single-shuffle shape at any scale
+    * (the cohort frame is one row per user). */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val act = events(s, dir)
+      .select(col("user_id"), epochS(date_trunc("day", col("ts"))).as("d_s"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("d_s").as("cohort_s"))
+    act.join(first, "user_id")
+      .withColumn("off_days", expr("(d_s - cohort_s) div 86400"))
+      .filter(col("off_days").isin(0L, 1L, 3L, 7L))
+      .groupBy("cohort_s", "off_days")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_s", "off_days")
+  }
+
+  val retentionSql: String =
+    """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) d0 FROM events
+      |           GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) d FROM events),
+      |j AS (SELECT f.user_id, CAST(floor(epoch(d0)) AS BIGINT) cohort_s,
+      |             (CAST(floor(epoch(d)) AS BIGINT)
+      |              - CAST(floor(epoch(d0)) AS BIGINT))//86400 AS offd
+      |      FROM a JOIN f ON a.user_id=f.user_id)
+      |SELECT cohort_s, CAST(offd AS BIGINT) off_days, count(*)::BIGINT users
+      |FROM j WHERE offd IN (0,1,3,7) GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** SCD2-style change history: collapse each user's consecutive run of an
+    * identical attribute value (event_type here) into one validity row
+    * [start_us, end_us) — gaps-and-islands via lag + running break sum.
+    * end_us of the last open run is -1 (the "current" row).
+    *
+    * Scale shape: two window passes and one groupBy, all partitioned by
+    * `user_id` — Catalyst reuses a single hash exchange; state per key is
+    * one row of lookback, never a buffered history. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = events(s, dir)
+      .select("user_id", "event_type", "ts_us", "event_id")
+      .withColumn("brk",
+        when(col("event_type") === lag("event_type", 1).over(w), lit(0))
+          .otherwise(lit(1)))
+      .withColumn("run_no", sum("brk").over(wRun))
+      .groupBy("user_id", "run_no")
+      .agg(min("event_type").as("event_type"), min("ts_us").as("start_us"),
+        count(lit(1)).as("n_events"))
+    val wLead = Window.partitionBy("user_id").orderBy("run_no")
+    runs
+      .withColumn("end_us",
+        coalesce(lead("start_us", 1).over(wLead), lit(-1L)))
+      .select("user_id", "run_no", "event_type", "start_us", "end_us",
+        "n_events")
+      .orderBy("user_id", "run_no")
+  }
+
+  val scd2HistorySql: String =
+    """WITH o AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT tus, event_id,
+      |                  CASE WHEN event_type = lag(event_type) OVER
+      |                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |                  THEN 0 ELSE 1 END brk
+      |           FROM events),
+      |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                               ROWS UNBOUNDED PRECEDING) run FROM o),
+      |g AS (SELECT user_id, run, min(event_type) event_type, min(tus) start_us,
+      |             count(*)::BIGINT n_events FROM i GROUP BY 1,2)
+      |SELECT user_id, CAST(run AS BIGINT) run_no, event_type, start_us,
+      |       coalesce(lead(start_us) OVER (PARTITION BY user_id ORDER BY run), -1)
+      |         end_us,
+      |       n_events
+      |FROM g ORDER BY user_id, run_no""".stripMargin
+
+  /** 3-sigma outliers per event type, exactly: with per-type count n, cents
+    * sum S and square-sum Q, `|x - S/n| > 3·sd` is the INTEGER predicate
+    * `(n·x - S)² > 9·(n·Q - S²)` — no float mean/sd, so both engines flag
+    * the identical rows. Long-range note: |n·x| and n·Q stay far inside
+    * Int64 through sf0.1 (verified ~8e8 / 2e16); web-scale groups want the
+    * same predicate in DECIMAL(38).
+    *
+    * Scale shape: one groupBy for the 5-row stats frame, broadcast back —
+    * the event stream itself is scanned once and never shuffled. */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val c = events(s, dir).select(col("event_id"), col("event_type"),
+      cents(col("value")).as("x"))
+    val st = c.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"), sum("x").as("s0"),
+        sum(col("x") * col("x")).as("q"))
+    val dev = col("n") * col("x") - col("s0")
+    c.join(broadcast(st), col("event_type") === col("t"))
+      .filter(dev * dev > lit(9L) * (col("n") * col("q") - col("s0") * col("s0")))
+      .select(col("event_id"), col("event_type"), col("x").as("val_c"))
+      .orderBy("event_id")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH c AS (SELECT event_id, event_type,
+      |                  CAST(round(value*100) AS BIGINT) x FROM events),
+      |st AS (SELECT event_type t, count(*)::BIGINT n, CAST(sum(x) AS BIGINT) s,
+      |              CAST(sum(x*x) AS BIGINT) q FROM c GROUP BY 1)
+      |SELECT event_id, event_type, x val_c
+      |FROM c JOIN st ON event_type = t
+      |WHERE (n*x - s)*(n*x - s) > 9 * (n*q - s*s)
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "ev_funnel" -> (funnel _),
+    "ev_retention" -> (retention _),
+    "ev_scd2" -> (scd2History _),
+    "ev_anomaly" -> (anomalyZscore _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_funnel" -> funnelSql,
+    "ev_retention" -> retentionSql,
+    "ev_scd2" -> scd2HistorySql,
+    "ev_anomaly" -> anomalyZscoreSql,
+  )
+}

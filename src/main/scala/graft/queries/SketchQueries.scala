@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.agg.SketchAggregators.{HeavyHittersAggregator, HllAggregator}
+import graft.agg.SketchAggregators.{CmsAggregator, HeavyHittersAggregator, HllAggregator}
+import graft.algorithm.CountMinSketch
 import graft.model.GraftEvent
 import graft.ops.Dedup
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
@@ -102,13 +103,69 @@ object SketchQueries {
       count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Count-Min frequency estimates per user beside the exact counts — and,
+    * uniquely among the sketches, FULLY oracle-checked: the CMS hash family
+    * is integer-affine mod a prime (algorithm/CountMinSketch.scala), so the
+    * DuckDB oracle rebuilds the identical sketch in SQL and the estimates
+    * hash-match including their deterministic collision overcounts.
+    *
+    * Scale shape: the sketch build is one aggregate whose partials are a
+    * constant 3×256 longs per partition; the collected table (6 KB —
+    * bounded by design, not by data) probes back in as a broadcast literal
+    * array, so per-row estimation is codegen'd `least(element_at..)` with
+    * no second shuffle beyond the exact-count groupBy it rides. */
+  def cmsUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val depth = 3
+    val width = 256
+    val cms = new CmsAggregator[Long](identity, depth, width)
+    val sketch: Array[Long] = events(s, dir)
+      .select(col("user_id")).as[Long]
+      .select(cms.toColumn).head()
+    val skLit = typedlit(sketch.toSeq)
+    val estRows = (0 until depth).map { i =>
+      // same residue algebra as CountMinSketch.bucket (user_id >= 0 here)
+      val bkt = (col("user_id") % lit(CountMinSketch.P)
+        * lit(CountMinSketch.A(i)) + lit(CountMinSketch.B(i))) %
+        lit(CountMinSketch.P) % lit(width.toLong)
+      element_at(skLit, (lit(i.toLong * width) + bkt).cast("int") + 1)
+    }
+    events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("ex_cnt"))
+      .withColumn("est_cnt", least(estRows: _*))
+      .withColumn("overcount", col("est_cnt") - col("ex_cnt"))
+      .select("user_id", "est_cnt", "ex_cnt", "overcount")
+      .orderBy("user_id")
+  }
+
+  val cmsUsersSql: String =
+    """WITH p AS (SELECT * FROM (VALUES (0, 40503, 12345), (1, 30011, 54321),
+      |                                 (2, 22695, 7919)) h(i,a,b)),
+      |cell AS (SELECT i, (user_id*a + b) % 65521 % 256 AS bkt,
+      |                count(*)::BIGINT cnt
+      |         FROM events, p GROUP BY 1, 2),
+      |est AS (SELECT e.user_id, min(cnt) est
+      |        FROM (SELECT DISTINCT user_id FROM events) e
+      |        CROSS JOIN p
+      |        JOIN cell ON cell.i = p.i
+      |                 AND cell.bkt = (e.user_id*p.a + p.b) % 65521 % 256
+      |        GROUP BY 1),
+      |ex AS (SELECT user_id, count(*)::BIGINT ex_cnt FROM events GROUP BY 1)
+      |SELECT ex.user_id, CAST(est AS BIGINT) est_cnt, ex_cnt,
+      |       CAST(est - ex_cnt AS BIGINT) overcount
+      |FROM ex JOIN est ON ex.user_id = est.user_id ORDER BY 1""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "sk_hll_users" -> (hllUsers _),
     "sk_sbf_dedup" -> (sbfDedup _),
     "sk_heavy_hitters" -> (heavyHitters _),
     "sk_quantiles" -> (quantiles _),
+    "sk_cms_users" -> (cmsUsers _),
   )
 
-  /** Rows-only (see object doc). */
-  val oracle: Map[String, String] = Map.empty
+  /** All rows-only (see object doc) except the CMS, whose integer hash
+    * family the oracle reproduces exactly. */
+  val oracle: Map[String, String] = Map(
+    "sk_cms_users" -> cmsUsersSql,
+  )
 }
