@@ -302,4 +302,34 @@ class GraftPlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  behavior of "product analytics"
+
+  it should "chain the funnel steps through keyed equi-joins, no cartesian" in {
+    val plan = planOf(EventAnalytics.funnel(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "broadcast the 5-row stats frame in anomaly flagging" in {
+    val plan = planOf(EventAnalytics.anomalyZscore(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin" // the event stream is never shuffled for the join
+  }
+
+  it should "reuse one user_id exchange across both SCD2 window passes" in {
+    val plan = planOf(EventAnalytics.scd2History(spark, dir))
+    // two logical sorts (run detection + validity chaining) but only the
+    // user_id hash partitioning: no second hashpartitioning key appears
+    "hashpartitioning\\(user_id".r.findAllIn(plan).length should be >= 1
+    plan should not include "CartesianProduct"
+  }
+
+  it should "probe the CMS as a broadcast literal (no second shuffle)" in {
+    val plan = planOf(SketchQueries.cmsUsers(spark, dir))
+    // estimate columns are pure projections over the groupBy output:
+    // exactly one exchange (the exact-count groupBy), no join at all
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+    plan should not include "Join"
+  }
 }
