@@ -168,7 +168,47 @@ object CoreQueries2 {
       |       CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) rev_c_P
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact median WITHOUT buffering raw values — the scale path beside
+    * `core_median_prices` (whose `percentile` buffers every value per
+    * group: fine at bench scale, a per-group sort of the full data at
+    * 100 TB). Here the shuffle carries one (group, distinct-cents) partial
+    * count per map side — value-histogram selection: running cumulative
+    * over the ordered distinct values locates the lower/upper middle
+    * elements exactly. `median_twice_c = lo+hi` keeps even-count medians
+    * in exact integer cents (verified == 2·DuckDB-median). */
+  def scalableMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("val_c"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("l_returnflag").orderBy("val_c")
+    val wn = Window.partitionBy("l_returnflag")
+    v.withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(wn))
+      .groupBy("l_returnflag")
+      .agg(min("n").as("n_rows"),
+        min(when(col("cum") >= expr("(n+1) div 2"), col("val_c"))).as("lo_c"),
+        min(when(col("cum") >= expr("(n+2) div 2"), col("val_c"))).as("hi_c"))
+      .withColumn("median_twice_c", col("lo_c") + col("hi_c"))
+      .orderBy("l_returnflag")
+  }
+
+  val scalableMedianSql: String =
+    """WITH v AS (SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) val_c,
+      |                  count(*)::BIGINT c FROM lineitem GROUP BY 1,2),
+      |o AS (SELECT l_returnflag, val_c, c,
+      |             CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY val_c) AS BIGINT) cum,
+      |             CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) n
+      |      FROM v)
+      |SELECT l_returnflag, CAST(min(n) AS BIGINT) n_rows,
+      |       min(CASE WHEN cum >= (n+1)//2 THEN val_c END) lo_c,
+      |       min(CASE WHEN cum >= (n+2)//2 THEN val_c END) hi_c,
+      |       min(CASE WHEN cum >= (n+1)//2 THEN val_c END)
+      |         + min(CASE WHEN cum >= (n+2)//2 THEN val_c END) median_twice_c
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "core_scalable_median" -> (scalableMedian _),
     "core_pivot_status" -> (pivotStatus _),
     "core_cube_acctbal" -> (cubeAcctBal _),
     "core_string_agg" -> (stringAgg _),
@@ -179,6 +219,7 @@ object CoreQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "core_scalable_median" -> scalableMedianSql,
     "core_pivot_status" -> pivotStatusSql,
     "core_cube_acctbal" -> cubeAcctBalSql,
     "core_string_agg" -> stringAggSql,

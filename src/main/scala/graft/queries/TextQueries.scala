@@ -906,7 +906,27 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Overlapping fixed-size token chunks per document (64-token chunks,
+    * 48-token stride → 16-token overlap) — see [[graft.ops.Chunking]].
+    * Chunk md5s are engine-identical (md5 of the exact normalized token
+    * span), so the oracle hash-checks chunk content, not just counts. */
+  def chunking(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.chunks(
+        tPar(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id", "chunk_no")
+
+  val chunkingSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') words FROM documents),
+       |c AS (SELECT doc_id, len(words)::BIGINT n, words,
+       |             unnest(generate_series(0, (greatest(len(words)-64,0)+47)//48)) i
+       |      FROM w)
+       |SELECT doc_id, CAST(i AS BIGINT) chunk_no,
+       |       CAST(least(64, n - i*48) AS BIGINT) n_tokens,
+       |       md5(array_to_string(words[i*48+1:i*48+64], ' ')) chunk_md5
+       |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "text_chunking" -> (chunking _),
     "text_incr_dedup" -> (incrDedup _),
     "text_token_counts" -> (tokenCounts _),
     "text_dup_clusters" -> (dupClusters _),
@@ -932,6 +952,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_chunking" -> chunkingSql,
     "text_incr_dedup" -> incrDedupSql,
     "text_token_counts" -> tokenCountsSql,
     "text_dup_clusters" -> dupClustersSql,
