@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -369,7 +369,80 @@ object PipelineQueries {
       |SELECT split, lang, count(*) n_docs, CAST(sum(n_chars) AS BIGINT) sum_chars
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** One-pass table profiler: per-column null count, EXACT distinct count
+    * and integer-mapped min/max (ids as-is, money/quantity in cents,
+    * chars by codepoint, timestamps as epoch seconds), unpivoted to one
+    * row per column. The multi-column exact `count(distinct)` plans as a
+    * single Expand (k× row fan-out, one shuffle) — the standard exact
+    * profiling shape; at web scale swap `countDistinct` for
+    * `approx_count_distinct` and the Expand disappears. Every cell is
+    * BIGINT so the unpivot is type-uniform and engine-hashable. */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def nn(c: Column): Column = sum(when(c.isNull, 1L).otherwise(0L))
+    val qc = cents(col("l_quantity"))
+    val pc = cents(col("l_extendedprice"))
+    li.agg(
+        count(lit(1)).as("n_rows"),
+        nn(col("l_orderkey")).as("nn1"),
+        countDistinct(col("l_orderkey")).as("nd1"),
+        min("l_orderkey").as("mn1"), max("l_orderkey").as("mx1"),
+        nn(col("l_quantity")).as("nn2"), countDistinct(qc).as("nd2"),
+        min(qc).as("mn2"), max(qc).as("mx2"),
+        nn(col("l_extendedprice")).as("nn3"), countDistinct(pc).as("nd3"),
+        min(pc).as("mn3"), max(pc).as("mx3"),
+        nn(col("l_returnflag")).as("nn4"),
+        countDistinct(col("l_returnflag")).as("nd4"),
+        min(ascii(col("l_returnflag"))).cast("long").as("mn4"),
+        max(ascii(col("l_returnflag"))).cast("long").as("mx4"),
+        nn(col("l_shipdate")).as("nn5"),
+        countDistinct(col("l_shipdate")).as("nd5"),
+        epochS(min(col("l_shipdate"))).as("mn5"),
+        epochS(max(col("l_shipdate"))).as("mx5"))
+      .selectExpr(
+        """stack(5,
+          |  'l_orderkey',        n_rows, nn1, nd1, mn1, mx1,
+          |  'l_quantity_c',      n_rows, nn2, nd2, mn2, mx2,
+          |  'l_extendedprice_c', n_rows, nn3, nd3, mn3, mx3,
+          |  'l_returnflag_a',    n_rows, nn4, nd4, mn4, mx4,
+          |  'l_shipdate_s',      n_rows, nn5, nd5, mn5, mx5)
+          |AS (col_name, n_rows, n_nulls, n_distinct, min_v, max_v)""".stripMargin)
+      .orderBy("col_name")
+  }
+
+  val profileSql: String =
+    """WITH s AS (
+      |  SELECT count(*)::BIGINT n_rows,
+      |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT nn1,
+      |    count(DISTINCT l_orderkey)::BIGINT nd1,
+      |    min(l_orderkey)::BIGINT mn1, max(l_orderkey)::BIGINT mx1,
+      |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT nn2,
+      |    count(DISTINCT CAST(round(l_quantity*100) AS BIGINT))::BIGINT nd2,
+      |    min(CAST(round(l_quantity*100) AS BIGINT)) mn2,
+      |    max(CAST(round(l_quantity*100) AS BIGINT)) mx2,
+      |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT nn3,
+      |    count(DISTINCT CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT nd3,
+      |    min(CAST(round(l_extendedprice*100) AS BIGINT)) mn3,
+      |    max(CAST(round(l_extendedprice*100) AS BIGINT)) mx3,
+      |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT nn4,
+      |    count(DISTINCT l_returnflag)::BIGINT nd4,
+      |    min(ascii(l_returnflag))::BIGINT mn4, max(ascii(l_returnflag))::BIGINT mx4,
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT nn5,
+      |    count(DISTINCT l_shipdate)::BIGINT nd5,
+      |    CAST(floor(epoch(min(l_shipdate))) AS BIGINT) mn5,
+      |    CAST(floor(epoch(max(l_shipdate))) AS BIGINT) mx5
+      |  FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'l_orderkey' col_name, n_rows, nn1 n_nulls, nd1 n_distinct,
+      |         mn1 min_v, mx1 max_v FROM s
+      |  UNION ALL SELECT 'l_quantity_c', n_rows, nn2, nd2, mn2, mx2 FROM s
+      |  UNION ALL SELECT 'l_extendedprice_c', n_rows, nn3, nd3, mn3, mx3 FROM s
+      |  UNION ALL SELECT 'l_returnflag_a', n_rows, nn4, nd4, mn4, mx4 FROM s
+      |  UNION ALL SELECT 'l_shipdate_s', n_rows, nn5, nd5, mn5, mx5 FROM s)
+      |ORDER BY col_name""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "pipe_profile" -> (profile _),
     "pipe_split_assign" -> (splitAssign _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_shard_plan" -> (shardPlan _),
@@ -381,6 +454,7 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_profile" -> profileSql,
     "pipe_split_assign" -> splitAssignSql,
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_shard_plan" -> shardPlanSql,
