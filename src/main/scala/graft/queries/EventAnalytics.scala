@@ -170,7 +170,100 @@ object EventAnalytics {
       |WHERE (n*x - s)*(n*x - s) > 9 * (n*q - s*s)
       |ORDER BY event_id""".stripMargin
 
+  /** Time-weighted average value per user (left-Riemann: each value is
+    * weighted by the ms until the NEXT event). Numerator/denominator stay
+    * exact integers (cents × ms — range-checked through sf0.1; DECIMAL at
+    * web scale); the single final division is the same IEEE op in both
+    * engines. One lag/lead pass on the same user_id shuffle the final
+    * aggregation reuses. */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, dir)
+      .select(col("user_id"), cents(col("value")).as("v"), col("ts_us"),
+        col("event_id"))
+      .withColumn("nxt", lead("ts_us", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt_ms", expr("(nxt - ts_us) div 1000"))
+      .groupBy("user_id")
+      .agg(sum(col("v") * col("dt_ms")).as("twap_num"),
+        sum("dt_ms").as("twap_den"))
+      .withColumn("twap_c",
+        col("twap_num").cast("double") / col("twap_den").cast("double"))
+      .orderBy("user_id")
+  }
+
+  val twapSql: String =
+    """WITH o AS (SELECT user_id, CAST(round(value*100) AS BIGINT) v,
+      |                  epoch_us(ts)::BIGINT tus, event_id,
+      |                  lead(epoch_us(ts)::BIGINT) OVER
+      |                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) nxt
+      |           FROM events),
+      |seg AS (SELECT user_id, v, (nxt - tus)//1000 dt_ms FROM o WHERE nxt IS NOT NULL)
+      |SELECT user_id, CAST(sum(v * dt_ms) AS BIGINT) twap_num,
+      |       CAST(sum(dt_ms) AS BIGINT) twap_den,
+      |       CAST(sum(v * dt_ms) AS BIGINT)::DOUBLE
+      |         / CAST(sum(dt_ms) AS BIGINT)::DOUBLE twap_c
+      |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** OHLC bars per (event_type, hour): open/close are the values at the
+    * lexicographic (ts_us, event_id) extremes — deterministic under ties
+    * because event_id is unique — via Spark's native struct min/max (one
+    * map-side-combined aggregate, no window, no self-join; the DuckDB
+    * mirror uses min_by/max_by on the equivalent HUGEINT composite key). */
+  def ohlc(s: SparkSession, dir: String): DataFrame = {
+    val key = struct(col("ts_us"), col("event_id"), col("v"))
+    events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        cents(col("value")).as("v"), col("ts_us"), col("event_id"))
+      .groupBy("event_type", "hr")
+      .agg(min(key).getField("v").as("open_c"), max("v").as("high_c"),
+        min("v").as("low_c"), max(key).getField("v").as("close_c"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"), unix_timestamp(col("hr")).as("hour_s"),
+        col("open_c"), col("high_c"), col("low_c"), col("close_c"),
+        col("volume"))
+      .orderBy("event_type", "hour_s")
+  }
+
+  val ohlcSql: String =
+    """WITH c AS (SELECT event_type, date_trunc('hour', ts) hr,
+      |                  CAST(round(value*100) AS BIGINT) v,
+      |                  epoch_us(ts)::HUGEINT * 10000000000 + event_id k
+      |           FROM events)
+      |SELECT event_type, CAST(floor(epoch(hr)) AS BIGINT) hour_s,
+      |       min_by(v, k) open_c, max(v) high_c, min(v) low_c,
+      |       max_by(v, k) close_c, count(*)::BIGINT volume
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Cumulative distinct-user curve: new users per first-seen day plus the
+    * running total. The windowed cumsum runs over the per-DAY frame (one
+    * row per active day — bounded by calendar length, not data), so the
+    * single-partition window is safe at any scale. */
+  def cumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val f = events(s, dir)
+      .select(col("user_id"), epochS(date_trunc("day", col("ts"))).as("d_s"))
+      .groupBy("user_id").agg(min("d_s").as("day_s"))
+      .groupBy("day_s").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("day_s")
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH f AS (SELECT user_id,
+      |                  CAST(floor(epoch(min(date_trunc('day', ts)))) AS BIGINT) d0
+      |           FROM events GROUP BY 1),
+      |g AS (SELECT d0 day_s, count(*)::BIGINT new_users FROM f GROUP BY 1)
+      |SELECT day_s, new_users,
+      |       CAST(sum(new_users) OVER (ORDER BY day_s ROWS UNBOUNDED PRECEDING)
+      |            AS BIGINT) cum_users
+      |FROM g ORDER BY day_s""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_twap" -> (twap _),
+    "ev_ohlc" -> (ohlc _),
+    "ev_cumulative_users" -> (cumulativeUsers _),
     "ev_funnel" -> (funnel _),
     "ev_retention" -> (retention _),
     "ev_scd2" -> (scd2History _),
@@ -178,6 +271,9 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_twap" -> twapSql,
+    "ev_ohlc" -> ohlcSql,
+    "ev_cumulative_users" -> cumulativeUsersSql,
     "ev_funnel" -> funnelSql,
     "ev_retention" -> retentionSql,
     "ev_scd2" -> scd2HistorySql,

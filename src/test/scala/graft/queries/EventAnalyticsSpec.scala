@@ -100,6 +100,33 @@ class EventAnalyticsSpec extends SparkSpec {
     got shouldBe Seq((199L, 10000L))
   }
 
+  it should "time-weight user 9's spike to exactly its pre-spike value" in {
+    // user 9: 20 hourly 1.00 events then the 100.00 spike — left-Riemann
+    // weighting never weights the last event, so twap == 1.00 over a 30h span
+    val r = EventAnalytics.twap(spark, dir).filter("user_id = 9").head()
+    r.getLong(2) shouldBe 30L * 3600000L // twap_den ms
+    r.getDouble(3) shouldBe 100.0 // twap_c (cents)
+  }
+
+  it should "keep OHLC bars internally consistent and volume-complete" in {
+    val rows = EventAnalytics.ohlc(spark, dir).collect()
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      withClue(s"${r.getString(0)}@${r.getLong(1)}: ") {
+        l should be <= o; o should be <= h
+        l should be <= c; c should be <= h
+      }
+    }
+    rows.map(_.getLong(6)).sum shouldBe fixture.size.toLong
+  }
+
+  it should "accumulate the new-user curve to the total population" in {
+    val rows = EventAnalytics.cumulativeUsers(spark, dir).collect()
+    rows.map(_.getLong(1)).sum shouldBe 6L // users 1,2,3,4,5,9
+    rows.last.getLong(2) shouldBe 6L // cumulative reaches the population
+    rows.map(_.getLong(2)).toSeq shouldBe rows.map(_.getLong(1)).scanLeft(0L)(_ + _).tail.toSeq
+  }
+
   it should "produce CMS estimates >= exact counts and exact at this scale" in {
     val rows = SketchQueries.cmsUsers(spark, dir).collect()
     rows.length shouldBe 6
