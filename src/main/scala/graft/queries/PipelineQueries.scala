@@ -369,44 +369,61 @@ object PipelineQueries {
       |SELECT split, lang, count(*) n_docs, CAST(sum(n_chars) AS BIGINT) sum_chars
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** One-pass table profiler: per-column null count, EXACT distinct count
-    * and integer-mapped min/max (ids as-is, money/quantity in cents,
-    * chars by codepoint, timestamps as epoch seconds), unpivoted to one
-    * row per column. The multi-column exact `count(distinct)` plans as a
-    * single Expand (k× row fan-out, one shuffle) — the standard exact
-    * profiling shape; at web scale swap `countDistinct` for
-    * `approx_count_distinct` and the Expand disappears. Every cell is
-    * BIGINT so the unpivot is type-uniform and engine-hashable. */
+  /** Table profiler: per-column null count, EXACT distinct count and
+    * integer-mapped min/max (ids as-is, money/quantity in cents, chars by
+    * codepoint, timestamps as epoch seconds), one row per column. Every
+    * cell is BIGINT so the unpivot is type-uniform and engine-hashable.
+    *
+    * Shape: Spark's native multi-column `countDistinct` plans an Expand
+    * with k distinct-aggregate paths — measured 3.5 s vs DuckDB 0.09 s at
+    * sf0.1. Instead: ONE scan exploding each row into (col_name, value)
+    * pairs, then a two-level groupBy — the first level's map-side combine
+    * collapses to the per-column distinct-value sets before anything
+    * shuffles (~distinct-cardinality rows on the wire, not 5×rows). The
+    * null/min/max/count stats ride a separate narrow agg pass, joined on
+    * the 5-row output. At web scale swap level 1 for
+    * `approx_count_distinct` per column to drop the explode entirely. */
   def profile(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     def nn(c: Column): Column = sum(when(c.isNull, 1L).otherwise(0L))
     val qc = cents(col("l_quantity"))
     val pc = cents(col("l_extendedprice"))
-    li.agg(
+    // (col_name, integer-mapped value) pairs, one scan, narrow fan-out
+    val pairs = li.select(explode(array(
+        struct(lit("l_orderkey").as("col_name"), col("l_orderkey").as("v")),
+        struct(lit("l_quantity_c").as("col_name"), qc.as("v")),
+        struct(lit("l_extendedprice_c").as("col_name"), pc.as("v")),
+        struct(lit("l_returnflag_a").as("col_name"),
+          ascii(col("l_returnflag")).cast("long").as("v")),
+        struct(lit("l_shipdate_s").as("col_name"),
+          // NTZ parquet layout → instant-exact cast under the UTC session
+          unix_micros(col("l_shipdate").cast("timestamp")).as("v")))).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+    val distincts = pairs.filter(col("v").isNotNull)
+      .groupBy("col_name", "v").agg(count(lit(1)))
+      .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+    val stats = li.agg(
         count(lit(1)).as("n_rows"),
         nn(col("l_orderkey")).as("nn1"),
-        countDistinct(col("l_orderkey")).as("nd1"),
         min("l_orderkey").as("mn1"), max("l_orderkey").as("mx1"),
-        nn(col("l_quantity")).as("nn2"), countDistinct(qc).as("nd2"),
-        min(qc).as("mn2"), max(qc).as("mx2"),
-        nn(col("l_extendedprice")).as("nn3"), countDistinct(pc).as("nd3"),
-        min(pc).as("mn3"), max(pc).as("mx3"),
+        nn(col("l_quantity")).as("nn2"), min(qc).as("mn2"), max(qc).as("mx2"),
+        nn(col("l_extendedprice")).as("nn3"), min(pc).as("mn3"), max(pc).as("mx3"),
         nn(col("l_returnflag")).as("nn4"),
-        countDistinct(col("l_returnflag")).as("nd4"),
         min(ascii(col("l_returnflag"))).cast("long").as("mn4"),
         max(ascii(col("l_returnflag"))).cast("long").as("mx4"),
         nn(col("l_shipdate")).as("nn5"),
-        countDistinct(col("l_shipdate")).as("nd5"),
         epochS(min(col("l_shipdate"))).as("mn5"),
         epochS(max(col("l_shipdate"))).as("mx5"))
       .selectExpr(
         """stack(5,
-          |  'l_orderkey',        n_rows, nn1, nd1, mn1, mx1,
-          |  'l_quantity_c',      n_rows, nn2, nd2, mn2, mx2,
-          |  'l_extendedprice_c', n_rows, nn3, nd3, mn3, mx3,
-          |  'l_returnflag_a',    n_rows, nn4, nd4, mn4, mx4,
-          |  'l_shipdate_s',      n_rows, nn5, nd5, mn5, mx5)
-          |AS (col_name, n_rows, n_nulls, n_distinct, min_v, max_v)""".stripMargin)
+          |  'l_orderkey',        n_rows, nn1, mn1, mx1,
+          |  'l_quantity_c',      n_rows, nn2, mn2, mx2,
+          |  'l_extendedprice_c', n_rows, nn3, mn3, mx3,
+          |  'l_returnflag_a',    n_rows, nn4, mn4, mx4,
+          |  'l_shipdate_s',      n_rows, nn5, mn5, mx5)
+          |AS (col_name, n_rows, n_nulls, min_v, max_v)""".stripMargin)
+    stats.join(distincts, "col_name")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
       .orderBy("col_name")
   }
 
