@@ -50,6 +50,21 @@ object Windows {
     ds.groupBy(window(tsCol, size, slide), keyCol).agg(aggFamily(valueCol).head,
       aggFamily(valueCol).tail: _*)
 
+  /** OHLC bars per (window, key): open/close are the values at the
+    * lexicographic (ts, seq) extremes via native struct min/max. Every
+    * aggregate here is ALGEBRAIC (mergeable partials), so the same
+    * expression runs batch and streaming-append identically — no window
+    * function, no self-join, map-side combine free. `seqCol` breaks
+    * timestamp ties deterministically (any unique id). */
+  def ohlcBars(ds: Dataset[_], tsCol: Column, keyCol: Column, size: String,
+      seqCol: Column, valueCol: Column): DataFrame = {
+    val k = struct(tsCol.as("t"), seqCol.as("s"), valueCol.as("v"))
+    ds.groupBy(window(tsCol, size), keyCol)
+      .agg(min(k).getField("v").as("open"), max(valueCol).as("high"),
+        min(valueCol).as("low"), max(k).getField("v").as("close"),
+        count(lit(1)).as("volume"))
+  }
+
   /** Session windows with a gap. */
   def session(ds: Dataset[_], tsCol: Column, keyCol: Column, gap: String,
       valueCol: Column): DataFrame =

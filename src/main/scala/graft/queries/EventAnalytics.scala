@@ -210,20 +210,15 @@ object EventAnalytics {
     * because event_id is unique — via Spark's native struct min/max (one
     * map-side-combined aggregate, no window, no self-join; the DuckDB
     * mirror uses min_by/max_by on the equivalent HUGEINT composite key). */
-  def ohlc(s: SparkSession, dir: String): DataFrame = {
-    val key = struct(col("ts_us"), col("event_id"), col("v"))
-    events(s, dir)
-      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
-        cents(col("value")).as("v"), col("ts_us"), col("event_id"))
-      .groupBy("event_type", "hr")
-      .agg(min(key).getField("v").as("open_c"), max("v").as("high_c"),
-        min("v").as("low_c"), max(key).getField("v").as("close_c"),
-        count(lit(1)).as("volume"))
-      .select(col("event_type"), unix_timestamp(col("hr")).as("hour_s"),
-        col("open_c"), col("high_c"), col("low_c"), col("close_c"),
-        col("volume"))
+  def ohlc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.ohlcBars(
+        events(s, dir).select(col("event_type"), col("ts"),
+          cents(col("value")).as("v"), col("ts_us"), col("event_id")),
+        col("ts"), col("event_type"), "1 hour", col("event_id"), col("v"))
+      .select(col("event_type"), unix_timestamp(col("window.start")).as("hour_s"),
+        col("open").as("open_c"), col("high").as("high_c"),
+        col("low").as("low_c"), col("close").as("close_c"), col("volume"))
       .orderBy("event_type", "hour_s")
-  }
 
   val ohlcSql: String =
     """WITH c AS (SELECT event_type, date_trunc('hour', ts) hr,
