@@ -406,7 +406,67 @@ object CoreQueries {
       |SELECT c_custkey, c_name, spend_c, n_orders
       |FROM tot JOIN customer ON o_custkey = c_custkey ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q8-shaped market share: per (customer region, order year), each
+    * supplier nation's share of discounted revenue. Six-way join: the two
+    * fact joins (lineitem⋈orders, orders⋈customer) are left to AQE —
+    * genuinely big on both sides at scale, so forcing a broadcast would be
+    * wrong; the geography dims (nation×2, region) ARE forced broadcast.
+    * Share arithmetic: exact 1e-4-dollar integers up to one final
+    * engine-identical division per row. */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+        .as("rev_c4"))
+    val nationS = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val rev = li
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nationS), col("s_nationkey") === col("sn_key"))
+      .select(col("r_name").as("region"), col("yr"), col("supp_nation"),
+        col("rev_c4"))
+    val g = rev.groupBy("region", "yr", "supp_nation")
+      .agg(sum("rev_c4").as("nat_c4"))
+    val tot = g.groupBy(col("region").as("tr"), col("yr").as("ty"))
+      .agg(sum("nat_c4").as("tot_c4"))
+    g.join(tot, col("region") === col("tr") && col("yr") === col("ty"))
+      .select(col("region"), col("yr"), col("supp_nation"), col("nat_c4"),
+        (col("nat_c4").cast("double") / col("tot_c4").cast("double"))
+          .as("mkt_share"))
+      .orderBy("region", "yr", "supp_nation")
+  }
+
+  val marketShareSql: String =
+    """WITH rev AS (
+      |  SELECT r.r_name region, year(o.o_orderdate)::BIGINT yr, sn.n_name supp_nation,
+      |         CAST(round(l.l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(round(l.l_discount*100) AS BIGINT)) rev_c4
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+      |g AS (SELECT region, yr, supp_nation, CAST(sum(rev_c4) AS BIGINT) nat_c4
+      |      FROM rev GROUP BY 1,2,3),
+      |t AS (SELECT region, yr, CAST(sum(nat_c4) AS BIGINT) tot_c4 FROM g GROUP BY 1,2)
+      |SELECT g.region, g.yr, g.supp_nation, g.nat_c4,
+      |       CAST(g.nat_c4 AS DOUBLE) / CAST(t.tot_c4 AS DOUBLE) mkt_share
+      |FROM g JOIN t ON g.region = t.region AND g.yr = t.yr
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "core_market_share" -> (marketShare _),
     "core_pricing_summary" -> (pricingSummary _),
     "core_minmax_range" -> (minMaxRange _),
     "core_variance" -> (varianceStats _),
@@ -426,6 +486,7 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "core_market_share" -> marketShareSql,
     "core_pricing_summary" -> pricingSummarySql,
     "core_minmax_range" -> minMaxRangeSql,
     "core_variance" -> varianceStatsSql,
