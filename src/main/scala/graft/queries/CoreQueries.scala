@@ -465,7 +465,42 @@ object CoreQueries {
       |FROM g JOIN t ON g.region = t.region AND g.yr = t.yr
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** TPC-H Q17-shaped correlated aggregate: revenue from order lines whose
+    * quantity is below 1/5 of that part's average quantity, for one brand.
+    * The per-part average is computed ONLY over the brand-filtered lines
+    * (partkey determines brand, so restricting before the aggregate is
+    * semantics-preserving — the classic decorrelation + pushdown): the
+    * brand dim broadcasts, and the self-correlation becomes one keyed agg
+    * joined back on the partkey partitioning it was built on. Exact
+    * integer predicate: qty_c·5·n < sum_qty_c (no float average). */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = broadcast(
+      t(s, dir, "part").filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey")))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("pc"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+    val pa = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n"), sum("qc").as("sq"))
+    li.join(pa, col("l_partkey") === col("pk"))
+      .filter(col("qc") * lit(5L) * col("n") < col("sq"))
+      .agg(sum("pc").as("rev_c"), count(lit(1)).as("n_lines"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH pa AS (SELECT l_partkey pk, count(*)::BIGINT n,
+      |                   CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) sq
+      |            FROM lineitem GROUP BY 1)
+      |SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) rev_c,
+      |       count(*)::BIGINT n_lines
+      |FROM lineitem l JOIN pa ON l.l_partkey = pa.pk
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand = 'Brand#1'
+      |  AND CAST(round(l_quantity*100) AS BIGINT) * 5 * n < sq""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "core_small_qty_revenue" -> (smallQtyRevenue _),
     "core_market_share" -> (marketShare _),
     "core_pricing_summary" -> (pricingSummary _),
     "core_minmax_range" -> (minMaxRange _),
@@ -486,6 +521,7 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "core_small_qty_revenue" -> smallQtyRevenueSql,
     "core_market_share" -> marketShareSql,
     "core_pricing_summary" -> pricingSummarySql,
     "core_minmax_range" -> minMaxRangeSql,
