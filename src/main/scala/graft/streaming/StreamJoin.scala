@@ -1,0 +1,28 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join — the Spark-native shape for the
+  * reference's connectedSource keyed co-processing (SURVEY §2.5:
+  * flink/StreamJob.scala:122-151 explicitly says connected streams "are NOT
+  * a join"; Spark DOES give the real thing, with state bounded by the
+  * watermark + time-range condition instead of growing forever).
+  *
+  * Both inputs carry event-time watermarks; a right row matches a left row
+  * with the same key when `rTs ∈ [lTs, lTs + windowSec]`. The range
+  * condition lets the engine expire left state once the right watermark
+  * passes `lTs + windowSec` and right state once the left watermark passes
+  * `rTs` — per-key state is the in-flight window only, the 100 TB
+  * streaming-join contract. */
+object StreamJoin {
+
+  def interval(left: DataFrame, lKey: String, lTs: String,
+      right: DataFrame, rKey: String, rTs: String,
+      windowSec: Long, wmDelay: String = "10 minutes"): DataFrame =
+    left.withWatermark(lTs, wmDelay)
+      .join(right.withWatermark(rTs, wmDelay),
+        col(lKey) === col(rKey) &&
+          col(rTs) >= col(lTs) &&
+          col(rTs) <= col(lTs) + expr(s"INTERVAL $windowSec SECONDS"))
+}
