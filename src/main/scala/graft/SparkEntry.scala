@@ -24,7 +24,8 @@ object SparkEntry {
     CoreQueries.queries ++ CoreQueries2.queries ++ EventQueries.queries ++
       EventAnalytics.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ JoinQueries.queries ++
-      SketchQueries.queries ++ PipelineQueries.queries ++ CorpusQueries.queries
+      SketchQueries.queries ++ PipelineQueries.queries ++
+      CorpusQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -32,7 +33,8 @@ object SparkEntry {
     CoreQueries.oracle ++ CoreQueries2.oracle ++ EventQueries.oracle ++
       EventAnalytics.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++ JoinQueries.oracle ++
-      SketchQueries.oracle ++ PipelineQueries.oracle ++ CorpusQueries.oracle
+      SketchQueries.oracle ++ PipelineQueries.oracle ++
+      CorpusQueries.oracle ++ GraphQueries.oracle
 
   /** Queries deliberately without a DuckDB oracle: probabilistic sketches
     * whose exact twins ARE oracle-checked (core_distinct_counts,

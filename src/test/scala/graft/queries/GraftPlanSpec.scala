@@ -325,6 +325,18 @@ class GraftPlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  it should "broadcast geography dims in the Q8 market-share join tree" in {
+    val plan = planOf(CoreQueries.marketShare(spark, dir))
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 3
+    plan should not include "CartesianProduct"
+  }
+
+  it should "decorrelate Q17 into a broadcast brand filter + keyed agg join" in {
+    val plan = planOf(CoreQueries.smallQtyRevenue(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   it should "probe the CMS as a broadcast literal (no second shuffle)" in {
     val plan = planOf(SketchQueries.cmsUsers(spark, dir))
     // estimate columns are pure projections over the groupBy output:
