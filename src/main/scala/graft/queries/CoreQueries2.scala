@@ -207,7 +207,36 @@ object CoreQueries2 {
       |         + min(CASE WHEN cum >= (n+2)//2 THEN val_c END) median_twice_c
       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Distribution-analytic window functions (§2.6 breadth): ntile /
+    * percent_rank / cume_dist / first_value / nth_value over the running
+    * frame, one window pass per customer. percent_rank and cume_dist are
+    * exact rationals through one IEEE division — engine-identical. */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first_value(col("o_orderkey")).over(w).as("first_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowFuncsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume,
+      |       first_value(o_orderkey) OVER w AS first_ok,
+      |       nth_value(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "core_window_funcs" -> (windowFuncs _),
     "core_scalable_median" -> (scalableMedian _),
     "core_pivot_status" -> (pivotStatus _),
     "core_cube_acctbal" -> (cubeAcctBal _),
@@ -219,6 +248,7 @@ object CoreQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "core_window_funcs" -> windowFuncsSql,
     "core_scalable_median" -> scalableMedianSql,
     "core_pivot_status" -> pivotStatusSql,
     "core_cube_acctbal" -> cubeAcctBalSql,
