@@ -13,25 +13,62 @@ import org.apache.spark.sql.functions._
   * identically, and integer addition is order-independent, so no
   * float-summation ordering can break parity).
   *
-  * Scale shape: each iteration is one equi-join of the rank frame against
-  * the (persisted) edge frame plus a map-side-combined groupBy on dst —
-  * the same O(iters) join/agg round structure as connected components
-  * ([[DupGroups]]), with `localCheckpoint` lineage cuts so 10 rounds don't
-  * stack a 10-deep plan. Driver holds nothing; ranks stay distributed. */
+  * Two execution paths, SAME arithmetic (spec-asserted equal):
+  *  - **local**: when the edge frame is codebook-small (≤ `localEdgeMax`),
+  *    collect it and iterate on the driver — the pattern every tiny
+  *    iterative structure here uses (k-means centroids, PQ codebooks):
+  *    10 distributed rounds over a 25-node graph would pay 10 scheduler
+  *    round-trips to move microseconds of arithmetic.
+  *  - **distributed**: each round is one equi-join of the rank frame
+  *    against the persisted edges plus a map-side-combined groupBy on dst
+  *    (the O(iters)-round structure of connected components, [[DupGroups]])
+  *    with periodic `localCheckpoint` lineage cuts. Driver holds nothing.
+  */
 object PageRank {
 
   /** edges(src, dst, w) → (node, rnk) after `iters` damped rounds.
     * dampPct/100 is the damping factor (default 85/100).
-    * `checkpointEvery` bounds plan depth; measured at sf0.1 the cadence
-    * barely moves the bench (4.4 s @1, 4.5 s @2, 5.4 s @5 — the floor is
-    * Spark's fixed per-round scheduling, the same class as the other
-    * iterative builds), so the default keeps depth ≤2 for cheap analysis
-    * while halving the eager-materialization jobs. */
+    * `checkpointEvery` bounds distributed plan depth (measured at sf0.1
+    * the cadence barely moves the bench: 4.4 s @1, 4.5 s @2, 5.4 s @5 —
+    * the floor is fixed per-round scheduling, hence the local path).
+    * `localEdgeMax` gates the collected path; pass 0 to force the
+    * distributed rounds. */
   def run(edges: DataFrame, iters: Int = 10, dampPct: Long = 85L,
-      checkpointEvery: Int = 2): DataFrame = {
-    val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .persist()
+      checkpointEvery: Int = 2, localEdgeMax: Long = 1L << 20): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val e = e0.persist()
+    val nEdges = e.count() // also materializes the persist for either path
+    if (nEdges <= localEdgeMax) runLocal(e, iters, dampPct)
+    else runDistributed(e, iters, dampPct, checkpointEvery)
+  }
+
+  /** Driver-side fixpoint for codebook-small graphs — identical integer
+    * recurrence, bounded by `localEdgeMax` rows (few MB), one collect. */
+  private def runLocal(e: DataFrame, iters: Int, dampPct: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edgeRows = e.select("src", "dst", "w").as[(String, String, Long)]
+      .collect()
+    e.unpersist()
+    val nodes = (edgeRows.map(_._1) ++ edgeRows.map(_._2)).distinct.sorted
+    val outW = edgeRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = 1000000000L * (100L - dampPct) / 100L
+    var r = nodes.map(_ -> 1000000000L).toMap
+    var i = 0
+    while (i < iters) {
+      val inflow = new scala.collection.mutable.HashMap[String, Long]()
+      edgeRows.foreach { case (s, d, w) =>
+        val c = ((r(s) * dampPct) / 100L) * w / outW(s)
+        inflow.update(d, inflow.getOrElse(d, 0L) + c)
+      }
+      r = nodes.map(n => n -> (base + inflow.getOrElse(n, 0L))).toMap
+      i += 1
+    }
+    nodes.map(n => (n, r(n))).toSeq.toDF("node", "rnk")
+  }
+
+  private def runDistributed(e: DataFrame, iters: Int, dampPct: Long,
+      checkpointEvery: Int): DataFrame = {
     // NOT named "W": Spark's default case-insensitive resolution would
     // collide it with the edge weight "w" at the contribution join
     val outw = e.groupBy("src").agg(sum("w").as("wsum")).persist()

@@ -52,6 +52,18 @@ class PageRankSpec extends SparkSpec {
     r("s1") shouldBe r("s2")
   }
 
+  it should "produce identical ranks on the local and distributed paths" in {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("d", "c", 5L), ("c", "d", 1L))
+    val local = PageRank.run(edges.toDF("src", "dst", "w"), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = PageRank.run(edges.toDF("src", "dst", "w"), 10,
+        localEdgeMax = 0L) // force the distributed rounds
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dist shouldBe local
+  }
+
   it should "conserve mass up to floor leakage" in {
     val edges = Seq(("a", "b", 3L), ("b", "a", 2L), ("b", "c", 1L),
       ("c", "a", 7L))
