@@ -109,4 +109,51 @@ object Expectations {
         (col("e.n_violations") === 0L).as("pass"): _*)
       .orderBy(groupCols.map(col) :+ col("check"): _*)
   }
+
+  // ---- row-level rules + quarantine routing (dead-letter split) ----
+
+  /** Row-local rule: `violated` is a per-row predicate (unlike
+    * [[Expectation]], whose expression is an aggregate). Uniqueness is
+    * deliberately NOT row-local — it needs global state; route key dups
+    * through the dedup operators and keep quarantine rules one-row-
+    * decidable so the split stays a narrow codegen map. */
+  final case class RowRule(name: String, violated: Column)
+
+  def rowNotNull(c: String): RowRule =
+    RowRule(s"not_null:$c", col(c).isNull)
+
+  def rowInRange(c: String, lo: Column, hi: Column): RowRule =
+    RowRule(s"in_range:$c", col(c).isNotNull && (col(c) < lo || col(c) > hi))
+
+  def rowAcceptedValues(c: String, allowed: Seq[String]): RowRule =
+    RowRule(s"accepted_values:$c",
+      col(c).isNotNull && !col(c).isin(allowed: _*))
+
+  def rowSatisfies(name: String, violation: Column): RowRule =
+    RowRule(s"satisfies:$name", violation)
+
+  /** Annotate every row with the names of the rules it violates (rule
+    * order preserved, empty array = clean): ONE narrow codegen'd
+    * projection, no shuffle, no second scan — `filter(size(v)==0)` is
+    * the publish stream, `size(v)>0` the dead-letter/quarantine stream,
+    * and both are column-pruned independently by Catalyst downstream. */
+  def annotate(df: DataFrame, rules: Seq[RowRule],
+      out: String = "violations"): DataFrame = {
+    require(rules.nonEmpty, "Expectations.annotate: no rules given")
+    require(rules.map(_.name).distinct.length == rules.length,
+      s"Expectations.annotate: duplicate rule names in ${rules.map(_.name)}")
+    df.withColumn(out, filter(
+      array(rules.map(r => when(r.violated, lit(r.name))): _*),
+      v => v.isNotNull))
+  }
+
+  /** The split itself: (clean rows — rule column dropped, quarantined
+    * rows — rule names attached). Both sides derive from one annotated
+    * frame; persist it first if both are consumed in the same job. */
+  def quarantine(df: DataFrame, rules: Seq[RowRule],
+      out: String = "violations"): (DataFrame, DataFrame) = {
+    val marked = annotate(df, rules, out)
+    (marked.filter(size(col(out)) === 0).drop(out),
+      marked.filter(size(col(out)) > 0))
+  }
 }

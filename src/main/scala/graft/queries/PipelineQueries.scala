@@ -458,7 +458,41 @@ object PipelineQueries {
       |  UNION ALL SELECT 'l_shipdate_s', n_rows, nn5, nd5, mn5, mx5 FROM s)
       |ORDER BY col_name""".stripMargin
 
+  /** Dead-letter quarantine routing: every row annotated with its
+    * violated rule names in ONE narrow codegen projection (see
+    * [[graft.ops.Expectations.quarantine]]); the query surfaces the
+    * quarantined stream with rule attribution — the row-level companion
+    * of the aggregate `pipe_data_quality` report. */
+  def quarantineRoute(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    val rules = Seq(
+      rowNotNull("text"),
+      rowInRange("n_chars", lit(100L), lit(1000L)),
+      rowAcceptedValues("lang", Seq("en", "de", "es", "fr")))
+    val (_, bad) = quarantine(
+      t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars"),
+      rules)
+    bad.select(col("doc_id"),
+        array_join(col("violations"), ",").as("violations"),
+        size(col("violations")).cast("long").as("n_rules"))
+      .orderBy("doc_id")
+  }
+
+  val quarantineRouteSql: String =
+    """WITH m AS (SELECT doc_id,
+      |  list_filter([
+      |    CASE WHEN text IS NULL THEN 'not_null:text' END,
+      |    CASE WHEN n_chars IS NOT NULL AND (n_chars < 100 OR n_chars > 1000)
+      |         THEN 'in_range:n_chars' END,
+      |    CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','es','fr')
+      |         THEN 'accepted_values:lang' END],
+      |    x -> x IS NOT NULL) v
+      |  FROM documents)
+      |SELECT doc_id, array_to_string(v, ',') violations, len(v)::BIGINT n_rules
+      |FROM m WHERE len(v) > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "pipe_quarantine" -> (quarantineRoute _),
     "pipe_profile" -> (profile _),
     "pipe_split_assign" -> (splitAssign _),
     "pipe_clean_corpus" -> (cleanCorpus _),
@@ -471,6 +505,7 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_quarantine" -> quarantineRouteSql,
     "pipe_profile" -> profileSql,
     "pipe_split_assign" -> splitAssignSql,
     "pipe_clean_corpus" -> cleanCorpusSql,

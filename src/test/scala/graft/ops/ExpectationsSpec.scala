@@ -112,6 +112,31 @@ class ExpectationsSpec extends SparkSpec {
     }.getMessage should include("collides")
   }
 
+  it should "quarantine-split into disjoint, complete, rule-attributed streams" in {
+    val rules = Seq(
+      rowNotNull("k"),
+      rowInRange("v", lit(0.0), lit(100.0)),
+      rowAcceptedValues("enum", Seq("a", "b")))
+    val (good, bad) = quarantine(planted, rules)
+    good.count() + bad.count() shouldBe planted.count()
+    // disjoint and complete on the full row content
+    good.columns should not contain "violations"
+    val reunited = good.unionByName(bad.drop("violations"))
+    reunited.exceptAll(planted).count() shouldBe 0L
+    planted.exceptAll(reunited).count() shouldBe 0L
+    // attribution: the (2,x,-1) row violates range+enum in rule order;
+    // the null-k row only not_null; the (4,None,120) row only range
+    val byViol = bad.collect().map(r =>
+      (Option(r.get(0)), r.getSeq[String](r.fieldIndex("violations")).toList))
+    byViol should contain ((Some(2L), List("in_range:v", "accepted_values:enum")))
+    byViol should contain ((None, List("not_null:k")))
+    byViol should contain ((Some(4L), List("in_range:v")))
+    // the split is a narrow map: no exchange, no join
+    val plan = bad.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   it should "monitor a stream per group in complete mode" in {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
