@@ -406,7 +406,48 @@ object EventQueries {
       |FROM r JOIN m ON r.user_id = m.user_id AND r.roll = m.mx
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** DYNAMIC-gap session windows (Flink's per-event session gap extractor,
+    * the one session feature a static `session_window` gap can't express):
+    * each event extends its session by a gap chosen from the event itself
+    * (purchase 60 min, error 5 min, else 15 min). Spark's `session_window`
+    * accepts a gap EXPRESSION natively; the oracle reproduces the merge
+    * semantics (sessions merge while the next event starts before the
+    * running max of event-ends) with a prefix-max + gaps-and-islands. */
+  def sessionDynamic(s: SparkSession, dir: String): DataFrame = {
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .when(col("event_type") === "error", lit("5 minutes"))
+      .otherwise(lit("15 minutes"))
+    events(s, dir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(valC).as("val_c"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("val_c"))
+      .orderBy("user_id", "start_us")
+  }
+
+  val sessionDynamicSql: String =
+    """WITH o AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT tus,
+      |                  CAST(round(value*100) AS BIGINT) v,
+      |                  CASE WHEN event_type='purchase' THEN 3600000000
+      |                       WHEN event_type='error' THEN 300000000
+      |                       ELSE 900000000 END gap_us
+      |           FROM events),
+      |p AS (SELECT *, max(tus + gap_us) OVER (PARTITION BY user_id
+      |                  ORDER BY tus, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_end
+      |      FROM o),
+      |b AS (SELECT *, CASE WHEN prev_end IS NULL OR tus >= prev_end
+      |                     THEN 1 ELSE 0 END brk FROM p),
+      |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                ROWS UNBOUNDED PRECEDING) sess FROM b)
+      |SELECT user_id, min(tus) start_us, max(tus + gap_us) end_us,
+      |       count(*)::BIGINT n_events, CAST(sum(v) AS BIGINT) val_c
+      |FROM i GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_session_dynamic" -> (sessionDynamic _),
     "ev_interarrival" -> (interarrival _),
     "ev_rolling_24h" -> (rolling24h _),
     "ev_resample_interp" -> (resampleInterp _),
@@ -425,6 +466,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_session_dynamic" -> sessionDynamicSql,
     "ev_interarrival" -> interarrivalSql,
     "ev_rolling_24h" -> rolling24hSql,
     "ev_resample_interp" -> resampleInterpSql,
