@@ -29,6 +29,10 @@ object Chunking {
     val C = chunkTokens
     val S = stride
     docs
+      // null text yields NO chunks (matches SQL semantics, where the NULL
+      // propagates into generate_series and the unnest drops the row —
+      // without this filter Spark's size(null) = -1 would emit a junk row)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         split(NearDup.normCol(col("text")), " ").as("words"))
       .withColumn("n", size(col("words")).cast("long"))

@@ -35,7 +35,12 @@ object PageRank {
     * distributed rounds. */
   def run(edges: DataFrame, iters: Int = 10, dampPct: Long = 85L,
       checkpointEvery: Int = 2, localEdgeMax: Long = 1L << 20): DataFrame = {
+    // zero/negative-weight edges are dropped up front: they contribute no
+    // rank, and a node whose edges were ALL zero-weight must count as
+    // dangling (otherwise its wsum=0 divides: ArithmeticException on the
+    // local path, silent null-skip on the distributed one — divergent)
     val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
     val e = e0.persist()
     val nEdges = e.count() // also materializes the persist for either path
     if (nEdges <= localEdgeMax) runLocal(e, iters, dampPct)

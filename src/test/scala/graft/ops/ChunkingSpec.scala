@@ -44,6 +44,14 @@ class ChunkingSpec extends SparkSpec {
     byDoc(1L) shouldBe byDoc(2L)
   }
 
+  it should "drop null-text docs instead of emitting junk rows" in {
+    import spark.implicits._
+    val docs = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunks(docs).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
+
   it should "respect a custom chunk/stride geometry" in {
     val w = (1 to 25).map(i => s"x$i").mkString(" ")
     val out = Chunking.chunks(docsOf(1L -> w), chunkTokens = 10, stride = 5)

@@ -64,6 +64,20 @@ class PageRankSpec extends SparkSpec {
     dist shouldBe local
   }
 
+  it should "drop zero-weight edges identically on both paths" in {
+    import spark.implicits._
+    // node "z" has only a zero-weight out-edge: it must count as dangling
+    // (no division by its zero wsum) and rank like any other sink
+    val edges = Seq(("a", "b", 2L), ("b", "a", 1L), ("z", "a", 0L),
+      ("a", "z", 1L))
+    val local = PageRank.run(edges.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = PageRank.run(edges.toDF("src", "dst", "w"), 5, localEdgeMax = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dist shouldBe local
+    local.keySet shouldBe Set("a", "b", "z")
+  }
+
   it should "conserve mass up to floor leakage" in {
     val edges = Seq(("a", "b", 3L), ("b", "a", 2L), ("b", "c", 1L),
       ("c", "a", 7L))
