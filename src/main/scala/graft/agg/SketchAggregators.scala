@@ -75,6 +75,12 @@ object SketchAggregators {
   class CmsAggregator[IN](key: IN => Long, depth: Int, width: Int)
       extends Aggregator[IN, Array[Long], Array[Long]] {
 
+    // fail at construction on the driver, not as an AIOOBE/modulo-by-zero
+    // task-retry storm inside reduce on the executors
+    require(depth >= 1 && depth <= CountMinSketch.A.length,
+      s"depth must be 1..${CountMinSketch.A.length}")
+    require(width >= 1, "width must be >= 1")
+
     override def zero: Array[Long] = new Array[Long](depth * width)
 
     // in-place mutation, same ObjectHashAggregate contract as HllAggregator

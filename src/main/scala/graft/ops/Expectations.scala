@@ -129,6 +129,10 @@ object Expectations {
     RowRule(s"accepted_values:$c",
       col(c).isNotNull && !col(c).isin(allowed: _*))
 
+  /** Escape hatch. NULL-evaluating predicates count as NOT violated
+    * (SQL three-valued logic — the built-in rules guard their nullable
+    * inputs with isNotNull); if NULL inputs should quarantine, say so in
+    * the predicate, e.g. `col("x").isNull || col("x") <= 0`. */
   def rowSatisfies(name: String, violation: Column): RowRule =
     RowRule(s"satisfies:$name", violation)
 
@@ -142,8 +146,12 @@ object Expectations {
     require(rules.nonEmpty, "Expectations.annotate: no rules given")
     require(rules.map(_.name).distinct.length == rules.length,
       s"Expectations.annotate: duplicate rule names in ${rules.map(_.name)}")
+    // coalesce(..., false): a NULL-evaluating predicate is explicitly
+    // not-violated (see rowSatisfies doc) rather than silently dropped by
+    // when()'s three-valued logic
     df.withColumn(out, filter(
-      array(rules.map(r => when(r.violated, lit(r.name))): _*),
+      array(rules.map(r =>
+        when(coalesce(r.violated, lit(false)), lit(r.name))): _*),
       v => v.isNotNull))
   }
 

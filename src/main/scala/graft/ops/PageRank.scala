@@ -72,6 +72,16 @@ object PageRank {
     nodes.map(n => (n, r(n))).toSeq.toDF("node", "rnk")
   }
 
+  /** Drop the cached RDD behind an eager localCheckpoint. Plain
+    * `Dataset.unpersist` only consults the SQL cache manager, which knows
+    * nothing about checkpoint RDDs — reach through the LogicalRDD instead
+    * (same pattern as [[DupGroups]]; without it stale checkpoint blocks
+    * sit in executor storage until the ContextCleaner happens to GC). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   private def runDistributed(e: DataFrame, iters: Int, dampPct: Long,
       checkpointEvery: Int): DataFrame = {
     // NOT named "W": Spark's default case-insensitive resolution would
@@ -98,11 +108,15 @@ object PageRank {
       i += 1
       if (i % checkpointEvery == 0 || i == iters) {
         ranks = next.localCheckpoint()
-        lastCk.unpersist()
+        releaseCheckpoint(lastCk)
         lastCk = ranks
       } else ranks = next
     }
     e.unpersist(); outw.unpersist(); nodes.unpersist()
+    // the returned frame's own checkpoint storage is scope-released like
+    // every other checkpointing operator here (no-op outside a scope)
+    graft.util.CacheBin.registerRelease(ranks.sparkSession)(() =>
+      releaseCheckpoint(lastCk))
     ranks
   }
 }

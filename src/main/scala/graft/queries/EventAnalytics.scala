@@ -209,7 +209,9 @@ object EventAnalytics {
     * lexicographic (ts_us, event_id) extremes — deterministic under ties
     * because event_id is unique — via Spark's native struct min/max (one
     * map-side-combined aggregate, no window, no self-join; the DuckDB
-    * mirror uses min_by/max_by on the equivalent HUGEINT composite key). */
+    * mirror uses min_by/max_by on a HUGEINT composite key whose 1e10
+    * multiplier assumes event_id < 1e10 — snowflake-scale ids would need
+    * a wider multiplier THERE; the Spark struct order is magnitude-free). */
   def ohlc(s: SparkSession, dir: String): DataFrame =
     graft.ops.Windows.ohlcBars(
         events(s, dir).select(col("event_type"), col("ts"),

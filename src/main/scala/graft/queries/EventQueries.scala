@@ -371,7 +371,11 @@ object EventQueries {
     * active hour drops nothing and can only gain earlier actives, so
     * roll(last_active) >= roll(h); and the FIRST dense achiever equals
     * the first active achiever (any dense achiever h has an active
-    * achiever <= h; actives are a subset of the dense grid). */
+    * achiever <= h; actives are a subset of the dense grid).
+    *
+    * PRECONDITION: the "can only gain" step needs NON-NEGATIVE hourly
+    * sums — true for this revenue column (value >= 0) and any count/money
+    * metric; a signed metric (refund deltas) needs the dense grid form. */
   def rolling24h(s: SparkSession, dir: String): DataFrame = {
     val hourly = events(s, dir)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))

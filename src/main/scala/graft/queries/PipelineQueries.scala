@@ -422,7 +422,11 @@ object PipelineQueries {
           |  'l_returnflag_a',    n_rows, nn4, mn4, mx4,
           |  'l_shipdate_s',      n_rows, nn5, mn5, mx5)
           |AS (col_name, n_rows, n_nulls, min_v, max_v)""".stripMargin)
-    stats.join(distincts, "col_name")
+    // LEFT join + coalesce: an all-NULL column has no distincts group and
+    // must still report n_distinct=0 — an inner join would silently drop
+    // the most-broken column from a data-quality report
+    stats.join(distincts, Seq("col_name"), "left")
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
       .orderBy("col_name")
   }

@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
   * streaming-join contract. */
 object StreamJoin {
 
+  /** The inputs are aliased internally (`__sjl`/`__sjr`), so two frames
+    * sharing key/timestamp column names — the common same-schema case —
+    * join without ambiguous-reference failures; disambiguate duplicate
+    * OUTPUT names on the result via the same aliases if needed. */
   def interval(left: DataFrame, lKey: String, lTs: String,
       right: DataFrame, rKey: String, rTs: String,
       windowSec: Long, wmDelay: String = "10 minutes"): DataFrame =
-    left.withWatermark(lTs, wmDelay)
-      .join(right.withWatermark(rTs, wmDelay),
-        col(lKey) === col(rKey) &&
-          col(rTs) >= col(lTs) &&
-          col(rTs) <= col(lTs) + expr(s"INTERVAL $windowSec SECONDS"))
+    left.withWatermark(lTs, wmDelay).alias("__sjl")
+      .join(right.withWatermark(rTs, wmDelay).alias("__sjr"),
+        col(s"__sjl.$lKey") === col(s"__sjr.$rKey") &&
+          col(s"__sjr.$rTs") >= col(s"__sjl.$lTs") &&
+          col(s"__sjr.$rTs") <= col(s"__sjl.$lTs") +
+            expr(s"INTERVAL $windowSec SECONDS"))
 }

@@ -44,7 +44,11 @@ object StreamTwap {
         }
       }
       st.update(s)
-      Iterator.single(TwapRow(key, s.num, s.den))
+      // no emission until a key has an actual time segment: the batch
+      // query produces NO row for single-event users (its lead() filter),
+      // so a (0,0) emission would break the latest-row == batch contract
+      if (s.den > 0L) Iterator.single(TwapRow(key, s.num, s.den))
+      else Iterator.empty
     }
   }
 

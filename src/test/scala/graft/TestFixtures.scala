@@ -68,6 +68,43 @@ object SparkSpec {
     p.toString
   }
 
+  /** Split `df` into `n` event-time-contiguous parts on its `ts_us`
+    * column — the ordered-ingest harness shared by the streaming
+    * batch-equality specs. */
+  def timeOrderedParts(df: org.apache.spark.sql.DataFrame,
+      n: Int = 3): Seq[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val ts = df.select("ts_us").orderBy("ts_us").collect().map(_.getLong(0))
+    val cuts = (1 until n).map(i => ts(i * ts.length / n))
+    (0 until n).map { i =>
+      val lo: org.apache.spark.sql.Column =
+        if (i == 0) lit(true) else col("ts_us") >= cuts(i - 1)
+      val hi: org.apache.spark.sql.Column =
+        if (i == n - 1) lit(true) else col("ts_us") < cuts(i)
+      df.filter(lo && hi)
+    }
+  }
+
+  /** Write one part as a single parquet file under `streamIn` with an
+    * mtime strictly increasing in `i`, pinning micro-batch order. */
+  def writeStreamPart(part: org.apache.spark.sql.DataFrame,
+      streamIn: java.io.File, i: Int): Unit = {
+    val tmp = tempDir(s"ordpart$i")
+    part.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(streamIn, f"part-$i%05d.parquet")
+    java.nio.file.Files.copy(f.toPath, dst.toPath)
+    dst.setLastModified(1700000000000L + i * 60000L)
+  }
+
+  /** The usual 3-file ordered ingest in one call. */
+  def writeOrderedStreamParts(df: org.apache.spark.sql.DataFrame,
+      streamIn: java.io.File, n: Int = 3): Unit =
+    timeOrderedParts(df, n).zipWithIndex.foreach { case (p, i) =>
+      writeStreamPart(p, streamIn, i)
+    }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

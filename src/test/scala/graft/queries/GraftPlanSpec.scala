@@ -319,9 +319,13 @@ class GraftPlanSpec extends SparkSpec {
 
   it should "reuse one user_id exchange across both SCD2 window passes" in {
     val plan = planOf(EventAnalytics.scd2History(spark, dir))
-    // two logical sorts (run detection + validity chaining) but only the
-    // user_id hash partitioning: no second hashpartitioning key appears
-    "hashpartitioning\\(user_id".r.findAllIn(plan).length should be >= 1
+    // two logical sorts (run detection + validity chaining) but EVERY
+    // hash partitioning is on user_id — a regression adding a shuffle on
+    // any other key (e.g. run_no) fails the equality below
+    val all = "hashpartitioning\\(".r.findAllIn(plan).length
+    val onUser = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    all should be >= 1
+    all shouldBe onUser
     plan should not include "CartesianProduct"
   }
 

@@ -26,21 +26,7 @@ class StreamFunnelSpec extends SparkSpec {
     // ---- 3 event-time-tertile files with increasing mtimes ----
     val ev = Q.events(spark, sfDir)
       .select("event_id", "ts_us", "user_id", "event_type")
-    val ts = ev.select("ts_us").orderBy("ts_us").collect().map(_.getLong(0))
-    val cuts = Seq(ts(ts.length / 3), ts(2 * ts.length / 3))
-    val parts = Seq(
-      ev.filter(col("ts_us") < cuts(0)),
-      ev.filter(col("ts_us") >= cuts(0) && col("ts_us") < cuts(1)),
-      ev.filter(col("ts_us") >= cuts(1)))
-    parts.zipWithIndex.foreach { case (p, i) =>
-      val tmp = graft.SparkSpec.tempDir(s"funnel-part$i")
-      p.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(streamIn, f"part-$i%05d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
-    }
+    graft.SparkSpec.writeOrderedStreamParts(ev, streamIn)
 
     // ---- stream through the state machine ----
     val schema = StructType(Seq(
