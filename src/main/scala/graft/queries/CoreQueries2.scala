@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -235,7 +235,43 @@ object CoreQueries2 {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** [[scalableMedian]]'s machinery generalized to the exact LOWER
+    * quantile at several ranks in one pass: k-th smallest with
+    * k = ceil(q·n), still one (group, distinct-cents) shuffle + one
+    * running cumulative — three quantiles cost the same as one. */
+  def scalableQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), cents(col("l_extendedprice")).as("val_c"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("l_returnflag").orderBy("val_c")
+    val wn = Window.partitionBy("l_returnflag")
+    def kth(pctNum: Int): Column = // k = ceil(n*pct/100), lower quantile
+      min(when(col("cum") >= expr(s"(n * $pctNum + 99) div 100"),
+        col("val_c")))
+    v.withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(wn))
+      .groupBy("l_returnflag")
+      .agg(min("n").as("n_rows"), kth(50).as("p50_c"), kth(90).as("p90_c"),
+        kth(99).as("p99_c"))
+      .orderBy("l_returnflag")
+  }
+
+  val scalableQuantilesSql: String =
+    """WITH v AS (SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) val_c,
+      |                  count(*)::BIGINT c FROM lineitem GROUP BY 1,2),
+      |o AS (SELECT l_returnflag, val_c, c,
+      |             CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY val_c) AS BIGINT) cum,
+      |             CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) n
+      |      FROM v)
+      |SELECT l_returnflag, CAST(min(n) AS BIGINT) n_rows,
+      |       min(CASE WHEN cum >= (n*50+99)//100 THEN val_c END) p50_c,
+      |       min(CASE WHEN cum >= (n*90+99)//100 THEN val_c END) p90_c,
+      |       min(CASE WHEN cum >= (n*99+99)//100 THEN val_c END) p99_c
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "core_scalable_quantiles" -> (scalableQuantiles _),
     "core_window_funcs" -> (windowFuncs _),
     "core_scalable_median" -> (scalableMedian _),
     "core_pivot_status" -> (pivotStatus _),
@@ -248,6 +284,7 @@ object CoreQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "core_scalable_quantiles" -> scalableQuantilesSql,
     "core_window_funcs" -> windowFuncsSql,
     "core_scalable_median" -> scalableMedianSql,
     "core_pivot_status" -> pivotStatusSql,

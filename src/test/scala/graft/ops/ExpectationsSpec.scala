@@ -137,6 +137,39 @@ class ExpectationsSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  it should "quarantine a stream with the SAME rules, row-identical to batch" in {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rules = Seq(
+      rowNotNull("k"),
+      rowInRange("v", lit(0.0), lit(100.0)),
+      rowAcceptedValues("enum", Seq("a", "b")))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Option[Long], Option[String], Double)]
+    val q = annotate(input.toDF().toDF("k", "enum", "v"), rules)
+      .filter(org.apache.spark.sql.functions.size(col("violations")) > 0)
+      .select(col("k"), array_join(col("violations"), ",").as("viol"))
+      .writeStream.format("memory").queryName("quar_out")
+      .outputMode("append")
+      .option("checkpointLocation", graft.SparkSpec.tempDir("quar_ck"))
+      .start()
+    val rows = Seq(
+      (Option(1L), Option("a"), 5.0),
+      (Option(2L), Option("x"), -1.0),
+      (Option.empty[Long], Option("a"), 5.0))
+    input.addData(rows.take(2)); q.processAllAvailable()
+    input.addData(rows.drop(2)); q.processAllAvailable()
+    val streamed = spark.table("quar_out").collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    val batch = annotate(rows.toDF("k", "enum", "v"), rules)
+      .filter(org.apache.spark.sql.functions.size(col("violations")) > 0)
+      .select(col("k"), array_join(col("violations"), ",").as("viol"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    streamed shouldBe batch
+    streamed.map(_._2) shouldBe Set("in_range:v,accepted_values:enum", "not_null:k")
+    q.stop()
+  }
+
   it should "monitor a stream per group in complete mode" in {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
