@@ -26,7 +26,10 @@ object EventAnalytics {
     * shuffle partitioning carries the whole chain, and each step's frame is
     * at most one row per converting user (AQE broadcasts them when small).
     * No per-user event-list collection, no window over the full stream. */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
+  /** The per-user step frames (t1 / t2 / t3 with t1 carried through), the
+    * shared core of [[funnel]] and [[funnelTimes]]. */
+  private def funnelSteps(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ev = events(s, dir).select("user_id", "event_type", "ts_us")
     val horizonUs = 7L * 24 * 3600 * 1000000 // 7 days in µs
     val u1 = ev.filter(col("event_type") === "view")
@@ -39,7 +42,12 @@ object EventAnalytics {
       .join(u2, "user_id")
       .filter(col("ts_us") > col("t2") &&
         col("ts_us") <= col("t1") + lit(horizonUs))
-      .groupBy("user_id").agg(min("ts_us").as("t3"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"), min("t1").as("t1"))
+    (u1, u2, u3)
+  }
+
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val (u1, u2, u3) = funnelSteps(s, dir)
     def step(df: DataFrame, name: String): DataFrame =
       df.agg(count(lit(1)).as("users")).select(lit(name).as("step"), col("users"))
     step(u1, "1_view")
@@ -47,6 +55,48 @@ object EventAnalytics {
       .unionAll(step(u3, "3_purchase"))
       .orderBy("step")
   }
+
+  /** Time-to-convert over the full funnel: exact integer µs stats of
+    * t3 − t1 across converting users (one row — the latency profile a
+    * horizon/attribution window is tuned from). */
+  def funnelTimes(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, u3) = funnelSteps(s, dir)
+    u3.select((col("t3") - col("t1")).as("dt"))
+      .agg(count(lit(1)).as("n_converted"), min("dt").as("min_us"),
+        max("dt").as("max_us"), sum("dt").as("sum_us"))
+  }
+
+  val funnelTimesSql: String =
+    """WITH u1 AS (SELECT user_id, min(epoch_us(ts)::BIGINT) t1 FROM events
+      |            WHERE event_type='view' GROUP BY 1),
+      |u2 AS (SELECT e.user_id, min(epoch_us(ts)::BIGINT) t2, min(t1) t1
+      |       FROM events e JOIN u1 ON e.user_id=u1.user_id
+      |       WHERE event_type='click' AND epoch_us(ts)::BIGINT > t1 GROUP BY 1),
+      |u3 AS (SELECT e.user_id, min(epoch_us(ts)::BIGINT) t3, min(t1) t1
+      |       FROM events e JOIN u2 ON e.user_id=u2.user_id
+      |       WHERE event_type='purchase' AND epoch_us(ts)::BIGINT > t2
+      |         AND epoch_us(ts)::BIGINT <= t1 + 604800000000 GROUP BY 1)
+      |SELECT count(*)::BIGINT n_converted,
+      |       CAST(min(t3 - t1) AS BIGINT) min_us,
+      |       CAST(max(t3 - t1) AS BIGINT) max_us,
+      |       CAST(sum(t3 - t1) AS BIGINT) sum_us
+      |FROM u3""".stripMargin
+
+  /** Seasonality heatmap frame: activity by day-of-week × hour-of-day.
+    * Spark's dayofweek is 1=Sunday; the oracle's is 0=Sunday — the −1
+    * aligns them. One map-side-combined groupBy over a 168-cell domain. */
+  def seasonality(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("val_c"))
+      .orderBy("dow", "hod")
+
+  val seasonalitySql: String =
+    """SELECT CAST(dayofweek(ts) AS BIGINT) dow, CAST(hour(ts) AS BIGINT) hod,
+      |       count(*)::BIGINT cnt,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) val_c
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
   val funnelSql: String =
     """WITH u1 AS (SELECT user_id, min(epoch_us(ts)::BIGINT) t1 FROM events
@@ -258,6 +308,8 @@ object EventAnalytics {
       |FROM g ORDER BY day_s""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
+    "ev_funnel_times" -> (funnelTimes _),
+    "ev_seasonality" -> (seasonality _),
     "ev_twap" -> (twap _),
     "ev_ohlc" -> (ohlc _),
     "ev_cumulative_users" -> (cumulativeUsers _),
@@ -268,6 +320,8 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_funnel_times" -> funnelTimesSql,
+    "ev_seasonality" -> seasonalitySql,
     "ev_twap" -> twapSql,
     "ev_ohlc" -> ohlcSql,
     "ev_cumulative_users" -> cumulativeUsersSql,
