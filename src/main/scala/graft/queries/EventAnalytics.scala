@@ -307,7 +307,60 @@ object EventAnalytics {
       |            AS BIGINT) cum_users
       |FROM g ORDER BY day_s""".stripMargin
 
+  /** Changelog compaction (SCD1 latest-wins): the materialized "current
+    * state" per key — the whole row at the (ts, event_id) maximum via ONE
+    * struct-max aggregate (no window, no self-join; same algebraic trick
+    * as [[ohlc]], so it compacts a stream in append mode too). The shape
+    * every CDC pipeline runs to collapse a changelog into a table. */
+  def latestState(s: SparkSession, dir: String): DataFrame = {
+    val k = struct(col("ts_us"), col("event_id"), col("event_type").as("et"),
+      cents(col("value")).as("v"))
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(max(k).as("m"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("m.event_id").as("last_event_id"),
+        col("m.et").as("last_type"), col("m.v").as("last_val_c"),
+        col("m.ts_us").as("last_ts_us"), col("n_events"))
+      .orderBy("user_id")
+  }
+
+  val latestStateSql: String =
+    """WITH k AS (SELECT user_id,
+      |                  epoch_us(ts)::HUGEINT * 10000000000 + event_id kk,
+      |                  event_id, event_type,
+      |                  CAST(round(value*100) AS BIGINT) v,
+      |                  epoch_us(ts)::BIGINT tus
+      |           FROM events)
+      |SELECT user_id, max_by(event_id, kk) last_event_id,
+      |       max_by(event_type, kk) last_type, max_by(v, kk) last_val_c,
+      |       CAST(max(tus) AS BIGINT) last_ts_us, count(*)::BIGINT n_events
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Behavioral transition matrix: (previous event type → next) counts in
+    * deterministic (ts, event_id) order — the first-order Markov frame
+    * session personalization and anomaly models start from. One lag()
+    * pass; output is |types|² rows regardless of data size. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val transitionsSql: String =
+    """WITH o AS (SELECT user_id, event_type,
+      |                  lag(event_type) OVER (PARTITION BY user_id
+      |                    ORDER BY ts, event_id) prev
+      |           FROM events)
+      |SELECT prev prev_type, event_type next_type, count(*)::BIGINT cnt
+      |FROM o WHERE prev IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_latest_state" -> (latestState _),
+    "ev_transitions" -> (transitions _),
     "ev_funnel_times" -> (funnelTimes _),
     "ev_seasonality" -> (seasonality _),
     "ev_twap" -> (twap _),
@@ -320,6 +373,8 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_latest_state" -> latestStateSql,
+    "ev_transitions" -> transitionsSql,
     "ev_funnel_times" -> funnelTimesSql,
     "ev_seasonality" -> seasonalitySql,
     "ev_twap" -> twapSql,
