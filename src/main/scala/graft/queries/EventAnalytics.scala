@@ -358,7 +358,49 @@ object EventAnalytics {
       |SELECT prev prev_type, event_type next_type, count(*)::BIGINT cnt
       |FROM o WHERE prev IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** Day-over-day distribution drift: L1 distance between consecutive
+    * daily event-type share vectors, in EXACT ppm integers (share =
+    * cnt·1e6 div day_total; drift = Σ|ppm − prev_ppm|) — the data-drift
+    * monitor an ingest gate alarms on, with no float arithmetic to
+    * diverge across engines. A type absent on some day compares against
+    * its last OBSERVED day (lag over present rows; document dense-domain
+    * alignment if zeros must count). Two small keyed aggregates + one
+    * lag over the (type, day) frame — day-cardinality-sized, not data-
+    * sized. */
+  def typeShareDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .groupBy(epochS(date_trunc("day", col("ts"))).as("day_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = d.groupBy(col("day_s").as("td")).agg(sum("cnt").as("tot"))
+    val p = d.join(t, col("day_s") === col("td"))
+      .select(col("day_s"), col("event_type"),
+        expr("(cnt * 1000000) div tot").as("ppm"))
+    val w = Window.partitionBy("event_type").orderBy("day_s")
+    p.withColumn("prev_ppm", lag("ppm", 1).over(w))
+      .filter(col("prev_ppm").isNotNull)
+      .groupBy("day_s")
+      .agg(sum(abs(col("ppm") - col("prev_ppm"))).as("l1_drift_ppm"),
+        count(lit(1)).as("n_types"))
+      .orderBy("day_s")
+  }
+
+  val typeShareDriftSql: String =
+    """WITH d AS (SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) day_s,
+      |                  event_type, count(*)::BIGINT cnt
+      |           FROM events GROUP BY 1,2),
+      |t AS (SELECT day_s, CAST(sum(cnt) AS BIGINT) tot FROM d GROUP BY 1),
+      |p AS (SELECT d.day_s, d.event_type, (d.cnt * 1000000) // t.tot ppm
+      |      FROM d JOIN t ON d.day_s = t.day_s),
+      |l AS (SELECT day_s, event_type, ppm,
+      |             lag(ppm) OVER (PARTITION BY event_type ORDER BY day_s) prev_ppm
+      |      FROM p)
+      |SELECT day_s, CAST(sum(abs(ppm - prev_ppm)) AS BIGINT) l1_drift_ppm,
+      |       count(*)::BIGINT n_types
+      |FROM l WHERE prev_ppm IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_share_drift" -> (typeShareDrift _),
     "ev_latest_state" -> (latestState _),
     "ev_transitions" -> (transitions _),
     "ev_funnel_times" -> (funnelTimes _),
@@ -373,6 +415,7 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_share_drift" -> typeShareDriftSql,
     "ev_latest_state" -> latestStateSql,
     "ev_transitions" -> transitionsSql,
     "ev_funnel_times" -> funnelTimesSql,
