@@ -264,4 +264,54 @@ object AlgorithmProperties extends Properties("graft.algorithms") {
       canonStr("https://WWW." + u.stripPrefix("http://").stripPrefix("https://")
         .stripPrefix("HTTP://").stripPrefix("HTTPS://")) == c
     }
+
+  // ---- Count-Min sketch ----
+
+  private val keyStream: Gen[List[Long]] =
+    Gen.listOf(Gen.oneOf(Gen.choose(-50L, 50L), Gen.choose(Long.MinValue, Long.MaxValue)))
+
+  property("CMS never undercounts any key in the stream") =
+    Prop.forAll(keyStream) { ks =>
+      val cms = graft.algorithm.CountMinSketch.empty(3, 32)
+      ks.foreach(cms.add(_))
+      val truth = ks.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.forall { case (k, n) => cms.estimate(k) >= n }
+    }
+
+  property("CMS split-merge equals single-pass build at any split point") =
+    Prop.forAll(keyStream, Gen.choose(0, 100)) { (ks, cut) =>
+      val whole = graft.algorithm.CountMinSketch.empty(3, 32)
+      ks.foreach(whole.add(_))
+      val (l, r) = ks.splitAt(if (ks.isEmpty) 0 else cut % (ks.size + 1))
+      val a = graft.algorithm.CountMinSketch.empty(3, 32)
+      val b = graft.algorithm.CountMinSketch.empty(3, 32)
+      l.foreach(a.add(_)); r.foreach(b.add(_))
+      a.merge(b).table.sameElements(whole.table)
+    }
+
+  property("CMS row sums all equal the stream length (mass conservation)") =
+    Prop.forAll(keyStream) { ks =>
+      val cms = graft.algorithm.CountMinSketch.empty(4, 16)
+      ks.foreach(cms.add(_))
+      (0 until 4).forall(i =>
+        cms.table.slice(i * 16, (i + 1) * 16).sum == ks.size.toLong)
+    }
+
+  // ---- Chunking geometry (pure arithmetic mirror of ops.Chunking) ----
+
+  private def nChunks(n: Long, c: Int, s: Int): Long =
+    (math.max(n - c, 0L) + s - 1) / s + 1
+
+  property("chunk count formula tiles exactly: last chunk reaches the end, previous does not") =
+    Prop.forAll(Gen.choose(1L, 100000L), Gen.choose(1, 512), Gen.choose(1, 512)) {
+      (n, cRaw, sRaw) =>
+        val c = math.max(cRaw, sRaw) // chunkTokens >= stride
+        val s = math.min(cRaw, sRaw)
+        val k = nChunks(n, c, s)
+        val lastStart = (k - 1) * s
+        val covered = lastStart + c >= n
+        val notRedundant = k == 1 || (k - 2) * s + c < n
+        val lastNonEmpty = lastStart < n
+        covered && notRedundant && lastNonEmpty
+    }
 }
