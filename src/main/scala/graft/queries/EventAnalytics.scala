@@ -399,7 +399,41 @@ object EventAnalytics {
       |       count(*)::BIGINT n_types
       |FROM l WHERE prev_ppm IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Revenue concentration: the top-decile users' share of total revenue
+    * in exact ppm (the Pareto/whale analysis a monetization or abuse team
+    * runs). The global rank runs on the per-USER frame (keys-sized, not
+    * events-sized — same bounded-single-partition discipline as the
+    * cumulative-user curve); totals ride a broadcast 1-row frame. */
+  def powerUsers(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir).groupBy("user_id")
+      .agg(sum(cents(col("value"))).as("c"))
+    val tot = u.agg(count(lit(1)).as("n"), sum("c").as("tot"))
+    val w = Window.orderBy(col("c").desc, col("user_id"))
+    u.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .agg(min("n").as("n_users"),
+        expr("(min(n)+9) div 10").as("top_decile_users"),
+        sum(when(col("rn") <= expr("(n+9) div 10"), col("c")).otherwise(0L))
+          .as("top_decile_c"),
+        min("tot").as("total_c"))
+      .withColumn("share_ppm", expr("top_decile_c * 1000000 div total_c"))
+  }
+
+  val powerUsersSql: String =
+    """WITH u AS (SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) c
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT user_id, c, row_number() OVER (ORDER BY c DESC, user_id) rn,
+      |             count(*) OVER () n, CAST(sum(c) OVER () AS BIGINT) tot FROM u)
+      |SELECT CAST(min(n) AS BIGINT) n_users,
+      |       CAST((min(n) + 9) // 10 AS BIGINT) top_decile_users,
+      |       CAST(sum(CASE WHEN rn <= (n + 9) // 10 THEN c ELSE 0 END) AS BIGINT) top_decile_c,
+      |       CAST(min(tot) AS BIGINT) total_c,
+      |       CAST(sum(CASE WHEN rn <= (n + 9) // 10 THEN c ELSE 0 END) * 1000000
+      |            // min(tot) AS BIGINT) share_ppm
+      |FROM r""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_power_users" -> (powerUsers _),
     "ev_share_drift" -> (typeShareDrift _),
     "ev_latest_state" -> (latestState _),
     "ev_transitions" -> (transitions _),
@@ -415,6 +449,7 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_power_users" -> powerUsersSql,
     "ev_share_drift" -> typeShareDriftSql,
     "ev_latest_state" -> latestStateSql,
     "ev_transitions" -> transitionsSql,
