@@ -270,7 +270,48 @@ object CoreQueries2 {
       |       min(CASE WHEN cum >= (n*99+99)//100 THEN val_c END) p99_c
       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Correlated-subquery surface: two correlated SCALAR subqueries (the
+    * above-average predicate in cross-multiplied exact integers — no float
+    * average) plus EXISTS and NOT EXISTS, written as SQL text so Catalyst's
+    * decorrelation (RewriteCorrelatedScalarSubquery → aggregate+join,
+    * EXISTS → semi join, NOT EXISTS → anti join) is what executes. The
+    * DuckDB oracle is the same SQL verbatim. */
+  def subqueries(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_cust_sq")
+    t(s, dir, "orders").createOrReplaceTempView("graft_ord_sq")
+    s.sql(
+      """SELECT c1.c_custkey, CAST(round(c1.c_acctbal*100) AS BIGINT) bal_c
+        |FROM graft_cust_sq c1
+        |WHERE CAST(round(c1.c_acctbal*100) AS BIGINT)
+        |      * (SELECT count(*) FROM graft_cust_sq c2
+        |         WHERE c2.c_nationkey = c1.c_nationkey)
+        |    > (SELECT sum(CAST(round(c3.c_acctbal*100) AS BIGINT))
+        |       FROM graft_cust_sq c3 WHERE c3.c_nationkey = c1.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM graft_ord_sq o
+        |              WHERE o.o_custkey = c1.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_ord_sq o2
+        |                  WHERE o2.o_custkey = c1.c_custkey
+        |                    AND o2.o_orderstatus = 'P')
+        |ORDER BY c1.c_custkey""".stripMargin)
+  }
+
+  val subqueriesSql: String =
+    """SELECT c1.c_custkey, CAST(round(c1.c_acctbal*100) AS BIGINT) bal_c
+      |FROM customer c1
+      |WHERE CAST(round(c1.c_acctbal*100) AS BIGINT)
+      |      * (SELECT count(*) FROM customer c2
+      |         WHERE c2.c_nationkey = c1.c_nationkey)
+      |    > (SELECT CAST(sum(CAST(round(c3.c_acctbal*100) AS BIGINT)) AS BIGINT)
+      |       FROM customer c3 WHERE c3.c_nationkey = c1.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c1.c_custkey
+      |              AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c1.c_custkey
+      |                  AND o2.o_orderstatus = 'P')
+      |ORDER BY c1.c_custkey""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "core_subqueries" -> (subqueries _),
     "core_scalable_quantiles" -> (scalableQuantiles _),
     "core_window_funcs" -> (windowFuncs _),
     "core_scalable_median" -> (scalableMedian _),
@@ -284,6 +325,7 @@ object CoreQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "core_subqueries" -> subqueriesSql,
     "core_scalable_quantiles" -> scalableQuantilesSql,
     "core_window_funcs" -> windowFuncsSql,
     "core_scalable_median" -> scalableMedianSql,
