@@ -925,7 +925,36 @@ object TextQueries {
        |       md5(array_to_string(words[i*48+1:i*48+64], ' ')) chunk_md5
        |FROM c ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** Cross-document chunk-level dedup — the composition the chunk md5
+    * identity exists FOR: chunks shared by >1 document, with the keep-min
+    * canonical doc. One groupBy on the chunk hash (map-side combined);
+    * at scale this is the dedup pass run between chunking and packing. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.chunks(
+        tPar(s, dir, "documents").select("doc_id", "text"))
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("keep_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("keep_doc", "chunk_md5")
+
+  val chunkDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') words
+       |           FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, len(words)::BIGINT n, words,
+       |             unnest(generate_series(0, (greatest(len(words)-64,0)+47)//48)) i
+       |      FROM w),
+       |ch AS (SELECT doc_id, md5(array_to_string(words[i*48+1:i*48+64], ' ')) chunk_md5
+       |       FROM c)
+       |SELECT chunk_md5, count(*)::BIGINT n_copies,
+       |       count(DISTINCT doc_id)::BIGINT n_docs,
+       |       min(doc_id) keep_doc, max(doc_id) max_doc
+       |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY keep_doc, chunk_md5""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "text_chunk_dedup" -> (chunkDedup _),
     "text_chunking" -> (chunking _),
     "text_incr_dedup" -> (incrDedup _),
     "text_token_counts" -> (tokenCounts _),
@@ -952,6 +981,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_chunk_dedup" -> chunkDedupSql,
     "text_chunking" -> chunkingSql,
     "text_incr_dedup" -> incrDedupSql,
     "text_token_counts" -> tokenCountsSql,

@@ -341,6 +341,26 @@ class GraftPlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  it should "decorrelate scalar subqueries to aggregates and EXISTS to semi/anti joins" in {
+    val plan = planOf(CoreQueries2.subqueries(spark, dir))
+    // EXISTS → LeftSemi, NOT EXISTS → LeftAnti, no nested-loop fallback
+    plan.toLowerCase should include("semi")
+    plan.toLowerCase should include("anti")
+    plan should not include "CartesianProduct"
+  }
+
+  it should "rank power users on the keys-sized frame with a broadcast total" in {
+    val plan = planOf(EventAnalytics.powerUsers(spark, dir))
+    plan should include("BroadcastNestedLoopJoin") // the deliberate 1-row total
+    "hashpartitioning\\(user_id".r.findAllIn(plan).length should be >= 1
+  }
+
+  it should "compute centroid drift with equi-joins only" in {
+    val plan = planOf(VectorQueries.centroidDrift(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   it should "probe the CMS as a broadcast literal (no second shuffle)" in {
     val plan = planOf(SketchQueries.cmsUsers(spark, dir))
     // estimate columns are pure projections over the groupBy output:
