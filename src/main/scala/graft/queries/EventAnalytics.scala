@@ -362,22 +362,29 @@ object EventAnalytics {
     * daily event-type share vectors, in EXACT ppm integers (share =
     * cnt·1e6 div day_total; drift = Σ|ppm − prev_ppm|) — the data-drift
     * monitor an ingest gate alarms on, with no float arithmetic to
-    * diverge across engines. A type absent on some day compares against
-    * its last OBSERVED day (lag over present rows; document dense-domain
-    * alignment if zeros must count). Two small keyed aggregates + one
-    * lag over the (type, day) frame — day-cardinality-sized, not data-
-    * sized. */
+    * diverge across engines.
+    *
+    * The share vectors are aligned on the DENSE (active day × corpus
+    * type) domain — a type absent on a day contributes ppm=0, so a type
+    * VANISHING (the classic distribution collapse) registers its full
+    * |prev_ppm| term instead of silently dropping out of the lag. Domain
+    * size = days × |types|, bounded by calendar × type-vocabulary, not
+    * data. */
   def typeShareDrift(s: SparkSession, dir: String): DataFrame = {
     val d = events(s, dir)
       .groupBy(epochS(date_trunc("day", col("ts"))).as("day_s"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+    val days = d.select("day_s").distinct()
+    val types = d.select("event_type").distinct()
     val t = d.groupBy(col("day_s").as("td")).agg(sum("cnt").as("tot"))
-    val p = d.join(t, col("day_s") === col("td"))
+    val dense = days.crossJoin(broadcast(types))
+      .join(d, Seq("day_s", "event_type"), "left")
+      .join(t, col("day_s") === col("td"))
       .select(col("day_s"), col("event_type"),
-        expr("(cnt * 1000000) div tot").as("ppm"))
+        expr("(coalesce(cnt, 0L) * 1000000) div tot").as("ppm"))
     val w = Window.partitionBy("event_type").orderBy("day_s")
-    p.withColumn("prev_ppm", lag("ppm", 1).over(w))
+    dense.withColumn("prev_ppm", lag("ppm", 1).over(w))
       .filter(col("prev_ppm").isNotNull)
       .groupBy("day_s")
       .agg(sum(abs(col("ppm") - col("prev_ppm"))).as("l1_drift_ppm"),
@@ -390,8 +397,14 @@ object EventAnalytics {
       |                  event_type, count(*)::BIGINT cnt
       |           FROM events GROUP BY 1,2),
       |t AS (SELECT day_s, CAST(sum(cnt) AS BIGINT) tot FROM d GROUP BY 1),
-      |p AS (SELECT d.day_s, d.event_type, (d.cnt * 1000000) // t.tot ppm
-      |      FROM d JOIN t ON d.day_s = t.day_s),
+      |dom AS (SELECT dd.day_s, ty.event_type
+      |        FROM (SELECT DISTINCT day_s FROM d) dd,
+      |             (SELECT DISTINCT event_type FROM d) ty),
+      |p AS (SELECT dom.day_s, dom.event_type,
+      |             (coalesce(d.cnt, 0) * 1000000) // t.tot ppm
+      |      FROM dom LEFT JOIN d ON dom.day_s = d.day_s
+      |                          AND dom.event_type = d.event_type
+      |      JOIN t ON dom.day_s = t.day_s),
       |l AS (SELECT day_s, event_type, ppm,
       |             lag(ppm) OVER (PARTITION BY event_type ORDER BY day_s) prev_ppm
       |      FROM p)

@@ -44,6 +44,25 @@ class ChunkingSpec extends SparkSpec {
     byDoc(1L) shouldBe byDoc(2L)
   }
 
+  it should "agree with the arithmetic mirror across sampled geometries" in {
+    // ties the scalacheck chunk-count formula (AlgorithmProperties) to the
+    // REAL operator: same counts and lengths from Chunking.chunks itself
+    def mirror(n: Long, c: Int, s: Int): Long =
+      (math.max(n - c, 0L) + s - 1) / s + 1
+    val geoms = Seq((1, 64, 48), (63, 64, 48), (64, 64, 48), (65, 64, 48),
+      (200, 64, 48), (331, 100, 33), (10, 10, 10), (11, 10, 10), (97, 7, 3))
+    geoms.foreach { case (n, c, s) =>
+      val words = (1 to n).map(i => s"w$i").mkString(" ")
+      val out = Chunking.chunks(docsOf(1L -> words), c, s)
+        .orderBy("chunk_no").collect()
+      withClue(s"(n=$n,c=$c,s=$s): ") {
+        out.length.toLong shouldBe mirror(n.toLong, c, s)
+        out.map(_.getLong(2)).sum shouldBe
+          (out.length - 1).toLong * c + math.min(c, n - (out.length - 1) * s)
+      }
+    }
+  }
+
   it should "drop null-text docs instead of emitting junk rows" in {
     import spark.implicits._
     val docs = Seq((1L, Option("a b c")), (2L, Option.empty[String]))

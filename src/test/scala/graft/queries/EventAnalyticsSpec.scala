@@ -127,6 +127,32 @@ class EventAnalyticsSpec extends SparkSpec {
     rows.map(_.getLong(2)).toSeq shouldBe rows.map(_.getLong(1)).scanLeft(0L)(_ + _).tail.toSeq
   }
 
+  it should "register a vanished type's full share as drift (distribution collapse)" in {
+    // day 1: a/b at 50/50; day 2: only a — dense-domain alignment must
+    // charge |500000-1000000| for a AND |500000-0| for b → 1_000_000 ppm
+    val d = graft.SparkSpec.tempDir("drift-collapse")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("ts", TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("event_type", StringType),
+      org.apache.spark.sql.types.StructField("value", DoubleType)))
+    val rows = Seq(
+      (1L, t0, "a"), (2L, t0 + H, "b"),
+      (3L, t0 + D, "a"), (4L, t0 + D + H, "a"))
+      .map { case (id, us, ty) =>
+        Row(id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)),
+          1L, ty, 1.0)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventAnalytics.typeShareDrift(spark, d).collect()
+    got.length shouldBe 1
+    got.head.getLong(1) shouldBe 1000000L // full L1 of the collapse
+    got.head.getLong(2) shouldBe 2L // both types aligned on the dense domain
+  }
+
   it should "produce CMS estimates >= exact counts and exact at this scale" in {
     val rows = SketchQueries.cmsUsers(spark, dir).collect()
     rows.length shouldBe 6
