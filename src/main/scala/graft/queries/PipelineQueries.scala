@@ -495,7 +495,48 @@ object PipelineQueries {
       |SELECT doc_id, array_to_string(v, ',') violations, len(v)::BIGINT n_rules
       |FROM m WHERE len(v) > 0 ORDER BY doc_id""".stripMargin
 
+  /** The end-to-end training-sequence path: CHUNK the corpus (64-token
+    * windows, 48 stride — ops/Chunking) then PACK the chunks into
+    * 256-token-budget sequences with the distributed prefix sum
+    * (ops/Packing) — raw documents → fixed-budget sequences in two
+    * composed operators. Chunk order key = doc_id·1000 + chunk_no
+    * (chunk_no < 1000 holds for any document under ~48k tokens at this
+    * geometry; assert-guarded). */
+  def chunkPack(s: SparkSession, dir: String): DataFrame = {
+    val BUDGET = 256L
+    val ch = graft.ops.Chunking.chunks(
+        tPar(s, dir, "documents").select("doc_id", "text"))
+      .withColumn("ck", col("doc_id") * 1000L + col("chunk_no"))
+    graft.ops.Packing.runningSum(
+        ch.select(col("ck"), col("n_tokens")), "ck", "n_tokens")
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $BUDGET"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"),
+        min("ck").as("first_ck"), max("ck").as("last_ck"))
+      .orderBy("seq_id")
+  }
+
+  val chunkPackSql: String = {
+    val normSql =
+      """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') words
+       |           FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, len(words)::BIGINT n,
+       |             unnest(generate_series(0, (greatest(len(words)-64,0)+47)//48)) i
+       |      FROM w),
+       |ch AS (SELECT doc_id*1000 + i ck, least(64, n - i*48) n_tokens FROM c),
+       |r AS (SELECT ck, n_tokens,
+       |             CAST(sum(n_tokens) OVER (ORDER BY ck
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum
+       |      FROM ch)
+       |SELECT (cum - n_tokens) // 256 seq_id, CAST(count(*) AS BIGINT) n_chunks,
+       |       CAST(sum(n_tokens) AS BIGINT) n_tokens,
+       |       min(ck) first_ck, max(ck) last_ck
+       |FROM r GROUP BY 1 ORDER BY seq_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "pipe_chunk_pack" -> (chunkPack _),
     "pipe_quarantine" -> (quarantineRoute _),
     "pipe_profile" -> (profile _),
     "pipe_split_assign" -> (splitAssign _),
@@ -509,6 +550,7 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_chunk_pack" -> chunkPackSql,
     "pipe_quarantine" -> quarantineRouteSql,
     "pipe_profile" -> profileSql,
     "pipe_split_assign" -> splitAssignSql,
