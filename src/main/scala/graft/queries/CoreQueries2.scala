@@ -310,7 +310,30 @@ object CoreQueries2 {
       |                  AND o2.o_orderstatus = 'P')
       |ORDER BY c1.c_custkey""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize —
+    * both already covered; this pins the mixed-set surface): status-only,
+    * priority-only, and the full cross, in one Expand pass. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_ord_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) cnt,
+        |       sum(CAST(round(o_totalprice*100) AS BIGINT)) price_c
+        |FROM graft_ord_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT cnt,
+      |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) price_c
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "core_grouping_sets" -> (groupingSets _),
     "core_subqueries" -> (subqueries _),
     "core_scalable_quantiles" -> (scalableQuantiles _),
     "core_window_funcs" -> (windowFuncs _),
@@ -325,6 +348,7 @@ object CoreQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "core_grouping_sets" -> groupingSetsSql,
     "core_subqueries" -> subqueriesSql,
     "core_scalable_quantiles" -> scalableQuantilesSql,
     "core_window_funcs" -> windowFuncsSql,
