@@ -332,7 +332,33 @@ object CoreQueries2 {
       |                        (o_orderstatus, o_orderpriority))
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Per-group top-N (the QUALIFY shape): each customer's two priciest
+    * orders via a deterministic row_number filter — at scale Catalyst
+    * turns the rank-≤-N predicate into a per-partition top-N sort
+    * (WindowGroupLimit), never a full per-group sort. */
+  def topPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = cents(col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("price_c").desc,
+      col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), pc.as("price_c"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .orderBy("o_custkey", "rnk")
+  }
+
+  val topPerGroupSql: String =
+    """SELECT o_custkey, o_orderkey, price_c, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) price_c,
+      |         CAST(row_number() OVER (PARTITION BY o_custkey
+      |              ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC,
+      |                       o_orderkey) AS BIGINT) rnk
+      |  FROM orders)
+      |WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "core_top_per_group" -> (topPerGroup _),
     "core_grouping_sets" -> (groupingSets _),
     "core_subqueries" -> (subqueries _),
     "core_scalable_quantiles" -> (scalableQuantiles _),
@@ -348,6 +374,7 @@ object CoreQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "core_top_per_group" -> topPerGroupSql,
     "core_grouping_sets" -> groupingSetsSql,
     "core_subqueries" -> subqueriesSql,
     "core_scalable_quantiles" -> scalableQuantilesSql,

@@ -361,6 +361,14 @@ class GraftPlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  it should "push the per-group top-N rank filter into a group limit" in {
+    val plan = planOf(CoreQueries2.topPerGroup(spark, dir))
+    // rank<=N must become a per-partition WindowGroupLimit (top-N sort),
+    // never a full per-group sort followed by a filter
+    plan should include("WindowGroupLimit")
+    plan should not include "CartesianProduct"
+  }
+
   it should "probe the CMS as a broadcast literal (no second shuffle)" in {
     val plan = planOf(SketchQueries.cmsUsers(spark, dir))
     // estimate columns are pure projections over the groupBy output:
