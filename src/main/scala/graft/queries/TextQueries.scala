@@ -230,6 +230,38 @@ object TextQueries {
        |            ELSE 'fr' END pred_lang
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Language-ID confusion matrix: declared label × marker-heuristic
+    * prediction counts — the quality report that calibrates whether the
+    * lang-ID gate can be trusted per language (and surfaces the expected
+    * 'zh' column: no zh markers exist, so zh docs spread over the latin
+    * predictions). Rides the same scoring map as [[langId]]; one
+    * map-side-combined groupBy over a |langs|² domain. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    langId(s, dir)
+      .groupBy(col("lang").as("declared"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("declared", "pred_lang")
+
+  val langConfusionSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, list_distinct(string_split($normSql, ' ')) w
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_intersect(w, ['the','and','of','to','in'])) AS BIGINT) s_en,
+       |         CAST(len(list_intersect(w, ['der','die','und','das','ist'])) AS BIGINT) s_de,
+       |         CAST(len(list_intersect(w, ['el','los','que','por','con'])) AS BIGINT) s_es,
+       |         CAST(len(list_intersect(w, ['le','les','et','des','une'])) AS BIGINT) s_fr
+       |  FROM b),
+       |p AS (SELECT lang,
+       |             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |                  WHEN s_es >= s_fr THEN 'es'
+       |                  ELSE 'fr' END pred_lang
+       |      FROM sc)
+       |SELECT lang declared, pred_lang, count(*)::BIGINT n_docs
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Document fingerprinting: md5 of the normalized text + a rolling
     * polynomial fingerprint over word hashes. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -969,6 +1001,7 @@ object TextQueries {
     "text_quality_score" -> (qualityScore _),
     "text_source_cap" -> (sourceCap _),
     "text_lang_id" -> (langId _),
+    "text_lang_confusion" -> (langConfusion _),
     "text_fingerprint" -> (fingerprint _),
     "text_dedup_exact" -> (dedupExactDocs _),
     "text_minhash_pairs" -> (minhashPairs _),
@@ -996,6 +1029,7 @@ object TextQueries {
     "text_quality_score" -> qualityScoreSql,
     "text_source_cap" -> sourceCapSql,
     "text_lang_id" -> langIdSql,
+    "text_lang_confusion" -> langConfusionSql,
     "text_fingerprint" -> fingerprintSql,
     "text_dedup_exact" -> dedupExactDocsSql,
     "text_minhash_pairs" -> minhashPairsSql,
