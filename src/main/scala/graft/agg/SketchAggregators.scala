@@ -79,7 +79,9 @@ object SketchAggregators {
     // task-retry storm inside reduce on the executors
     require(depth >= 1 && depth <= CountMinSketch.A.length,
       s"depth must be 1..${CountMinSketch.A.length}")
-    require(width >= 1, "width must be >= 1")
+    require(width >= 1 && width <= CountMinSketch.P,
+      s"width must be 1..${CountMinSketch.P} (bucket residues are mod-P; " +
+        "a wider table would silently leave columns unused)")
 
     override def zero: Array[Long] = new Array[Long](depth * width)
 

@@ -24,6 +24,10 @@ final class CountMinSketch(val depth: Int, val width: Int,
     val table: Array[Long]) {
   require(depth >= 1 && depth <= CountMinSketch.A.length,
     s"depth must be 1..${CountMinSketch.A.length}")
+  // bucket() values live in [0, P): a width beyond P would silently leave
+  // columns [P, width) unused and quietly degrade the error bound
+  require(width >= 1 && width <= CountMinSketch.P,
+    s"width must be 1..${CountMinSketch.P} (hash residues are mod-P)")
   require(table.length == depth * width, "table size != depth*width")
 
   def add(key: Long, inc: Long = 1L): this.type = {

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * identically, and integer addition is order-independent, so no
   * float-summation ordering can break parity).
   *
+  * The forward is computed remainder-correctly as
+  * `(t div W)·w + ((t mod W)·w) div W` — exactly equal to `(t·w) div W`
+  * for non-negative operands (t = q·W + r ⇒ t·w = q·W·w + r·w), but the
+  * largest intermediate is `max((t div W)·w, (t mod W)·w) < max(t, W²)`
+  * instead of `t·w`: overflow-safe for any graph with per-node weight sums
+  * W_u ≤ ~3.0e9 (√2^63) and total rank mass n·1e9 < 2^63 (n ≤ ~9.2e9
+  * nodes), rather than overflowing once rank concentration × max weight
+  * crossed 2^63.
+  *
   * Two execution paths, SAME arithmetic (spec-asserted equal):
   *  - **local**: when the edge frame is codebook-small (≤ `localEdgeMax`),
   *    collect it and iterate on the driver — the pattern every tiny
@@ -48,28 +57,40 @@ object PageRank {
   }
 
   /** Driver-side fixpoint for codebook-small graphs — identical integer
-    * recurrence, bounded by `localEdgeMax` rows (few MB), one collect. */
+    * recurrence, bounded by `localEdgeMax` rows (few MB), one collect.
+    * Generic over the node column type: nodes are carried as opaque keys
+    * and the output frame reuses the input's src/dst DataType, so an
+    * integer-keyed graph takes the same path a string-keyed one does. */
   private def runLocal(e: DataFrame, iters: Int, dampPct: Long): DataFrame = {
     val spark = e.sparkSession
-    import spark.implicits._
-    val edgeRows = e.select("src", "dst", "w").as[(String, String, Long)]
-      .collect()
+    val nodeType = e.schema("src").dataType
+    val edgeRows = e.select("src", "dst", "w").collect()
+      .map(r => (r.get(0), r.get(1), r.getLong(2)))
     e.unpersist()
-    val nodes = (edgeRows.map(_._1) ++ edgeRows.map(_._2)).distinct.sorted
+    val nodes: Seq[Any] = (edgeRows.map(_._1) ++ edgeRows.map(_._2)).distinct.toSeq
     val outW = edgeRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val base = 1000000000L * (100L - dampPct) / 100L
-    var r = nodes.map(_ -> 1000000000L).toMap
+    var r: Map[Any, Long] = nodes.map(_ -> 1000000000L).toMap
     var i = 0
     while (i < iters) {
-      val inflow = new scala.collection.mutable.HashMap[String, Long]()
+      val inflow = new scala.collection.mutable.HashMap[Any, Long]()
       edgeRows.foreach { case (s, d, w) =>
-        val c = ((r(s) * dampPct) / 100L) * w / outW(s)
+        val t = (r(s) * dampPct) / 100L
+        val ws = outW(s)
+        // remainder-correct (t*w) div ws without forming t*w (see scaladoc)
+        val c = (t / ws) * w + ((t % ws) * w) / ws
         inflow.update(d, inflow.getOrElse(d, 0L) + c)
       }
       r = nodes.map(n => n -> (base + inflow.getOrElse(n, 0L))).toMap
       i += 1
     }
-    nodes.map(n => (n, r(n))).toSeq.toDF("node", "rnk")
+    val rows = nodes.map(n => org.apache.spark.sql.Row(n, r(n)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** Drop the cached RDD behind an eager localCheckpoint. Plain
@@ -98,8 +119,10 @@ object PageRank {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "rn"), col("src") === col("rn"))
         .join(outw.withColumnRenamed("src", "ow"), col("src") === col("ow"))
+        .withColumn("t", expr(s"(rnk * $dampPct) div 100"))
+        // remainder-correct (t*w) div wsum without forming t*w (scaladoc)
         .select(col("dst"),
-          expr(s"(((rnk * $dampPct) div 100) * w) div wsum").as("c"))
+          expr("(t div wsum) * w + ((t % wsum) * w) div wsum").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
       val next = nodes
         .join(contrib, col("node") === col("dst"), "left")

@@ -57,7 +57,10 @@ object Resample {
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(
         col("key"),
-        explode(expr(s"sequence(b0, b1, interval $step)")).as("bucket"))
+        // build the interval from the validated field so bare step
+        // spellings ("hour") parse the same as "1 hour"
+        explode(expr(s"sequence(b0, b1, interval 1 ${stepField(step)})"))
+          .as("bucket"))
 
     val filled = grid
       .join(bucketed, Seq("key", "bucket"), "left")

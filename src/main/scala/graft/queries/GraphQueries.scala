@@ -55,7 +55,9 @@ object GraphQueries {
     val rounds = (1 to Iters).map { i =>
       s""",
          |r$i AS (SELECT n.node,
-         |  $base + coalesce(CAST(sum((((r.rnk * $DampPct) // 100) * e.w) // o.W) AS BIGINT), 0) rnk
+         |  $base + coalesce(CAST(sum(
+         |    (((r.rnk * $DampPct) // 100) // o.W) * e.w
+         |    + ((((r.rnk * $DampPct) // 100) % o.W) * e.w) // o.W) AS BIGINT), 0) rnk
          |  FROM nodes n
          |  LEFT JOIN e ON e.dst = n.node
          |  LEFT JOIN r${i - 1} r ON r.node = e.src

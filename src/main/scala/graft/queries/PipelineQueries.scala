@@ -501,12 +501,17 @@ object PipelineQueries {
     * (ops/Packing) — raw documents → fixed-budget sequences in two
     * composed operators. Chunk order key = doc_id·1000 + chunk_no
     * (chunk_no < 1000 holds for any document under ~48k tokens at this
-    * geometry; assert-guarded). */
+    * geometry; guarded in-plan — a wider document raises instead of
+    * silently colliding keys and making the pack order nondeterministic). */
   def chunkPack(s: SparkSession, dir: String): DataFrame = {
     val BUDGET = 256L
     val ch = graft.ops.Chunking.chunks(
         tPar(s, dir, "documents").select("doc_id", "text"))
-      .withColumn("ck", col("doc_id") * 1000L + col("chunk_no"))
+      .withColumn("ck",
+        when(col("chunk_no") < 1000L, col("doc_id") * 1000L + col("chunk_no"))
+          .otherwise(raise_error(lit(
+            "chunkPack: chunk_no >= 1000 (document beyond ~48k tokens at 64/48 geometry) — widen the ck multiplier"))
+            .cast("long")))
     graft.ops.Packing.runningSum(
         ch.select(col("ck"), col("n_tokens")), "ck", "n_tokens")
       .withColumn("seq_id", expr(s"(cum - n_tokens) div $BUDGET"))

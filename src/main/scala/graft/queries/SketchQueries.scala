@@ -141,14 +141,14 @@ object SketchQueries {
   val cmsUsersSql: String =
     """WITH p AS (SELECT * FROM (VALUES (0, 40503, 12345), (1, 30011, 54321),
       |                                 (2, 22695, 7919)) h(i,a,b)),
-      |cell AS (SELECT i, (user_id*a + b) % 65521 % 256 AS bkt,
+      |cell AS (SELECT i, ((user_id % 65521)*a + b) % 65521 % 256 AS bkt,
       |                count(*)::BIGINT cnt
       |         FROM events, p GROUP BY 1, 2),
       |est AS (SELECT e.user_id, min(cnt) est
       |        FROM (SELECT DISTINCT user_id FROM events) e
       |        CROSS JOIN p
       |        JOIN cell ON cell.i = p.i
-      |                 AND cell.bkt = (e.user_id*p.a + p.b) % 65521 % 256
+      |                 AND cell.bkt = ((e.user_id % 65521)*p.a + p.b) % 65521 % 256
       |        GROUP BY 1),
       |ex AS (SELECT user_id, count(*)::BIGINT ex_cnt FROM events GROUP BY 1)
       |SELECT ex.user_id, CAST(est AS BIGINT) est_cnt, ex_cnt,

@@ -78,6 +78,34 @@ class PageRankSpec extends SparkSpec {
     local.keySet shouldBe Set("a", "b", "z")
   }
 
+  it should "accept integer node ids on both paths with matching ranks" in {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L))
+    val local = PageRank.run(edges.toDF("src", "dst", "w"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = PageRank.run(edges.toDF("src", "dst", "w"), 8, localEdgeMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist shouldBe local
+    local.keySet shouldBe Set(1L, 2L, 3L)
+  }
+
+  it should "stay overflow-safe when rank mass times max weight crosses 2^63" in {
+    import spark.implicits._
+    // Hub with a huge-weight out-edge: under the old (t*w) div W order,
+    // t*w ≈ (2e9·85/100) · 2e9 ≈ 3.4e18 > 2^63/3 — with a few nodes' mass
+    // concentrated it wraps; the remainder-correct order never forms t*w.
+    // Here w = W (single out-edge) so the exact forward is just t.
+    val bigW = 2000000000L
+    val edges = Seq(("a", "b", bigW), ("b", "a", bigW), ("c", "a", bigW))
+    val local = PageRank.run(edges.toDF("src", "dst", "w"), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = PageRank.run(edges.toDF("src", "dst", "w"), 10, localEdgeMax = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dist shouldBe local
+    all(local.values) should be >= 0L  // no wrapped negatives
+    local.values.sum should be <= 3000000000L // mass conserved up to leakage
+  }
+
   it should "conserve mass up to floor leakage" in {
     val edges = Seq(("a", "b", 3L), ("b", "a", 2L), ("b", "c", 1L),
       ("c", "a", 7L))

@@ -63,6 +63,20 @@ class ResampleSpec extends SparkSpec {
       ("2024-01-04 00:00:00.0", 4.0, true))
   }
 
+  it should "accept bare step spellings identically to the '1 x' forms" in {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 1.0, 1L),
+      ("a", ts("2024-01-01 03:20:00"), 2.0, 2L)
+    ).toDF("k", "t", "v", "seq")
+    val full = Resample.locf(ev, "k", "t", "v", "1 hour", col("seq"))
+      .orderBy("bucket").collect().map(_.toSeq)
+    val bare = Resample.locf(ev, "k", "t", "v", "hour", col("seq"))
+      .orderBy("bucket").collect().map(_.toSeq)
+    bare shouldBe full
+    bare should have length 4
+  }
+
   it should "reject a non-calendar step loudly" in {
     import spark.implicits._
     val ev = Seq(("a", ts("2024-01-01 00:00:00"), 1.0, 1L)).toDF("k", "t", "v", "seq")
