@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * `s` small codes — d×4 bytes → s bytes.
   *
   * Determinism contract (the reason this is NOT MLlib KMeans): codebooks
-  * are seeded from the vectors with id 0..kc-1 and refit by ONE Lloyd
+  * are seeded from the kc smallest-id vectors and refit by ONE Lloyd
   * update whose per-cell means are exact integer micro-unit sums, so a SQL
   * engine (the DuckDB oracle) can reproduce the trained codebook
   * bit-for-bit. Assignment ties break on the lower code.
@@ -44,7 +44,7 @@ object Pq {
 
   /** Train `s` subspace codebooks of `kc` centroids each over `sub`-dim
     * slices of `vecCol` (array<double>, dimension `s*sub`): seed from the
-    * rows with `idCol` 0..kc-1, then `iters` Lloyd refits with exact
+    * kc smallest-`idCol` rows, then `iters` Lloyd refits with exact
     * micro-unit integer means (one map-side-combined shuffle per refit).
     * The oracle queries pin iters = 1 (the SQL mirror re-derives exactly
     * one refit); real index builds pass more — every iteration is equally
@@ -55,12 +55,14 @@ object Pq {
       s: Int, sub: Int, kc: Int, iters: Int = 1): Codebooks = {
     require(iters >= 1, s"Pq.train: iters=$iters — need at least one refit")
     val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val seedRows = e.filter(col("__id") < kc).orderBy("__id").collect()
-    // ids must be EXACTLY 0..kc-1: a duplicate or negative id can satisfy a
-    // bare count while silently training from the wrong seeds
+    // seeds = the kc smallest-id vectors, in id order — data-derived (the
+    // old literal-ids-0..kc-1 selection memorized the driver tier's id
+    // space and broke on any other table; caught by the second-seed
+    // robustness gate). Codebook index = seed rank.
+    val seedRows = e.orderBy("__id").limit(kc).collect()
     val seedIds = seedRows.map(_.getAs[Number](0).longValue)
-    require(seedIds.sameElements(0L until kc.toLong),
-      s"Pq.train: need ids 0..${kc - 1} as seeds, found [${seedIds.mkString(",")}]")
+    require(seedIds.length == kc && seedIds.distinct.length == kc,
+      s"Pq.train: need $kc distinct-id seed vectors, found [${seedIds.mkString(",")}]")
     val seeds = seedRows.map(_.getSeq[Double](1).toArray)
     val cb1: Codebooks =
       Array.tabulate(s, kc)((si, c) => seeds(c).slice(si * sub, (si + 1) * sub))

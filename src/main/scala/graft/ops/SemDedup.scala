@@ -28,17 +28,18 @@ object SemDedup {
   private def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
-  /** Deterministic codebook: the vectors whose id is 0..k-1, in id order —
-    * the oracle-reproducible seeding (any trained codebook drops in). */
+  /** Deterministic codebook: the `k` smallest-id vectors, in id order —
+    * the oracle-reproducible, data-derived seeding (any trained codebook
+    * drops in). Cluster label = seed rank, never the raw id: a literal
+    * ids-0..k-1 selection would memorize one tier's id space (caught by
+    * the second-seed robustness gate). */
   def seedCodebook(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Array[Array[Double]] = {
     val rows = df.select(col(idCol), col(vecCol))
-      .filter(col(idCol) < k).orderBy(idCol).collect()
-    // ids must be EXACTLY 0..k-1 (distinct, contiguous): a duplicate or
-    // negative id can satisfy a bare count with the wrong seeds
+      .orderBy(idCol).limit(k).collect()
     val ids = rows.map(_.getAs[Number](0).longValue)
-    require(ids.sameElements(0L until k.toLong),
-      s"SemDedup.seedCodebook: need ids 0..${k - 1}, found [${ids.mkString(",")}]")
+    require(ids.length == k && ids.distinct.length == k,
+      s"SemDedup.seedCodebook: need $k distinct-id seeds, found [${ids.mkString(",")}]")
     rows.map(_.getSeq[Double](1).toArray)
   }
 

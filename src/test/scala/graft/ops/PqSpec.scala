@@ -60,10 +60,24 @@ class PqSpec extends SparkSpec {
     }
   }
 
-  it should "reject zero iterations and missing seeds" in {
+  it should "reject zero iterations and too few seed vectors" in {
     an[IllegalArgumentException] should be thrownBy
       Pq.train(vecs, "vec_id", "v", S, SUB, KC, iters = 0)
     an[IllegalArgumentException] should be thrownBy
-      Pq.train(vecs.filter(col("vec_id") >= 2), "vec_id", "v", S, SUB, KC)
+      Pq.train(vecs.limit(KC - 1), "vec_id", "v", S, SUB, KC)
+  }
+
+  it should "seed by id RANK, not literal id values (id-space independence)" in {
+    // the old contract required ids 0..kc-1 and broke on any renumbered
+    // table (caught by the second-seed robustness gate): a constant id
+    // shift must leave the trained codebooks bit-identical
+    val cb = Pq.train(vecs, "vec_id", "v", S, SUB, KC)
+    val shifted = vecs.withColumn("vec_id", col("vec_id") + 1000000L)
+    val cbShift = Pq.train(shifted, "vec_id", "v", S, SUB, KC)
+    (0 until S).foreach { si =>
+      (0 until KC).foreach { c =>
+        cbShift(si)(c).toSeq shouldBe cb(si)(c).toSeq
+      }
+    }
   }
 }

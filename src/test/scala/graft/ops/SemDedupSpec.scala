@@ -71,8 +71,17 @@ class SemDedupSpec extends SparkSpec {
       SemDedup.assign(withCluster, "v", cb)
   }
 
-  it should "fail loudly when seed ids are missing" in {
+  it should "fail loudly when fewer than k seed vectors exist" in {
     an[IllegalArgumentException] should be thrownBy
-      SemDedup.seedCodebook(vecs.filter(col("vec_id") >= 2), "vec_id", "v", k = 4)
+      SemDedup.seedCodebook(vecs.limit(3), "vec_id", "v", k = 4)
+  }
+
+  it should "seed by id RANK, not literal id values (id-space independence)" in {
+    // a constant id shift must produce the identical codebook — the old
+    // ids-0..k-1 contract memorized one tier's id space (second-seed gate)
+    val cb = SemDedup.seedCodebook(vecs, "vec_id", "v", k = 4)
+    val shifted = vecs.withColumn("vec_id", col("vec_id") + 1000000L)
+    val cbShift = SemDedup.seedCodebook(shifted, "vec_id", "v", k = 4)
+    cbShift.map(_.toSeq).toSeq shouldBe cb.map(_.toSeq).toSeq
   }
 }
