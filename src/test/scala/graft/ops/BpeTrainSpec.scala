@@ -54,22 +54,27 @@ class BpeTrainSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy learn(2, "ab")
   }
 
-  it should "match the naive full-recount trainer rank-for-rank at k=40" in {
-    // the delta-counting differential proof: a deterministic ~120-word
+  it should "match the naive full-recount trainer rank-for-rank at k=100" in {
+    // the delta-counting differential proof: a deterministic ~220-word
     // corpus with heavy pair reuse (so merges cascade through merged
     // symbols), deep enough that any drift in the maintained pair frame —
     // a missed delta, a stale count, a wrong zero-prune — surfaces as a
-    // different winner at SOME round (the corpus supports exactly 40
-    // merges before running dry — both trainers must agree on all 40)
+    // different winner at SOME round; k = 100 per the round-15 ask (the
+    // old k=40 run left the 41..k tail of the maintained frame unproven)
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val words = (1 to 40).map(i => ("abra" * (i % 3 + 1)) + "cad" + ("ra" * (i % 5))) ++
       (1 to 40).map(i => "ban" * (i % 4 + 1) + "ana") ++
-      (1 to 40).map(i => "mississippi".take(i % 8 + 4))
+      (1 to 40).map(i => "mississippi".take(i % 8 + 4)) ++
+      (1 to 60).map { i =>
+        val a = ('a' + i % 13).toChar; val b = ('n' + i % 13).toChar
+        s"$a$b".toString * (i % 6 + 2)
+      } ++
+      (1 to 40).map(i => ("xy" * (i % 5 + 1)) + ("zw" * (i % 7 + 1)))
     val docs = words.grouped(10).zipWithIndex
       .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
       .toDF("doc_id", "text")
-    val k = 40
+    val k = 100
     def run(f: (org.apache.spark.sql.DataFrame, String, Int) => org.apache.spark.sql.DataFrame) =
       graft.util.CacheBin.withScope {
         f(docs, "text", k).collect()

@@ -104,10 +104,14 @@ for table in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
     t = pq.read_table(f"{src}/{table}.parquet")
     if table in ("region", "nation"):
-        out = t
-    else:
-        rng = np.random.default_rng(977_000 + hash(table) % 1000)
-        out = pa.concat_tables([copy_of(table, t, c, rng) for c in range(M)])
-    pq.write_table(out, f"{dst}/{table}.parquet")
-    print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
+        pq.write_table(t, f"{dst}/{table}.parquet")
+        print(f"{table}: {t.num_rows} -> {t.num_rows} rows")
+        continue
+    rng = np.random.default_rng(977_000 + hash(table) % 1000)
+    # stream copies as row groups so an M=100 lineitem never concatenates
+    # 60M rows in memory
+    with pq.ParquetWriter(f"{dst}/{table}.parquet", t.schema) as w:
+        for c in range(M):
+            w.write_table(copy_of(table, t, c, rng))
+    print(f"{table}: {t.num_rows} -> {t.num_rows * M} rows")
 print("done")
