@@ -191,19 +191,34 @@ object NearDup {
 
   // ---- SimHash bit-chunk banding ----
 
-  /** Hamming-close pairs over a precomputed fingerprint column via bit-chunk
-    * LSH: split `totalBits` into `bands` equal chunks, equi-join on
-    * (chunk_idx, chunk_value), then filter the exact Hamming distance.
+  /** Hamming-close pairs over a precomputed fingerprint column via
+    * block-combination LSH (Manku, Jain, Das Sarma, "Detecting
+    * near-duplicates for web crawling", WWW 2007 §3): split `totalBits`
+    * into `bands` equal blocks and equi-join on every
+    * `C(bands, bands - maxHamming)` combination of `bands - maxHamming`
+    * whole blocks (concatenated into one ≤63-bit key), then filter the
+    * exact Hamming distance.
     *
-    * For maxHamming ≤ bands - 1 this is EXACT by pigeonhole: a pair with at
-    * most bands-1 differing bits must agree on at least one whole chunk, so
-    * every qualifying pair is found — same results as the O(n²) scan, one
-    * equi-join shuffle instead.
+    * EXACT by pigeonhole: a pair with ≤ maxHamming differing bits touches
+    * at most maxHamming blocks, so at least `bands - maxHamming` blocks
+    * are identical and SOME combination key collides — same results as
+    * the O(n²) scan, one equi-join shuffle instead.
+    *
+    * WHY combinations, not single blocks (the round-15 100× scale
+    * rehearsal root-cause): with single-block keys the key space is only
+    * 2^(totalBits/bands) (32k for 60/4), so candidate pairs grow as
+    * n²/2^(totalBits/bands) — measured 16× slower on 10× more documents
+    * at the 100× tier. Combination keys multiply the key space to
+    * 2^((bands-maxHamming)·totalBits/bands) (2^30 for 60-bit/6-block/
+    * hamming-3) at the cost of C(bands, maxHamming) rows per doc (20 for
+    * 6/3) — candidates collapse to the true matches plus vanishing noise,
+    * and the explode factor is a scale-independent constant. `bands =
+    * maxHamming + 1` degenerates to exactly the old single-block scheme.
     *
     * `carry` names extra columns of `sh` to ride through the join, emitted
     * as `<name>_a`/`<name>_b` beside each pair. Carrying beats joining them
     * back on afterwards: the pair set is the LARGE frame here (every
-    * chunk collision survives to it), so each join-back is an extra
+    * key collision survives to it), so each join-back is an extra
     * shuffle of exactly the data this operator exists to keep narrow.
     * Carried columns must be functions of the id (true for any per-doc
     * attribute) or the collision-dedup `distinct` would inflate pairs. */
@@ -221,10 +236,17 @@ object NearDup {
       s"hammingPairs carry columns ${carry.filter(reserved).mkString(", ")} " +
         s"collide with the operator's internal names (${reserved.mkString(", ")}) — rename them")
     val chunkBits = totalBits / bands
+    val keyBlocks = bands - maxHamming
+    require(keyBlocks * chunkBits <= 63,
+      s"combination key needs ${keyBlocks}x$chunkBits bits — over the 63-bit Long key")
     val mask = (1L << chunkBits) - 1
-    val chunkCols = (0 until bands).map { b =>
-      struct(lit(b).as("cb"),
-        shiftright(col(hashCol), b * chunkBits).bitwiseAND(lit(mask)).as("cv"))
+    def blockVal(b: Int): Column =
+      shiftright(col(hashCol), b * chunkBits).bitwiseAND(lit(mask))
+    val combos = (0 until bands).combinations(keyBlocks).toSeq
+    val chunkCols = combos.zipWithIndex.map { case (combo, ci) =>
+      struct(lit(ci).as("cb"),
+        combo.map(blockVal).reduceLeft((acc, v) =>
+          shiftleft(acc, chunkBits) + v).as("cv"))
     }
     val chunks = sh.select(col(idCol).as("doc_id") +: col(hashCol).as("h") +:
         explode(array(chunkCols: _*)).as("c") +: carry.map(col): _*)

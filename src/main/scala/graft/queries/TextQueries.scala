@@ -412,8 +412,11 @@ object TextQueries {
     * simhash values first (a groupBy — on clustered corpora this shrinks the
     * working set by the duplication factor and is exactly "exact dedup
     * before near-dup"), then bit-chunk LSH banding over the values
-    * ([[graft.ops.NearDup.hammingPairs]], 4 chunks × 15 bits — by pigeonhole
-    * EXACTLY the hamming ≤ 3 value pairs). One row per cluster pair with its
+    * ([[graft.ops.NearDup.hammingPairs]], 20 combination keys of 3-of-6
+    * 10-bit blocks — by pigeonhole EXACTLY the hamming ≤ 3 value pairs,
+    * with a 2^30 key space so candidates stay linear in the corpus; the
+    * old 4×15-bit single-block keys measured 16× slower on 10× more docs
+    * at the 100× scale tier, SCALE.md). One row per cluster pair with its
     * doc-pair multiplicity `n_pairs` (n_a·n_b across clusters, n·(n−1)/2
     * within), so Σ n_pairs equals the count of the naive doc-level pair scan
     * without ever materializing the quadratic doc-pair set — at sf0.1 that
@@ -432,7 +435,7 @@ object TextQueries {
     // back on afterwards would shuffle the pair set twice more
     val cross = graft.ops.NearDup.hammingPairs(
         vals.select(col("rep"), col("simhash"), col("n")), "rep", "simhash",
-        totalBits = 60, bands = 4, maxHamming = 3, carry = Seq("n"))
+        totalBits = 60, bands = 6, maxHamming = 3, carry = Seq("n"))
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
         col("hamming"), (col("n_a") * col("n_b")).as("n_pairs"))
     within.unionAll(cross).orderBy("rep_a", "rep_b")

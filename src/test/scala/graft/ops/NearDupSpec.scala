@@ -78,6 +78,27 @@ class NearDupSpec extends SparkSpec {
 
     banded shouldBe brute
     brute should not be empty // sanity: the fixture does contain close pairs
+
+    // combination-key scheme (bands > maxHamming + 1, the scale shape with
+    // 20 keys of 3-of-6 blocks) is pigeonhole-exact too: identical pair set
+    val combos = NearDup.hammingPairs(sh, "doc_id", "simhash",
+        totalBits = 60, bands = 6, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    combos shouldBe brute
+  }
+
+  it should "find pairs whose differing bits span maxHamming distinct blocks" in {
+    import spark.implicits._
+    // worst case for block keys: the 3 flipped bits land in 3 DIFFERENT
+    // 10-bit blocks (bits 5, 15, 25), so only combos drawn entirely from
+    // the untouched blocks {3,4,5} collide — exactly one of the 20 keys
+    val base = 0x0123456789ABCDEL & ((1L << 60) - 1)
+    val sh = Seq((1L, base), (2L, base ^ (1L << 5) ^ (1L << 15) ^ (1L << 25)))
+      .toDF("doc_id", "simhash")
+    val out = NearDup.hammingPairs(sh, "doc_id", "simhash",
+        totalBits = 60, bands = 6, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((1L, 2L, 3L))
   }
 
   it should "carry per-doc columns through the chunk join and reject reserved names" in {
