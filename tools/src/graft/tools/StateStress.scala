@@ -32,6 +32,21 @@ object StateStress {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // memoryUsedBytes reports RocksDB NATIVE usage (block cache + table
+      // readers + memtables over the run's accumulating SST files), which
+      // reads as ~3 MB/batch "growth" at flat logical rows; it is NOT a
+      // logical-state leak (minBatchesToRetain and compactOnCommit leave
+      // the curve unchanged — measured). Production caps the native side
+      // with boundedMemoryUsage (GRAFT_BOUND_MB here) — the knob the 100 TB
+      // deployment sets per executor.
+      .config("spark.sql.streaming.minBatchesToRetain",
+        sys.env.getOrElse("GRAFT_RETAIN", "100"))
+      .config("spark.sql.streaming.stateStore.rocksdb.compactOnCommit",
+        sys.env.getOrElse("GRAFT_COMPACT", "0") == "1")
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+        sys.env.contains("GRAFT_BOUND_MB"))
+      .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+        sys.env.getOrElse("GRAFT_BOUND_MB", "500"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
