@@ -59,11 +59,18 @@ object Pq {
     // old literal-ids-0..kc-1 selection memorized the driver tier's id
     // space and broke on any other table; caught by the second-seed
     // robustness gate). Codebook index = seed rank.
-    val seedRows = e.orderBy("__id").limit(kc).collect()
-    val seedIds = seedRows.map(_.getAs[Number](0).longValue)
+    val seedRows = e.orderBy("__id").limit(kc + 1).collect()
+    val seedIds = seedRows.take(kc).map(_.getAs[Number](0).longValue)
     require(seedIds.length == kc && seedIds.distinct.length == kc,
       s"Pq.train: need $kc distinct-id seed vectors, found [${seedIds.mkString(",")}]")
-    val seeds = seedRows.map(_.getSeq[Double](1).toArray)
+    // a duplicate id straddling the limit boundary would make the seed SET
+    // depend on sort-tiebreak order — fail loudly instead of training a
+    // run-dependent codebook (idCol must be unique through rank kc+1)
+    require(seedRows.length == kc ||
+        seedRows(kc).getAs[Number](0).longValue != seedIds(kc - 1),
+      s"Pq.train: id ${seedIds(kc - 1)} ties at the seed boundary — " +
+        "idCol must be unique for a deterministic codebook")
+    val seeds = seedRows.take(kc).map(_.getSeq[Double](1).toArray)
     val cb1: Codebooks =
       Array.tabulate(s, kc)((si, c) => seeds(c).slice(si * sub, (si + 1) * sub))
     // Lloyd refit per (subspace, code): exact micro-unit sums of the

@@ -36,11 +36,17 @@ object SemDedup {
   def seedCodebook(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Array[Array[Double]] = {
     val rows = df.select(col(idCol), col(vecCol))
-      .orderBy(idCol).limit(k).collect()
-    val ids = rows.map(_.getAs[Number](0).longValue)
+      .orderBy(idCol).limit(k + 1).collect()
+    val ids = rows.take(k).map(_.getAs[Number](0).longValue)
     require(ids.length == k && ids.distinct.length == k,
       s"SemDedup.seedCodebook: need $k distinct-id seeds, found [${ids.mkString(",")}]")
-    rows.map(_.getSeq[Double](1).toArray)
+    // duplicate id across the limit boundary → run-dependent seed set;
+    // fail loudly (idCol must be unique through rank k+1)
+    require(rows.length == k ||
+        rows(k).getAs[Number](0).longValue != ids(k - 1),
+      s"SemDedup.seedCodebook: id ${ids(k - 1)} ties at the seed boundary — " +
+        "idCol must be unique for a deterministic codebook")
+    rows.take(k).map(_.getSeq[Double](1).toArray)
   }
 
   /** Input rows + `cluster` (nearest codebook row by squared L2, ties on

@@ -191,9 +191,10 @@ object EventAnalytics {
   /** 3-sigma outliers per event type, exactly: with per-type count n, cents
     * sum S and square-sum Q, `|x - S/n| > 3·sd` is the INTEGER predicate
     * `(n·x - S)² > 9·(n·Q - S²)` — no float mean/sd, so both engines flag
-    * the identical rows. Long-range note: |n·x| and n·Q stay far inside
-    * Int64 through sf0.1 (verified ~8e8 / 2e16); web-scale groups want the
-    * same predicate in DECIMAL(38).
+    * the identical rows. Long-range precondition: per-type
+    * `n · max|x| < ~3e9` (so the squared deviation fits Int64) and
+    * `n·Q < 2^63` — both hold with ~100× headroom through sf0.1 (verified
+    * ~8e8 / 2e16); web-scale groups want the same predicate in DECIMAL(38).
     *
     * Scale shape: one groupBy for the 5-row stats frame, broadcast back —
     * the event stream itself is scanned once and never shuffled. */

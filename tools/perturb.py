@@ -16,7 +16,8 @@ reproducible):
     suppkey/doc_id/vec_id/user_id/event_id) — FK joins stay intact, but
     any oracle that hard-codes seed-42 id arithmetic breaks
   - money/quantity columns: cents-level additive jitter
-  - timestamps: ±[0, 997) second jitter (orderdate/shipdate/events.ts)
+  - timestamps: +[0, 997) second jitter, one-sided forward
+    (orderdate/shipdate/events.ts) — preserves non-negative intervals
   - documents.text: ~15%% of docs get a deterministic token appended or
     prepended (near-dup/similarity structure must be recomputed, not
     remembered)
