@@ -7,8 +7,15 @@ package graft.algorithm
   * Fresh implementation of the published algorithm.
   *
   * Spark's built-in `approx_count_distinct` (HLL++) is the production path;
-  * this port exists for bit-compatible behavior with reference pipelines and
-  * for mergeable state in custom Aggregators.
+  * this port exists for mergeable state in custom Aggregators — and, since
+  * round 16, for a FULLY oracle-checkable estimate: the hash is a portable
+  * two-lane family (per-lane polynomial rolling hash over code points mod
+  * 2^32, finished with the murmur3 fmix32 avalanche), every step 64-bit-safe
+  * integer arithmetic that a SQL engine reproduces verbatim, and the
+  * register-sum term of the estimator is EXACT integer arithmetic (each
+  * 2^-M[i] scaled to units of 2^-(w+1)) so no float-summation order can
+  * diverge across engines. See SketchQueries.hllUsersSql for the DuckDB
+  * mirror.
   */
 final class HyperLogLog(val b: Int) extends Serializable {
   require(b >= 4 && b <= 16, "b must be in [4,16]")
@@ -26,15 +33,24 @@ final class HyperLogLog(val b: Int) extends Serializable {
   def add(item: Any): Unit = HyperLogLog.updateRegisters(registers, b, item)
 
   def estimate: Long = {
-    var sum = 0.0
+    // rest is a w-bit window (w = 62-b), so ranks span [1, w+1] and each
+    // register contributes 2^-M[i]; accumulate in exact units of 2^-(w+1)
+    // (BigInt: the all-zeros corner at small b overflows a Long)
+    val w = 62 - b
     var zeros = 0
+    var presentSum = BigInt(0)
     var i = 0
     while (i < m) {
-      sum += math.pow(2.0, -registers(i).toDouble)
-      if (registers(i) == 0) zeros += 1
+      val r = registers(i)
+      if (r == 0) zeros += 1
+      else presentSum += BigInt(1) << (w + 1 - r)
       i += 1
     }
-    val raw = alpha * m * m / sum
+    val sumScaled = presentSum + (BigInt(zeros) << (w + 1))
+    // float ops below mirror the SQL oracle's op order exactly; BigInt
+    // .toDouble and HUGEINT::DOUBLE are both round-to-nearest
+    val unit = java.lang.Math.scalb(1.0, w + 1) // 2^(w+1), exact
+    val raw = alpha * m * m / (sumScaled.toDouble / unit)
     val corrected =
       if (raw <= 2.5 * m && zeros > 0)
         m * math.log(m.toDouble / zeros) // linear counting, small range
@@ -60,16 +76,50 @@ final class HyperLogLog(val b: Int) extends Serializable {
 object HyperLogLog {
   def apply(b: Int = 12): HyperLogLog = new HyperLogLog(b)
 
+  /** Polynomial rolling hash over Unicode code points, mod 2^32 — the
+    * SQL-expressible pre-mix (DuckDB: list_reduce over string_split + ascii,
+    * same fold). */
+  private def poly(s: String, seed: Long, mult: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) & 0xffffffffL
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Murmur3 fmix32 avalanche on a 32-bit value carried in a Long — every
+    * step stays below 2^64 unsigned (the 32×32 products are computed in a
+    * 64-bit lane then truncated), so a SQL engine mirrors it with HUGEINT
+    * intermediates. */
+  private def fmix32(x0: Long): Long = {
+    var h = x0 & 0xffffffffL
+    h ^= h >>> 16
+    h = (h * 0x85ebca6bL) & 0xffffffffL
+    h ^= h >>> 13
+    h = (h * 0xc2b2ae35L) & 0xffffffffL
+    h ^= h >>> 16
+    h
+  }
+
+  /** 62-bit portable hash: top 31 bits from lane 1 (seed 17, mult 31),
+    * low 31 bits from lane 2 (seed 19, mult 37). */
+  private[algorithm] def hash62(s: String): Long =
+    ((fmix32(poly(s, 17L, 31L)) & 0x7fffffffL) << 31) |
+      (fmix32(poly(s, 19L, 37L)) & 0x7fffffffL)
+
   /** In-place register update on a raw register array — the allocation-free
     * hot path for Aggregator buffers (no sketch object, no copies). */
   def updateRegisters(registers: Array[Byte], b: Int, item: Any): Unit = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(String.valueOf(item), 0x2545f491)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(String.valueOf(item), 0x9e3779b9)
-    val x = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-    val idx = (x >>> (64 - b)).toInt
-    val rest = x << b
-    val rank = (java.lang.Long.numberOfLeadingZeros(rest | (1L << (b - 1))) + 1)
-      .min(64 - b + 1)
+    val x = hash62(String.valueOf(item))
+    val w = 62 - b
+    val idx = (x >>> w).toInt
+    val rest = x & ((1L << w) - 1L)
+    val rank =
+      if (rest == 0L) w + 1
+      else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
     if (rank > registers(idx)) registers(idx) = rank.toByte
   }
 

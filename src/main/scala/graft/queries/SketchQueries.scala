@@ -8,11 +8,14 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
 
-/** Sketch/approximate operators at the query surface (rows-only checks: the
-  * estimates are engine-local by construction — HLL++ in Spark, our HLL and
-  * SBF ports — so no DuckDB hash-match is possible; exact-twin queries
-  * (`core_distinct_counts`, `ev_dedup_exact`) cover the same semantics
-  * exactly, and the unit specs bound the sketch error).
+/** Sketch/approximate operators at the query surface. CMS and HLL are
+  * FULLY oracle-checked — their portable integer hash families are rebuilt
+  * verbatim in DuckDB SQL, estimates hash-match including collisions. The
+  * remaining three (SBF, SpaceSaving, percentile_approx) are engine-local
+  * by construction (order-dependent decay/eviction, Spark-internal
+  * KLL-style summary) → rows-only beside their exact twins
+  * (`ev_dedup_exact`, `text_boilerplate`, `core_median_prices`), with unit
+  * specs bounding the sketch error.
   */
 object SketchQueries {
 
@@ -35,21 +38,68 @@ object SketchQueries {
       .as[EventRow]
   }
 
-  /** Distinct users per event type three ways: exact, Spark HLL++, and the
-    * ported HyperLogLog Aggregator — one pass each, mergeable partials. */
+  /** Distinct users per event type: exact beside the ported HyperLogLog
+    * Aggregator — one pass each, mergeable partials. FULLY oracle-checked
+    * since round 16: the HLL hash is a portable two-lane family (polynomial
+    * mod 2^32 + fmix32, algorithm/HyperLogLog.scala) and the estimator's
+    * register sum is exact-integer, so the DuckDB oracle rebuilds the
+    * identical 4096-register array and estimate in SQL — including every
+    * hash collision. (Spark's builtin approx_count_distinct HLL++ remains
+    * the production default; its engine-internal estimate is covered by
+    * spec, not oracle.) */
   def hllUsers(s: SparkSession, dir: String): DataFrame = {
     implicit val enc: Encoder[EventRow] = Encoders.product[EventRow]
     import s.implicits._
     val hll = new HllAggregator[EventRow](_.user_id.toString, b = 12)
     val ported = typedEvents(s, dir)
       .groupByKey(_.event_type)
-      .agg(hll.toColumn.name("hll_port"))
-      .toDF("event_type", "hll_port")
-    val builtins = events(s, dir).groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("hllpp_users"))
-    builtins.join(ported, "event_type").orderBy("event_type")
+      .agg(hll.toColumn.name("hll_est"))
+      .toDF("event_type", "hll_est")
+    val exact = events(s, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(ported, "event_type").orderBy("event_type")
   }
+
+  /** DuckDB mirror of [[hllUsers]]: rebuilds the b=12 HLL verbatim — the
+    * two fmix32(poly) lanes (HUGEINT intermediates for the 32x32 products),
+    * the 62-bit combine, idx/rank split (w=50), register-wise max, and the
+    * exact-integer register sum in units of 2^-51 — then the identical
+    * float estimator op-for-op. */
+  val hllUsersSql: String =
+    """WITH u AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) s FROM events),
+      |ph AS (SELECT event_type,
+      |  list_reduce(list_prepend(17::BIGINT, list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)), (a, x) -> (a * 31 + x) % 4294967296) h1,
+      |  list_reduce(list_prepend(19::BIGINT, list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)), (a, x) -> (a * 37 + x) % 4294967296) h2
+      |  FROM u),
+      |f1 AS (SELECT event_type, xor(h1, h1 >> 16) a1, xor(h2, h2 >> 16) a2 FROM ph),
+      |f2 AS (SELECT event_type, CAST((a1::HUGEINT * 2246822507) % 4294967296 AS BIGINT) b1,
+      |               CAST((a2::HUGEINT * 2246822507) % 4294967296 AS BIGINT) b2 FROM f1),
+      |f3 AS (SELECT event_type, xor(b1, b1 >> 13) c1, xor(b2, b2 >> 13) c2 FROM f2),
+      |f4 AS (SELECT event_type, CAST((c1::HUGEINT * 3266489909) % 4294967296 AS BIGINT) d1,
+      |               CAST((c2::HUGEINT * 3266489909) % 4294967296 AS BIGINT) d2 FROM f3),
+      |f5 AS (SELECT event_type, xor(d1, d1 >> 16) e1, xor(d2, d2 >> 16) e2 FROM f4),
+      |hx AS (SELECT event_type, (e1 & 2147483647) * 2147483648 + (e2 & 2147483647) x FROM f5),
+      |rk AS (SELECT event_type, x >> 50 idx,
+      |         CASE WHEN x & 1125899906842623 = 0 THEN 51
+      |              ELSE 51 - length(bin(x & 1125899906842623)) END rnk FROM hx),
+      |regs AS (SELECT event_type, idx, max(rnk) mx FROM rk GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*) present,
+      |         sum(1::BIGINT << (51 - mx)) psum FROM regs GROUP BY 1),
+      |es AS (SELECT event_type, 4096 - present zeros,
+      |         psum + (4096 - present)::HUGEINT * 2251799813685248 sumscaled FROM st),
+      |rw AS (SELECT event_type, zeros,
+      |         0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 /
+      |           (sumscaled::DOUBLE / 2251799813685248) r FROM es),
+      |he AS (SELECT event_type,
+      |         CAST(round(CASE WHEN r <= 2.5 * 4096 AND zeros > 0
+      |                         THEN 4096 * ln(4096.0 / zeros)
+      |                         WHEN r > 4294967296.0 / 30
+      |                         THEN -4294967296.0 * ln(1 - r / 4294967296.0)
+      |                         ELSE r END) AS BIGINT) hll_est FROM rw),
+      |ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT exact_users
+      |       FROM events GROUP BY 1)
+      |SELECT ex.event_type, exact_users, hll_est
+      |FROM ex JOIN he USING (event_type) ORDER BY event_type""".stripMargin
 
   /** Bounded-memory SBF dedup over the typed stream — approximate twin of
     * `ev_dedup_exact` (reference SBFDeduplicationFilter semantics). */
@@ -163,9 +213,10 @@ object SketchQueries {
     "sk_cms_users" -> (cmsUsers _),
   )
 
-  /** All rows-only (see object doc) except the CMS, whose integer hash
-    * family the oracle reproduces exactly. */
+  /** Rows-only (see object doc) except CMS and HLL, whose portable hash
+    * families the oracle reproduces exactly. */
   val oracle: Map[String, String] = Map(
     "sk_cms_users" -> cmsUsersSql,
+    "sk_hll_users" -> hllUsersSql,
   )
 }

@@ -58,6 +58,16 @@ class AlgorithmSpec extends AnyFlatSpec with Matchers {
     hll.estimate.toDouble shouldBe n.toDouble +- n * 0.05
   }
 
+  it should "match the SQL oracle bit-for-bit on the raw-estimator branch" in {
+    // keys "0".."49999" fill every register (zeros=0 → the raw branch the
+    // sf0.01 oracle tier can't reach); 50147 is the DuckDB mirror's answer
+    // (SketchQueries.hllUsersSql algebra) — any hash or float-op-order
+    // divergence between the engines moves this number
+    val hll = HyperLogLog(12)
+    (0 until 50000).foreach(i => hll.add(i.toString))
+    hll.estimate shouldBe 50147L
+  }
+
   it should "be insensitive to duplicates" in {
     val hll = HyperLogLog(12)
     (0 until 1000).foreach(i => hll.add(s"k-${i % 100}"))
