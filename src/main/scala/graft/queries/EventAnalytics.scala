@@ -191,22 +191,27 @@ object EventAnalytics {
   /** 3-sigma outliers per event type, exactly: with per-type count n, cents
     * sum S and square-sum Q, `|x - S/n| > 3·sd` is the INTEGER predicate
     * `(n·x - S)² > 9·(n·Q - S²)` — no float mean/sd, so both engines flag
-    * the identical rows. Long-range precondition: per-type
-    * `n · max|x| < ~3e9` (so the squared deviation fits Int64) and
-    * `n·Q < 2^63` — both hold with ~100× headroom through sf0.1 (verified
-    * ~8e8 / 2e16); web-scale groups want the same predicate in DECIMAL(38).
+    * the identical rows. The predicate runs in DECIMAL(38,0) (DuckDB:
+    * HUGEINT) — exact 128-bit integers both sides — because the squared
+    * deviation overflows Int64 as soon as per-type `n · max|x|` passes
+    * ~3e9 (caught by the 10× scale-parity gate, round 16: dev² ≈ 4e20 at
+    * 1M events). Remaining precondition: per-type `n · max|x| < ~1.3e19`
+    * (dev² inside 38 digits) and `Q = Σx² < 2^63` for the Long
+    * accumulation — ~1e6× headroom at the 100× tier.
     *
     * Scale shape: one groupBy for the 5-row stats frame, broadcast back —
     * the event stream itself is scanned once and never shuffled. */
   def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
     val c = events(s, dir).select(col("event_id"), col("event_type"),
       cents(col("value")).as("x"))
+    val dec = "decimal(38,0)"
     val st = c.groupBy(col("event_type").as("t"))
-      .agg(count(lit(1)).as("n"), sum("x").as("s0"),
-        sum(col("x") * col("x")).as("q"))
-    val dev = col("n") * col("x") - col("s0")
+      .agg(count(lit(1)).cast(dec).as("n"), sum("x").cast(dec).as("s0"),
+        sum(col("x") * col("x")).cast(dec).as("q"))
+    val dev = col("n") * col("x").cast(dec) - col("s0")
     c.join(broadcast(st), col("event_type") === col("t"))
-      .filter(dev * dev > lit(9L) * (col("n") * col("q") - col("s0") * col("s0")))
+      .filter(dev * dev > lit(9L).cast(dec) *
+        (col("n") * col("q") - col("s0") * col("s0")))
       .select(col("event_id"), col("event_type"), col("x").as("val_c"))
       .orderBy("event_id")
   }
@@ -214,8 +219,8 @@ object EventAnalytics {
   val anomalyZscoreSql: String =
     """WITH c AS (SELECT event_id, event_type,
       |                  CAST(round(value*100) AS BIGINT) x FROM events),
-      |st AS (SELECT event_type t, count(*)::BIGINT n, CAST(sum(x) AS BIGINT) s,
-      |              CAST(sum(x*x) AS BIGINT) q FROM c GROUP BY 1)
+      |st AS (SELECT event_type t, count(*)::HUGEINT n, sum(x)::HUGEINT s,
+      |              sum(x*x)::HUGEINT q FROM c GROUP BY 1)
       |SELECT event_id, event_type, x val_c
       |FROM c JOIN st ON event_type = t
       |WHERE (n*x - s)*(n*x - s) > 9 * (n*q - s*s)

@@ -64,17 +64,19 @@ object StreamAnomaly {
     * return the rows with `(n·x − s)² > 9·(n·q − s²)` — identical algebra
     * to the batch query, so streamed-final-stats + flag == `ev_anomaly`.
     *
-    * Int64 range precondition (same as the batch twin): the squared
-    * intermediates need per-type `n · max|x| < ~3e9` (so `dev²` fits) and
-    * `n · q < 2^63` — verified with ~100× headroom at sf0.1 (~8e8 / 2e16).
-    * Web-scale per-type counts should run the identical predicate in
-    * DECIMAL(38,0); the algebra is unchanged. */
+    * The predicate runs in DECIMAL(38,0) like the batch twin — the squared
+    * deviation overflows Int64 once per-type `n · max|x|` passes ~3e9
+    * (caught at the 10× tier, r16). Remaining precondition: per-type
+    * `n · max|x| < ~1.3e19` and `q = Σx² < 2^63` for the Long state
+    * accumulator — ~1e6× headroom at the 100× tier. */
   def flag(events: DataFrame, stats: DataFrame): DataFrame = {
-    val dev: Column = col("n") * col("x") - col("s")
+    val dec = "decimal(38,0)"
+    val dev: Column = col("n").cast(dec) * col("x").cast(dec) - col("s").cast(dec)
     events.join(broadcast(stats.select(col("event_type").as("t"),
         col("n"), col("s"), col("q"))),
       col("event_type") === col("t"))
-      .filter(dev * dev > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .filter(dev * dev > lit(9L).cast(dec) * (col("n").cast(dec) *
+        col("q").cast(dec) - col("s").cast(dec) * col("s").cast(dec)))
       .select(col("event_id"), col("event_type"), col("x").as("val_c"))
       .orderBy("event_id")
   }

@@ -48,9 +48,15 @@ object TtlDedup {
     *  ...state.RocksDBStateStoreProvider`.
     *
     * Note: TTL requires `TimeMode.ProcessingTime`, under which Spark keeps
-    * scheduling timer micro-batches — correct for long-running production
-    * streams, but `processAllAvailable()`-style drain-and-stop tests must
-    * use the no-TTL mode (`TimeMode.None`, data-triggered batches only). */
+    * scheduling (empty) timer micro-batches — correct for long-running
+    * production streams, but NEITHER `processAllAvailable()` NOR
+    * `Trigger.AvailableNow` drains ever self-terminate in this mode
+    * (measured, graft.tools.TtlRepro; AvailableNow can additionally hit a
+    * Spark 4.1.2 replanning NPE after many empty batches). Drain-and-stop
+    * tests must use the no-TTL mode (`TimeMode.None`, data-triggered
+    * batches only); TTL'd streams run `Trigger.ProcessingTime` and stop
+    * explicitly — the 100k-key stress drives exactly that
+    * (tools StateStress `ttldedup`). */
   def apply[E <: GraftEvent: Encoder](ds: Dataset[E], ttl: Duration): Dataset[E] = {
     implicit val pairEnc: Encoder[(String, E)] =
       Encoders.tuple(Encoders.STRING, implicitly[Encoder[E]])

@@ -1,19 +1,32 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate (dev tool only).
 
-Usage: python3 tools/parity.py [verify_out_dir] [sf_dir]
+Usage: python3 tools/parity.py [verify_out_dir] [sf_dir] [--skip=a,b] [--only=a,b]
 Reads <out>/oracle_sql.json + <out>/<name>/ parquet dirs produced by
 `sbt "runMain graft.Verify <sf_dir> <out>"`, runs each oracle SQL in DuckDB
 with views named after the tables, and compares values exactly
 (columns sorted by name, rows sorted by all columns).
+
+--skip / --only restrict the oracle set — used by tools/scalecheck.sh to
+exclude the brute-force ALL-PAIRS oracles at the 10x/100x tiers (those
+oracles are definitionally O(n^2); they are the small-n losslessness
+checks for their efficient twins and stay gated at sf0.01).
 """
 import sys, json, glob, math
 import duckdb
 import pandas as pd
 import numpy as np
 
-out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
-sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+skip = set()
+only = None
+for a in sys.argv[1:]:
+    if a.startswith("--skip="):
+        skip.update(x for x in a[7:].split(",") if x)
+    elif a.startswith("--only="):
+        only = set(x for x in a[7:].split(",") if x)
+out = args[0] if len(args) > 0 else "/tmp/verify_out"
+sf = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -36,6 +49,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 fails = ok = skipped = 0
 for name in sorted(oracle):
+    if name in skip or (only is not None and name not in only):
+        skipped += 1
+        continue
     sql = oracle[name]
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
@@ -81,5 +97,6 @@ for name in sorted(oracle):
         print(f"ok   {name} ({len(sdf)} rows)")
 
 # rows-only entries (in queries but not oracle) are checked by the driver as rows>0
-print(f"\n{ok} ok, {fails} fail")
+tail = f", {skipped} skipped" if skipped else ""
+print(f"\n{ok} ok, {fails} fail{tail}")
 sys.exit(1 if fails else 0)
