@@ -7,20 +7,19 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
 /** Dev tool: sustained streaming THROUGHPUT benchmark (round-16, VERDICT
   * r15 #4). The streaming parity matrix proves correctness; this measures
   * rows/s. Each representative twin is driven from the `rate` source at a
-  * deliberately over-provisioned rowsPerSecond for a fixed wall time — the
-  * source accumulates backlog whenever a batch lags, so per-batch
-  * processedRows/duration converges on the operator's actual capacity, not
-  * the offered rate. Reported per op: sustained rows/s (total rows / total
-  * busy time, warmup batches dropped), per-batch p50/p95 duration, and
-  * batches observed — the numbers a 100 TB per-executor sizing multiplies
-  * out.
+  * fixed rows-per-batch (`rate-micro-batch` source, back-to-back
+  * triggers) for a fixed wall time, so every micro-batch is identically
+  * sized and the per-batch duration distribution is meaningful. Reported
+  * per op: sustained rows/s (total rows / total busy time, batch 0
+  * dropped), per-batch p50/p95 duration, and batches observed — the
+  * numbers a 100 TB per-executor sizing multiplies out.
   *
   * Ops: funnel (transformWithState, 100k-key population), ttldedup (TTL'd
   * state, all-new keys), ohlc (windowed algebraic agg + watermark),
   * cleancorpus (composite quality->dedup->LSH front door over synthetic
   * docs; doc rate = rows/20, reported in docs/s).
   *
-  * Usage: StreamBench [secondsPerOp] [rowsPerSecond] [ops-csv]
+  * Usage: StreamBench [secondsPerOp] [rowsPerBatch] [ops-csv]
   */
 object StreamBench {
 
@@ -36,7 +35,7 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val secs = args.headOption.map(_.toInt).getOrElse(45)
-    val rps = args.lift(1).map(_.toLong).getOrElse(2000000L)
+    val rpb = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val ops: Set[String] = args.lift(2)
       .map(_.split(',').map(_.trim).toSet)
       .getOrElse(Set("funnel", "ttldedup", "ohlc", "cleancorpus"))
@@ -73,8 +72,9 @@ object StreamBench {
 
     val root = java.nio.file.Files.createTempDirectory("stream_bench").toFile
 
-    def rate(perSec: Long): DataFrame = spark.readStream.format("rate")
-      .option("rowsPerSecond", perSec)
+    def rate(perBatch: Long): DataFrame = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", perBatch)
       .option("numPartitions", cpus.toInt)
       .load()
 
@@ -94,7 +94,7 @@ object StreamBench {
         val q = mk
           .option("checkpointLocation",
             new java.io.File(root, s"ck/$op").getAbsolutePath)
-          .trigger(Trigger.ProcessingTime(200))
+          .trigger(Trigger.ProcessingTime(0))
           .start()
         Thread.sleep(secs * 1000L)
         q.stop()
@@ -103,7 +103,7 @@ object StreamBench {
 
     run("funnel") {
       graft.streaming.StreamFunnel(
-        events(rps).as[graft.streaming.StreamFunnel.FunnelEvent],
+        events(rpb).as[graft.streaming.StreamFunnel.FunnelEvent],
         "view", "click", "purchase", 7L * 24 * 3600 * 1000000)
         .writeStream.foreachBatch {
           (d: Dataset[graft.streaming.StreamFunnel.StepHit], _: Long) =>
@@ -112,7 +112,7 @@ object StreamBench {
     }
 
     run("ttldedup") {
-      graft.streaming.TtlDedup(events(rps).as[DedupEvent],
+      graft.streaming.TtlDedup(events(rpb).as[DedupEvent],
           java.time.Duration.ofSeconds(30))
         .writeStream.foreachBatch {
           (d: Dataset[DedupEvent], _: Long) => d.count(); ()
@@ -121,7 +121,7 @@ object StreamBench {
 
     run("ohlc") {
       graft.ops.Windows.ohlcBars(
-          events(rps)
+          events(rpb)
             .withColumn("ts", timestamp_micros(col("ts_us")))
             .withWatermark("ts", "10 seconds"),
           col("ts"), col("user_id"), "5 seconds", col("event_id"),
@@ -133,7 +133,7 @@ object StreamBench {
 
     if (ops("cleancorpus")) {
       currentOp = "cleancorpus"
-      val docs = rate(math.max(rps / 20, 1000)).select(
+      val docs = rate(math.max(rpb / 20, 1000)).select(
         col("value").as("doc_id"),
         array_join(transform(sequence(lit(0), lit(29)),
           i => concat(lit("w"), (col("value") * 31 + i * 7919) % 1000000)),
@@ -144,19 +144,19 @@ object StreamBench {
           jaccNum = 8L, jaccDen = 10L)((kept, _) => { kept.count(); () })
         .option("checkpointLocation",
           new java.io.File(root, "ck/cleancorpus").getAbsolutePath)
-        .trigger(Trigger.ProcessingTime(200))
+        .trigger(Trigger.ProcessingTime(0))
         .start()
       Thread.sleep(secs * 1000L)
       q.stop()
       Thread.sleep(1000)
     }
 
-    println(f"%n[stream-bench] secs/op=$secs offered=$rps rows/s " +
-      f"keys=$keys cpus=$cpus (warmup: first 2 batches dropped)")
+    println(f"%n[stream-bench] secs/op=$secs rowsPerBatch=$rpb " +
+      f"keys=$keys cpus=$cpus (warmup: batch 0 dropped)")
     println("op           batches  rows/s   p50_ms  p95_ms  rows_total")
     ops.toSeq.sorted.foreach { op =>
       val ms = metrics.toSeq.filter(m => m.op == op && m.rows > 0)
-        .sortBy(_.batchId).drop(2)
+        .sortBy(_.batchId).drop(1)
       if (ms.nonEmpty) {
         val durs = ms.map(_.durMs).sorted
         val p50 = durs(durs.length / 2)
