@@ -1,0 +1,290 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Hot-key-proof per-key ordered scan — the straggler remedy for window
+  * analytics that `Window.partitionBy(key)` cannot provide.
+  *
+  * A per-key window function hash-partitions EVERY row of a key onto one
+  * task; a key holding 20% of the data makes that task the stage (measured:
+  * 2.7× on `ev_scd2` at the skewed 100× tier, SCALE.md round 16), and
+  * neither AQE nor join-salting can split a window partition without
+  * changing its semantics. This operator computes the two scan primitives
+  * per-key analytics actually need —
+  *
+  *   - [[runNumbers]]: the `lag`-change-detection + running-count pass
+  *     (`sum(brk) OVER (PARTITION BY key ORDER BY ord ROWS UNBOUNDED
+  *     PRECEDING)` where `brk = value != lag(value)`), i.e. SCD2 run ids;
+  *
+  * — with RANGE partitioning on (key, order): a hot key's rows spread
+  * CONTIGUOUSLY over many partitions, each task scans only its slice, and
+  * the cross-partition seam is repaired with a driver-side boundary
+  * exchange of ONE summary row per partition (P rows total — bounded by
+  * parallelism, not data; the same distributed-prefix discipline as
+  * [[Packing]]'s sequence packer). Output values are identical to the
+  * window formulation (spec-proven, and `ev_scd2_spread` shares
+  * `ev_scd2`'s DuckDB oracle); only the partitioning differs.
+  *
+  * Correctness of the seam: rows are sorted by (key, order...) within each
+  * range partition, and range partitions are themselves ordered, so each
+  * key occupies one contiguous global span. Within a partition the scan is
+  * exact for every key segment that STARTS inside the partition; only the
+  * first segment (a key possibly continuing from the previous partition)
+  * needs repair, parameterized by two numbers per partition computed on
+  * the driver from the per-partition summaries: `carryIn` (the key's true
+  * break count before this partition) and `adj` (1 iff the provisional
+  * first-row break was wrong because the previous partition ended with the
+  * same key AND value). Empty partitions pass the chain through unchanged.
+  *
+  * Determinism: run numbers are content-determined — the range bounds
+  * chosen by Spark's sampler affect WHERE rows land, never the emitted
+  * values. Ties across duplicate (key, order) rows are broken by the sort
+  * within partition exactly as the window version's `ORDER BY` does; pass
+  * a tie-breaking order column (e.g. an event id) for full determinism,
+  * same as any window query.
+  */
+object RangeScan {
+
+  private final case class Summ(pid: Int, empty: Boolean,
+      firstKey: Any, firstVal: Any, lastKey: Any, lastVal: Any,
+      breaksFirstSeg: Long, breaksLastSeg: Long)
+
+  /** Append `run_no` — the 1-based per-key count of value-changes up to and
+    * including each row, ordered by `orderCols` — computed skew-spread.
+    * Equivalent to:
+    * {{{
+    *   brk   = value != lag(value) over (partition by key order by ord)
+    *   run_no = sum(brk) over (partition by key order by ord rows unbounded preceding)
+    * }}}
+    * `partitions` defaults to `spark.sql.shuffle.partitions`. */
+  def runNumbers(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    require(!df.columns.contains("run_no"),
+      "RangeScan.runNumbers adds 'run_no' — rename the existing column")
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortCols = (keyCol +: orderCols).map(col)
+    val ranged = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ranged.schema
+    val ki = schema.fieldIndex(keyCol)
+    val vi = schema.fieldIndex(valCol)
+    // ONE RDD instance for both passes: the second job then reuses the
+    // range exchange's map output instead of re-shuffling the input
+    val baseRdd = ranged.rdd
+
+    // ---- pass 1: one summary row per partition (P rows to the driver) ----
+    val summs: Array[Summ] = baseRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.single(Summ(pid, empty = true,
+        null, null, null, null, 0L, 0L))
+      else {
+        val first = it.next()
+        val firstKey = first.get(ki)
+        val firstVal = first.get(vi)
+        var segKey = firstKey
+        var prevVal = firstVal
+        var segBreaks = 1L // provisional: first row of a segment is a break
+        var breaksFirstSeg = -1L
+        var prevKey = firstKey
+        while (it.hasNext) {
+          val r = it.next()
+          val k = r.get(ki)
+          val v = r.get(vi)
+          if (k != prevKey) {
+            if (segKey == firstKey && breaksFirstSeg < 0) breaksFirstSeg = segBreaks
+            segKey = k
+            segBreaks = 1L
+          } else if (v == null || v != prevVal) segBreaks += 1 // null always breaks (SQL === semantics)
+          prevKey = k
+          prevVal = v
+        }
+        if (breaksFirstSeg < 0) breaksFirstSeg = segBreaks // single-key partition
+        Iterator.single(Summ(pid, empty = false,
+          firstKey, firstVal, prevKey, prevVal, breaksFirstSeg, segBreaks))
+      }
+    }.collect().sortBy(_.pid)
+
+    // ---- driver: chain the boundary corrections partition-to-partition ----
+    // carryIn(p): true break count of firstKey(p) strictly before p;
+    // adj(p): 1 iff p's provisional first-row break double-counts (previous
+    // non-empty partition ended with same key AND same value)
+    val carryIn = new Array[Long](summs.length)
+    val adj = new Array[Long](summs.length)
+    var openKey: Any = null
+    var openVal: Any = null
+    var openBreaks = 0L
+    var haveOpen = false
+    summs.foreach { s =>
+      if (!s.empty) {
+        if (haveOpen && openKey == s.firstKey) {
+          carryIn(s.pid) = openBreaks
+          if (openVal != null && openVal == s.firstVal) adj(s.pid) = 1L
+        }
+        val trueFirstSeg = carryIn(s.pid) + s.breaksFirstSeg - adj(s.pid)
+        openBreaks =
+          if (s.firstKey == s.lastKey) trueFirstSeg else s.breaksLastSeg
+        openKey = s.lastKey
+        openVal = s.lastVal
+        haveOpen = true
+      } // empty partition: chain passes through untouched
+    }
+
+    // ---- pass 2: narrow rescan emitting exact run numbers ----
+    val bCarry = spark.sparkContext.broadcast((carryIn, adj))
+    val outSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("run_no", LongType, nullable = false))
+    val rdd2 = baseRdd.mapPartitionsWithIndex { (pid, it) =>
+      val (ci, ad) = bCarry.value
+      var prevKey: Any = null
+      var prevVal: Any = null
+      var first = true
+      var firstKey: Any = null
+      var run = 0L
+      it.map { r =>
+        val k = r.get(ki)
+        val v = r.get(vi)
+        if (first) {
+          firstKey = k
+          run = 1L + ci(pid) - ad(pid)
+          first = false
+        } else if (k != prevKey) {
+          run = 1L
+        } else if (v == null || v != prevVal) {
+          run += 1L // null always breaks (SQL === semantics)
+        }
+        prevKey = k
+        prevVal = v
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(rdd2, outSchema)
+  }
+
+  /** The all-codegen ADAPTIVE spread scan: same `run_no` contract as
+    * [[runNumbers]], built from DataFrame ops only — for keys ordered by a
+    * NUMERIC column (the common event-time case).
+    *
+    * Only keys ABOVE a fair share of the data (cnt ≥ total/buckets — at
+    * most `buckets` of them by pigeonhole, a bounded collect) are cut into
+    * `buckets` fixed-width time spans; everything else keeps bucket 0, so
+    * on a healthy key distribution the big pass IS the ordinary per-key
+    * window (zero overhead, identical plan shape). For the hot keys the
+    * expensive scan runs over the fine (key, bucket) partitions (hot key →
+    * `buckets` tasks instead of one straggler), a second SMALL window pass
+    * over just the hot keys' rows builds the per-(hot key, bucket) seam
+    * summary, the cross-bucket offsets chain on that ≤ hot×buckets-row
+    * frame, and they BROADCAST-join back — no second full shuffle, no
+    * full-frame recompute or persist.
+    *
+    * Prefer this over [[runNumbers]] when the order column is numeric;
+    * the RDD form remains for arbitrarily-typed order columns and as the
+    * template for non-SQL per-key state machines. Measured via
+    * `ev_scd2_spread` vs the window `ev_scd2` (SCALE.md r16, 10 M-event
+    * tiers): one key at 20% → 3.37 s vs 2.50 s; at 50% → 5.42 s vs
+    * 3.24 s (1.7×, growing with skew); uniform → 1.57 s vs 1.58 s
+    * (fast-path parity). */
+  def runNumbersBucketed(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, buckets: Int = 0,
+      hotKeys: Seq[Any] = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    require(!df.columns.contains("run_no"),
+      "RangeScan.runNumbersBucketed adds 'run_no' — rename the existing column")
+    val b = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // hot keys: above HALF a fair share of a b-way scan — ≤ 2b of them by
+    // pigeonhole, so the collect is bounded by parallelism, not data (the
+    // skew audit's salt_rec rule, at half threshold for sampling margin).
+    // Detection runs on a 1% SAMPLE (the RangePartitioner discipline): a
+    // key near 1/b of the data is unmissable there, and a key small enough
+    // to slip under the sampled threshold was never a straggler. The same
+    // pass supplies approximate ts bounds — bucket ids only need to be
+    // MONOTONE in ts per key (trunc is monotone), so clipped bounds merely
+    // shift/extend the id range, never break the seam chain. Callers that
+    // already know the hot set (the skew audit's top rows, a spec) pass
+    // `hotKeys` and skip the sample; correctness holds for ANY hot set —
+    // it is purely a partitioning hint.
+    val (hot: Array[Any], mn: Long, w: Long) =
+      if (hotKeys != null) {
+        val r = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+        if (r.isNullAt(0)) (Array.empty[Any], 0L, 1L)
+        else (hotKeys.toArray, r.getLong(0),
+          math.max(1L, (r.getLong(1) - r.getLong(0)) / b + 1))
+      } else {
+        val smp = df.sample(withReplacement = false, 0.01, seed = 42L)
+          .groupBy(col(keyCol).as("__k"))
+          .agg(count(lit(1)).as("__c"), min(col(tsCol)).as("__mn"),
+            max(col(tsCol)).as("__mx"))
+          .persist()
+        val t = smp.agg(sum("__c"), min("__mn"), max("__mx")).head()
+        val out =
+          if (t.isNullAt(0)) (Array.empty[Any], 0L, 1L)
+          else {
+            val tot = t.getLong(0)
+            val mn0 = t.getLong(1)
+            val keys: Array[Any] = smp
+              .filter(col("__c") >= lit(math.max(tot / (2L * b), 1L)))
+              .select("__k").collect().map(_.get(0))
+            (keys, mn0, math.max(1L, (t.getLong(2) - mn0) / b + 1))
+          }
+        smp.unpersist()
+        out
+      }
+    if (hot.isEmpty) {
+      // healthy distribution: exactly the window formulation
+      val w1 = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+      val wR = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df
+        .withColumn("__brk",
+          when(col(valCol) === lag(col(valCol), 1).over(w1), lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("run_no", sum("__brk").over(wR))
+        .drop("__brk")
+    }
+    val isHot = col(keyCol).isin(hot: _*)
+    val bucket = when(isHot, (col(tsCol) - mn).divide(w).cast("long"))
+      .otherwise(lit(0L))
+    val withB = df.withColumn("__b", bucket)
+
+    def scan(in: DataFrame): DataFrame = {
+      val wIn = Window.partitionBy(keyCol, "__b").orderBy(tsCol, tieCol)
+      val wRun = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      in.withColumn("__brk",
+          when(col(valCol) === lag(col(valCol), 1).over(wIn), lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("__wrun", sum("__brk").over(wRun))
+    }
+
+    // big pass: every row, hot keys spread over their buckets
+    val scanned = scan(withB)
+    // small pass: hot rows only — builds the seam summary without
+    // recomputing (or persisting) the big frame
+    val summ = scan(withB.filter(isHot))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(
+        min(struct(col(tsCol), col(tieCol), col(valCol)))
+          .getField(valCol).as("__fv"),
+        max(struct(col(tsCol), col(tieCol), col(valCol)))
+          .getField(valCol).as("__lv"),
+        max("__wrun").as("__pb"))
+    // chain the seam on the tiny summary: ≤ hot × buckets rows
+    val wS = Window.partitionBy(keyCol).orderBy("__b")
+    val wC = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = summ
+      .withColumn("__adj",
+        when(lag(col("__lv"), 1).over(wS) === col("__fv"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__tb", col("__pb") - col("__adj"))
+      .withColumn("__off", sum("__tb").over(wC) - col("__tb") - col("__adj"))
+      .filter(col("__off") =!= 0L) // bucket-0 and unshifted rows need no fix
+      .select(col(keyCol).as("__ok"), col("__b").as("__ob"), col("__off"))
+    scanned.join(broadcast(offsets),
+        col(keyCol) === col("__ok") && col("__b") === col("__ob"), "left")
+      .withColumn("run_no", col("__wrun") + coalesce(col("__off"), lit(0L)))
+      .drop("__b", "__brk", "__wrun", "__ok", "__ob", "__off")
+  }
+}

@@ -172,6 +172,40 @@ object EventAnalytics {
       .orderBy("user_id", "run_no")
   }
 
+  /** The SKEW-PROOF twin of [[scd2History]] — identical output (it shares
+    * `ev_scd2`'s DuckDB oracle), different physical shape for hot keys:
+    *
+    *  - the per-key lag+running-sum pass rides [[graft.ops.RangeScan
+    *    .runNumbersBucketed]] (the all-codegen two-level scan: window over
+    *    fine (user, time-bucket) partitions + seam-chaining on the tiny
+    *    summary frame), so one user holding 20% of events spreads over
+    *    many tasks instead of sorting on one (the measured 2.7× straggler,
+    *    SCALE.md r16);
+    *  - the run-level `lead(start_us)` stays a window: the runs frame is
+    *    value-CHANGES only and the lead is a single pointer chase — the
+    *    measured cost is ~100 ms where a self-join alternative pays a
+    *    full shuffle (ScanProfile, r16).
+    *
+    * Use this form when `pipe_skew_audit` flags a dominant key; the window
+    * form stays the default on healthy key distributions (codegen'd window
+    * beats the two-pass RDD scan there). */
+  def scd2Spread(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .select("user_id", "event_type", "ts_us", "event_id")
+    val runs = graft.ops.RangeScan
+      .runNumbersBucketed(base, "user_id", "ts_us", "event_id", "event_type")
+      .groupBy("user_id", "run_no")
+      .agg(min("event_type").as("event_type"), min("ts_us").as("start_us"),
+        count(lit(1)).as("n_events"))
+    val wLead = Window.partitionBy("user_id").orderBy("run_no")
+    runs
+      .withColumn("end_us",
+        coalesce(lead("start_us", 1).over(wLead), lit(-1L)))
+      .select("user_id", "run_no", "event_type", "start_us", "end_us",
+        "n_events")
+      .orderBy("user_id", "run_no")
+  }
+
   val scd2HistorySql: String =
     """WITH o AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT tus, event_id,
       |                  CASE WHEN event_type = lag(event_type) OVER
@@ -464,6 +498,7 @@ object EventAnalytics {
     "ev_funnel" -> (funnel _),
     "ev_retention" -> (retention _),
     "ev_scd2" -> (scd2History _),
+    "ev_scd2_spread" -> (scd2Spread _),
     "ev_anomaly" -> (anomalyZscore _),
   )
 
@@ -480,6 +515,7 @@ object EventAnalytics {
     "ev_funnel" -> funnelSql,
     "ev_retention" -> retentionSql,
     "ev_scd2" -> scd2HistorySql,
+    "ev_scd2_spread" -> scd2HistorySql, // identical output by contract
     "ev_anomaly" -> anomalyZscoreSql,
   )
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RangeScan.runNumbers must equal the window formulation row-for-row —
+  * including every boundary-seam case the range partitioning introduces:
+  * a hot key spanning many partitions, a seam falling between equal
+  * values (the provisional-break repair), a seam on a value change, and
+  * single-key / tiny partitions.
+  */
+class RangeScanSpec extends SparkSpec {
+
+  private def windowRuns(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("ts", "id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("brk",
+        when(col("v") === lag("v", 1).over(w), lit(0)).otherwise(lit(1)))
+      .withColumn("run_no", sum("brk").over(wRun))
+      .drop("brk")
+  }
+
+  private def assertEqualRuns(df: DataFrame, partitions: Int): Unit = {
+    val expected = windowRuns(df).orderBy("k", "ts", "id")
+      .collect().map(_.toSeq)
+    val got = RangeScan.runNumbers(df, "k", Seq("ts", "id"), "v",
+        partitions = partitions)
+      .orderBy("k", "ts", "id").collect().map(_.toSeq)
+    got should contain theSameElementsInOrderAs expected
+    // the all-codegen bucketed form must agree too — same seam cases, cut
+    // by time-bucket instead of range partition. hotKeys = every key so
+    // the micro frames exercise the bucketed path (auto-detection samples,
+    // which tiny frames cannot feed); the auto path is covered below.
+    val allKeys = df.select("k").distinct().collect().map(_.get(0)).toSeq
+    val gotB = RangeScan.runNumbersBucketed(df, "k", "ts", "id", "v",
+        buckets = partitions, hotKeys = allKeys)
+      .select((df.columns :+ "run_no").map(col): _*)
+      .orderBy("k", "ts", "id").collect().map(_.toSeq)
+    gotB should contain theSameElementsInOrderAs expected
+  }
+
+  behavior of "RangeScan.runNumbers"
+
+  it should "match the window formulation on a multi-key frame at every partition count" in {
+    import spark.implicits._
+    // 3 keys x 40 rows with runs of repeated values (deterministic LCG)
+    val rows = for {
+      k <- Seq("a", "b", "c")
+      i <- 0 until 40
+    } yield (k, i.toLong, i.toLong, s"v${(i * 2654435761L >>> 7) % 3}")
+    val df = rows.toDF("k", "ts", "id", "v")
+    // partition counts beyond the key count force every seam shape:
+    // 1 (degenerate), 4, 16, 64 (more partitions than rows per key)
+    Seq(1, 4, 16, 64).foreach(assertEqualRuns(df, _))
+  }
+
+  it should "repair the seam when one hot key spans many partitions" in {
+    import spark.implicits._
+    // one key, 10k rows, value changes every 3rd row -> runs straddle
+    // partition boundaries in both same-value and changed-value positions
+    val df = (0 until 10000)
+      .map(i => ("hot", i.toLong, i.toLong, s"v${i / 3 % 5}"))
+      .toDF("k", "ts", "id", "v")
+    Seq(8, 32).foreach(assertEqualRuns(df, _))
+    // auto hot-detection path: a 100%-share key is unmissable in the 1%
+    // sample, so the bucketed branch runs without an explicit hot set
+    val expected = windowRuns(df).orderBy("k", "ts", "id")
+      .collect().map(_.toSeq)
+    val auto = RangeScan.runNumbersBucketed(df, "k", "ts", "id", "v",
+        buckets = 8)
+      .select((df.columns :+ "run_no").map(col): _*)
+      .orderBy("k", "ts", "id").collect().map(_.toSeq)
+    auto should contain theSameElementsInOrderAs expected
+  }
+
+  it should "handle constant values (single run) and all-distinct values" in {
+    import spark.implicits._
+    val const = (0 until 500).map(i => ("k", i.toLong, i.toLong, "same"))
+      .toDF("k", "ts", "id", "v")
+    assertEqualRuns(const, 16)
+    val distinct = (0 until 500).map(i => ("k", i.toLong, i.toLong, s"u$i"))
+      .toDF("k", "ts", "id", "v")
+    assertEqualRuns(distinct, 16)
+  }
+
+  it should "survive more partitions than rows (empty partitions in the chain)" in {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L, "x"), ("a", 2L, 2L, "x"), ("b", 1L, 3L, "y"))
+      .toDF("k", "ts", "id", "v")
+    assertEqualRuns(df, 32)
+  }
+
+  behavior of "EventAnalytics.scd2Spread"
+
+  it should "equal the window scd2History on driver data" in {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val a = graft.queries.EventAnalytics.scd2History(spark, dir).collect()
+    val b = graft.queries.EventAnalytics.scd2Spread(spark, dir).collect()
+    b.map(_.toSeq) should contain theSameElementsInOrderAs a.map(_.toSeq)
+  }
+}
