@@ -188,11 +188,33 @@ object RangeScan {
     * (fast-path parity). */
   def runNumbersBucketed(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valCol: String, buckets: Int = 0,
-      hotKeys: Seq[Any] = null): DataFrame = {
+      hotKeys: Seq[Any] = null): DataFrame =
+    segmentNumbersBucketed(df, keyCol, tsCol, tieCol, Seq(valCol),
+      (prev, cur) => prev.getField(valCol) === cur.getField(valCol),
+      buckets, hotKeys)
+
+  /** The generalized form of [[runNumbersBucketed]]: segment numbering
+    * under ANY "same-segment" predicate over consecutive rows of a key —
+    * `same(prev, cur)` receives two structs with fields (tsCol, tieCol,
+    * payloadCols...) and returns whether `cur` CONTINUES `prev`'s segment
+    * (three-valued SQL truth: only a true verdict joins the rows, so a
+    * null payload starts a new segment — the window formulation's `===`
+    * semantics). Instantiations:
+    *   - SCD2 runs: `same = prev.val === cur.val`;
+    *   - gap sessions: `same = cur.ts - prev.ts < gap` (the
+    *     gaps-and-islands sessionization, `ev_session_spread`);
+    * any predicate over the payload struct works — the seam repair only
+    * ever evaluates it on (last row of bucket b−1, first row of bucket b),
+    * which are adjacent rows of the key by construction. */
+  def segmentNumbersBucketed(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, payloadCols: Seq[String],
+      same: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      buckets: Int = 0, hotKeys: Seq[Any] = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     require(!df.columns.contains("run_no"),
-      "RangeScan.runNumbersBucketed adds 'run_no' — rename the existing column")
+      "RangeScan.segmentNumbersBucketed adds 'run_no' — rename the existing column")
+    val rowStruct = struct((tsCol +: tieCol +: payloadCols).map(col): _*)
     val b = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -240,7 +262,7 @@ object RangeScan {
       val wR = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       return df
         .withColumn("__brk",
-          when(col(valCol) === lag(col(valCol), 1).over(w1), lit(0L))
+          when(same(lag(rowStruct, 1).over(w1), rowStruct), lit(0L))
             .otherwise(lit(1L)))
         .withColumn("run_no", sum("__brk").over(wR))
         .drop("__brk")
@@ -254,7 +276,7 @@ object RangeScan {
       val wIn = Window.partitionBy(keyCol, "__b").orderBy(tsCol, tieCol)
       val wRun = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       in.withColumn("__brk",
-          when(col(valCol) === lag(col(valCol), 1).over(wIn), lit(0L))
+          when(same(lag(rowStruct, 1).over(wIn), rowStruct), lit(0L))
             .otherwise(lit(1L)))
         .withColumn("__wrun", sum("__brk").over(wRun))
     }
@@ -262,21 +284,18 @@ object RangeScan {
     // big pass: every row, hot keys spread over their buckets
     val scanned = scan(withB)
     // small pass: hot rows only — builds the seam summary without
-    // recomputing (or persisting) the big frame
+    // recomputing (or persisting) the big frame. min/max of the row
+    // struct = the bucket's first/last row (lexicographic, ts leads)
     val summ = scan(withB.filter(isHot))
       .groupBy(col(keyCol), col("__b"))
-      .agg(
-        min(struct(col(tsCol), col(tieCol), col(valCol)))
-          .getField(valCol).as("__fv"),
-        max(struct(col(tsCol), col(tieCol), col(valCol)))
-          .getField(valCol).as("__lv"),
+      .agg(min(rowStruct).as("__fs"), max(rowStruct).as("__ls"),
         max("__wrun").as("__pb"))
     // chain the seam on the tiny summary: ≤ hot × buckets rows
     val wS = Window.partitionBy(keyCol).orderBy("__b")
     val wC = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = summ
       .withColumn("__adj",
-        when(lag(col("__lv"), 1).over(wS) === col("__fv"), lit(1L))
+        when(same(lag(col("__ls"), 1).over(wS), col("__fs")), lit(1L))
           .otherwise(lit(0L)))
       .withColumn("__tb", col("__pb") - col("__adj"))
       .withColumn("__off", sum("__tb").over(wC) - col("__tb") - col("__adj"))

@@ -92,6 +92,34 @@ class RangeScanSpec extends SparkSpec {
     assertEqualRuns(df, 32)
   }
 
+  behavior of "RangeScan.segmentNumbersBucketed (generic predicate)"
+
+  it should "sessionize with a gap predicate identically to the window islands form" in {
+    import spark.implicits._
+    // bursty per-key timeline: clusters of close events separated by gaps,
+    // cluster boundaries landing on and off bucket seams
+    val rows = for {
+      k <- Seq("a", "hot")
+      i <- 0 until (if (k == "hot") 3000 else 200)
+    } yield (k, (i / 5).toLong * 1000 + i % 5, i.toLong)
+    val df = rows.toDF("k", "ts", "id")
+    val gap = 500L
+    val w = Window.partitionBy("k").orderBy("ts", "id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("brk", when(col("ts") - lag("ts", 1).over(w) < gap, lit(0L))
+        .otherwise(lit(1L)))
+      .withColumn("run_no", sum("brk").over(wRun))
+      .drop("brk")
+      .orderBy("k", "ts", "id").collect().map(_.toSeq)
+    val got = RangeScan.segmentNumbersBucketed(df, "k", "ts", "id", Nil,
+        (prev, cur) => cur.getField("ts") - prev.getField("ts") < gap,
+        buckets = 16, hotKeys = Seq("a", "hot"))
+      .select((df.columns :+ "run_no").map(col): _*)
+      .orderBy("k", "ts", "id").collect().map(_.toSeq)
+    got should contain theSameElementsInOrderAs expected
+  }
+
   behavior of "EventAnalytics.scd2Spread"
 
   it should "equal the window scd2History on driver data" in {
