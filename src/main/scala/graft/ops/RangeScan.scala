@@ -51,6 +51,49 @@ object RangeScan {
       firstKey: Any, firstVal: Any, lastKey: Any, lastVal: Any,
       breaksFirstSeg: Long, breaksLastSeg: Long)
 
+  /** Shared hot-key/bucket-geometry detection for the bucketed scans.
+    *
+    * Hot keys: above HALF a fair share of a b-way scan — ≤ 2b of them by
+    * pigeonhole, so the collect is bounded by parallelism, not data (the
+    * skew audit's salt_rec rule, at half threshold for sampling margin).
+    * Detection runs on a 1% SAMPLE (the RangePartitioner discipline): a
+    * key near 1/b of the data is unmissable there, and a key small enough
+    * to slip under the sampled threshold was never a straggler. The same
+    * pass supplies approximate ts bounds — bucket ids only need to be
+    * MONOTONE in ts per key (trunc is monotone), so clipped bounds merely
+    * shift/extend the id range, never break a seam. Callers that already
+    * know the hot set (the skew audit's top rows, a spec) pass `hotKeys`
+    * and skip the sample; correctness holds for ANY hot set — it is
+    * purely a partitioning hint. Returns (hot keys, ts origin, bucket
+    * width). */
+  private def detectHot(df: DataFrame, keyCol: String, tsCol: String,
+      b: Int, hotKeys: Seq[Any]): (Array[Any], Long, Long) =
+    if (hotKeys != null) {
+      val r = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+      if (r.isNullAt(0)) (Array.empty[Any], 0L, 1L)
+      else (hotKeys.toArray, r.getLong(0),
+        math.max(1L, (r.getLong(1) - r.getLong(0)) / b + 1))
+    } else {
+      val smp = df.sample(withReplacement = false, 0.01, seed = 42L)
+        .groupBy(col(keyCol).as("__k"))
+        .agg(count(lit(1)).as("__c"), min(col(tsCol)).as("__mn"),
+          max(col(tsCol)).as("__mx"))
+        .persist()
+      val t = smp.agg(sum("__c"), min("__mn"), max("__mx")).head()
+      val out =
+        if (t.isNullAt(0)) (Array.empty[Any], 0L, 1L)
+        else {
+          val tot = t.getLong(0)
+          val mn0 = t.getLong(1)
+          val keys: Array[Any] = smp
+            .filter(col("__c") >= lit(math.max(tot / (2L * b), 1L)))
+            .select("__k").collect().map(_.get(0))
+          (keys, mn0, math.max(1L, (t.getLong(2) - mn0) / b + 1))
+        }
+      smp.unpersist()
+      out
+    }
+
   /** Append `run_no` — the 1-based per-key count of value-changes up to and
     * including each row, ordered by `orderCols` — computed skew-spread.
     * Equivalent to:
@@ -218,44 +261,8 @@ object RangeScan {
     val b = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    // hot keys: above HALF a fair share of a b-way scan — ≤ 2b of them by
-    // pigeonhole, so the collect is bounded by parallelism, not data (the
-    // skew audit's salt_rec rule, at half threshold for sampling margin).
-    // Detection runs on a 1% SAMPLE (the RangePartitioner discipline): a
-    // key near 1/b of the data is unmissable there, and a key small enough
-    // to slip under the sampled threshold was never a straggler. The same
-    // pass supplies approximate ts bounds — bucket ids only need to be
-    // MONOTONE in ts per key (trunc is monotone), so clipped bounds merely
-    // shift/extend the id range, never break the seam chain. Callers that
-    // already know the hot set (the skew audit's top rows, a spec) pass
-    // `hotKeys` and skip the sample; correctness holds for ANY hot set —
-    // it is purely a partitioning hint.
     val (hot: Array[Any], mn: Long, w: Long) =
-      if (hotKeys != null) {
-        val r = df.agg(min(col(tsCol)), max(col(tsCol))).head()
-        if (r.isNullAt(0)) (Array.empty[Any], 0L, 1L)
-        else (hotKeys.toArray, r.getLong(0),
-          math.max(1L, (r.getLong(1) - r.getLong(0)) / b + 1))
-      } else {
-        val smp = df.sample(withReplacement = false, 0.01, seed = 42L)
-          .groupBy(col(keyCol).as("__k"))
-          .agg(count(lit(1)).as("__c"), min(col(tsCol)).as("__mn"),
-            max(col(tsCol)).as("__mx"))
-          .persist()
-        val t = smp.agg(sum("__c"), min("__mn"), max("__mx")).head()
-        val out =
-          if (t.isNullAt(0)) (Array.empty[Any], 0L, 1L)
-          else {
-            val tot = t.getLong(0)
-            val mn0 = t.getLong(1)
-            val keys: Array[Any] = smp
-              .filter(col("__c") >= lit(math.max(tot / (2L * b), 1L)))
-              .select("__k").collect().map(_.get(0))
-            (keys, mn0, math.max(1L, (t.getLong(2) - mn0) / b + 1))
-          }
-        smp.unpersist()
-        out
-      }
+      detectHot(df, keyCol, tsCol, b, hotKeys)
     if (hot.isEmpty) {
       // healthy distribution: exactly the window formulation
       val w1 = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
@@ -305,5 +312,51 @@ object RangeScan {
         col(keyCol) === col("__ok") && col("__b") === col("__ob"), "left")
       .withColumn("run_no", col("__wrun") + coalesce(col("__off"), lit(0L)))
       .drop("__b", "__brk", "__wrun", "__ok", "__ob", "__off")
+  }
+
+  /** Hot-key-proof `lead(ts)` — appends `outCol` = the NEXT row's `tsCol`
+    * per key (null on the key's last row), the per-row successor pointer
+    * TWAP / interarrival / resampling shapes need. Same adaptive geometry
+    * as [[segmentNumbersBucketed]]: only detected hot keys bucket by time;
+    * the lead runs within (key, bucket), and each bucket's LAST row (whose
+    * within-bucket lead is null) is patched from the NEXT NON-EMPTY
+    * bucket's first-row ts via a ≤ hot×buckets-row broadcast — sparse
+    * bucket ids (a hot key with time gaps) are handled by patching the
+    * PREVIOUS EXISTING bucket, not b−1 arithmetically. With no hot keys:
+    * exactly the plain window lead. */
+  def nextTsBucketed(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, outCol: String, buckets: Int = 0,
+      hotKeys: Seq[Any] = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    require(!df.columns.contains(outCol),
+      s"RangeScan.nextTsBucketed adds '$outCol' — rename the existing column")
+    val b = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (hot: Array[Any], mn: Long, w: Long) =
+      detectHot(df, keyCol, tsCol, b, hotKeys)
+    if (hot.isEmpty) {
+      val w1 = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+      return df.withColumn(outCol, lead(col(tsCol), 1).over(w1))
+    }
+    val isHot = col(keyCol).isin(hot: _*)
+    val withB = df.withColumn("__b",
+      when(isHot, (col(tsCol) - mn).divide(w).cast("long")).otherwise(lit(0L)))
+    val wIn = Window.partitionBy(keyCol, "__b").orderBy(tsCol, tieCol)
+    val led = withB.withColumn(outCol, lead(col(tsCol), 1).over(wIn))
+    // per-(hot key, bucket) first-row ts, re-targeted at the PREVIOUS
+    // existing bucket of the same key — patches that bucket's last row
+    val wS = Window.partitionBy(keyCol).orderBy("__b")
+    val patches = withB.filter(isHot)
+      .groupBy(col(keyCol), col("__b"))
+      .agg(min(col(tsCol)).as("__first_ts"))
+      .withColumn("__tb", lag(col("__b"), 1).over(wS))
+      .filter(col("__tb").isNotNull)
+      .select(col(keyCol).as("__pk"), col("__tb").as("__pb"),
+        col("__first_ts"))
+    led.join(broadcast(patches),
+        col(keyCol) === col("__pk") && col("__b") === col("__pb"), "left")
+      .withColumn(outCol, coalesce(col(outCol), col("__first_ts")))
+      .drop("__b", "__pk", "__pb", "__first_ts")
   }
 }

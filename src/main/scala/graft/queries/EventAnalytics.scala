@@ -282,6 +282,27 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** SKEW-PROOF twin of [[twap]] — identical output (shares `ev_twap`'s
+    * oracle): the per-row successor pointer rides
+    * [[graft.ops.RangeScan.nextTsBucketed]] (adaptive hot-key
+    * time-bucketing + next-bucket first-row patch), so the 2.8× hot-user
+    * straggler the skew rehearsal measured on the sort-window lead
+    * (SCALE.md r16) spreads across tasks; the weighted aggregation after
+    * it was always fine-grained. */
+  def twapSpread(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RangeScan.nextTsBucketed(
+        events(s, dir).select(col("user_id"), cents(col("value")).as("v"),
+          col("ts_us"), col("event_id")),
+        "user_id", "ts_us", "event_id", "nxt")
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt_ms", expr("(nxt - ts_us) div 1000"))
+      .groupBy("user_id")
+      .agg(sum(col("v") * col("dt_ms")).as("twap_num"),
+        sum("dt_ms").as("twap_den"))
+      .withColumn("twap_c",
+        col("twap_num").cast("double") / col("twap_den").cast("double"))
+      .orderBy("user_id")
+
   val twapSql: String =
     """WITH o AS (SELECT user_id, CAST(round(value*100) AS BIGINT) v,
       |                  epoch_us(ts)::BIGINT tus, event_id,
@@ -493,6 +514,7 @@ object EventAnalytics {
     "ev_funnel_times" -> (funnelTimes _),
     "ev_seasonality" -> (seasonality _),
     "ev_twap" -> (twap _),
+    "ev_twap_spread" -> (twapSpread _),
     "ev_ohlc" -> (ohlc _),
     "ev_cumulative_users" -> (cumulativeUsers _),
     "ev_funnel" -> (funnel _),
@@ -510,6 +532,7 @@ object EventAnalytics {
     "ev_funnel_times" -> funnelTimesSql,
     "ev_seasonality" -> seasonalitySql,
     "ev_twap" -> twapSql,
+    "ev_twap_spread" -> twapSql, // identical output by contract
     "ev_ohlc" -> ohlcSql,
     "ev_cumulative_users" -> cumulativeUsersSql,
     "ev_funnel" -> funnelSql,

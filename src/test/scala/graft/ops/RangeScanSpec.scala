@@ -120,6 +120,43 @@ class RangeScanSpec extends SparkSpec {
     got should contain theSameElementsInOrderAs expected
   }
 
+  behavior of "RangeScan.nextTsBucketed"
+
+  it should "equal the window lead(ts) including sparse-bucket seams" in {
+    import spark.implicits._
+    // hot key with TIME GAPS so whole buckets are empty: the last row of a
+    // bucket must be patched from the next EXISTING bucket, not b+1
+    val rows =
+      (for (i <- 0 until 5000)
+        yield ("hot", (i / 100).toLong * 100000 + i % 100, i.toLong)) ++
+      (for (i <- 0 until 300) yield ("cold", i.toLong * 7, (10000 + i).toLong))
+    val df = rows.toDF("k", "ts", "id")
+    val w = Window.partitionBy("k").orderBy("ts", "id")
+    val expected = df.withColumn("nxt", lead("ts", 1).over(w))
+      .orderBy("k", "ts", "id").collect().map(_.toSeq)
+    Seq(4, 16, 64).foreach { b =>
+      val got = RangeScan.nextTsBucketed(df, "k", "ts", "id", "nxt",
+          buckets = b, hotKeys = Seq("hot"))
+        .select((df.columns :+ "nxt").map(col): _*)
+        .orderBy("k", "ts", "id").collect().map(_.toSeq)
+      got should contain theSameElementsInOrderAs expected
+    }
+    // auto-detection path (hot key is ~94% of rows — unmissable)
+    val auto = RangeScan.nextTsBucketed(df, "k", "ts", "id", "nxt",
+        buckets = 8)
+      .select((df.columns :+ "nxt").map(col): _*)
+      .orderBy("k", "ts", "id").collect().map(_.toSeq)
+    auto should contain theSameElementsInOrderAs expected
+  }
+
+  it should "make twapSpread equal the window twap on driver data" in {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val a = graft.queries.EventAnalytics.twap(spark, dir).collect()
+    val b = graft.queries.EventAnalytics.twapSpread(spark, dir).collect()
+    b.map(_.toSeq) should contain theSameElementsInOrderAs a.map(_.toSeq)
+  }
+
   behavior of "EventAnalytics.scd2Spread"
 
   it should "equal the window scd2History on driver data" in {
