@@ -53,6 +53,12 @@ object StreamBench {
         "true")
       .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
         sys.env.getOrElse("GRAFT_BOUND_MB", "512"))
+      // changelog checkpointing: commit appends the batch's delta instead
+      // of snapshotting SST files; snapshots move to background
+      // maintenance. GRAFT_CHANGELOG=1 to measure the difference.
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        sys.env.getOrElse("GRAFT_CHANGELOG", "0") == "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
