@@ -346,6 +346,25 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** SKEW-PROOF twin of [[interarrival]] — identical output (shares
+    * `ev_interarrival`'s oracle; measured 3.3× straggler at 50%
+    * single-key share, SCALE.md r16): a user's gap MULTISET is the same
+    * whether each gap is attributed to the later row (`ts − lag(ts)`,
+    * the window form) or the earlier one (`lead(ts) − ts`), so the
+    * successor pointer from [[graft.ops.RangeScan.nextTsBucketed]]
+    * computes the identical per-user aggregates with the hot key spread
+    * over its time buckets. */
+  def interarrivalSpread(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RangeScan.nextTsBucketed(
+        events(s, dir).select("user_id", "ts_us", "event_id"),
+        "user_id", "ts_us", "event_id", "nxt")
+      .filter(col("nxt").isNotNull)
+      .withColumn("gap", col("nxt") - col("ts_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), min("gap").as("min_us"),
+        max("gap").as("max_us"), sum("gap").as("sum_us"))
+      .orderBy("user_id")
+
   val interarrivalSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT tus,
       |                  lag(epoch_us(ts)::BIGINT) OVER (
@@ -453,6 +472,7 @@ object EventQueries {
   val queries: Map[String, QueryFn] = Map(
     "ev_session_dynamic" -> (sessionDynamic _),
     "ev_interarrival" -> (interarrival _),
+    "ev_interarrival_spread" -> (interarrivalSpread _),
     "ev_rolling_24h" -> (rolling24h _),
     "ev_resample_interp" -> (resampleInterp _),
     "ev_resample_locf" -> (resampleLocf _),
@@ -472,6 +492,7 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "ev_session_dynamic" -> sessionDynamicSql,
     "ev_interarrival" -> interarrivalSql,
+    "ev_interarrival_spread" -> interarrivalSql, // identical output by contract
     "ev_rolling_24h" -> rolling24hSql,
     "ev_resample_interp" -> resampleInterpSql,
     "ev_resample_locf" -> resampleLocfSql,

@@ -157,6 +157,14 @@ class RangeScanSpec extends SparkSpec {
     b.map(_.toSeq) should contain theSameElementsInOrderAs a.map(_.toSeq)
   }
 
+  it should "make interarrivalSpread equal the window interarrival on driver data" in {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val a = graft.queries.EventQueries.interarrival(spark, dir).collect()
+    val b = graft.queries.EventQueries.interarrivalSpread(spark, dir).collect()
+    b.map(_.toSeq) should contain theSameElementsInOrderAs a.map(_.toSeq)
+  }
+
   behavior of "EventAnalytics.scd2Spread"
 
   it should "equal the window scd2History on driver data" in {
