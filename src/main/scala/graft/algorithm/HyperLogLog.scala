@@ -55,7 +55,16 @@ final class HyperLogLog(val b: Int) extends Serializable {
       if (raw <= 2.5 * m && zeros > 0)
         m * math.log(m.toDouble / zeros) // linear counting, small range
       else if (raw > (1L << 32).toDouble / 30.0)
-        -(1L << 32).toDouble * math.log1p(-raw / (1L << 32).toDouble)
+        // math.log(1 - x), NOT log1p(-x): mirrors the DuckDB oracle's
+        // ln(1 - r/4294967296.0) op-for-op (log1p can differ in the last
+        // ulp, and yields NaN once raw > 2^32 — reachable under the 62-bit
+        // hash). NOTE: this large-range correction is the classic 32-bit-
+        // hash formula; under the 62-bit hash collisions don't saturate
+        // until ~2^62, so for raw in (2^32/30, 2^32) it mildly over-
+        // corrects and beyond 2^32 its domain ends — acceptable because the
+        // oracle computes the identical expression (log(<=0) = NaN/-inf on
+        // both sides) and real use at that cardinality should raise b.
+        -(1L << 32).toDouble * math.log(1.0 - raw / (1L << 32).toDouble)
       else raw
     math.round(corrected)
   }

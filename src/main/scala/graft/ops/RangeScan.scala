@@ -40,10 +40,18 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *
   * Determinism: run numbers are content-determined — the range bounds
   * chosen by Spark's sampler affect WHERE rows land, never the emitted
-  * values. Ties across duplicate (key, order) rows are broken by the sort
-  * within partition exactly as the window version's `ORDER BY` does; pass
-  * a tie-breaking order column (e.g. an event id) for full determinism,
-  * same as any window query.
+  * values. Two-pass consistency is stronger than a window query needs:
+  * pass 1 computes the seam corrections from the sorted stream and pass 2
+  * applies them to a RE-EXECUTED sort, so the two sorts must agree row-for-
+  * row, not merely both satisfy the ORDER BY. [[runNumbers]] therefore
+  * sorts by (key, orderCols, all remaining orderable columns) — a total
+  * order under which tying rows are identical, making both executions
+  * emit the same stream regardless of shuffle-fetch order. Rows that still
+  * compare equal (full duplicates, or ties distinguished only by a non-
+  * orderable column such as a map) are interchangeable for the value-change
+  * scan, so the result is unaffected. Prefer a unique tie-breaking order
+  * column (e.g. an event id) anyway — it pins the row order itself, as the
+  * bucketed form does.
   */
 object RangeScan {
 
@@ -69,15 +77,18 @@ object RangeScan {
   private def detectHot(df: DataFrame, keyCol: String, tsCol: String,
       b: Int, hotKeys: Seq[Any]): (Array[Any], Long, Long) =
     if (hotKeys != null) {
-      val r = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+      // cast bounds to long so any numeric order column works (Int,
+      // Timestamp→seconds), not just LongType
+      val r = df.agg(min(col(tsCol).cast("long")),
+        max(col(tsCol).cast("long"))).head()
       if (r.isNullAt(0)) (Array.empty[Any], 0L, 1L)
       else (hotKeys.toArray, r.getLong(0),
         math.max(1L, (r.getLong(1) - r.getLong(0)) / b + 1))
     } else {
       val smp = df.sample(withReplacement = false, 0.01, seed = 42L)
         .groupBy(col(keyCol).as("__k"))
-        .agg(count(lit(1)).as("__c"), min(col(tsCol)).as("__mn"),
-          max(col(tsCol)).as("__mx"))
+        .agg(count(lit(1)).as("__c"), min(col(tsCol).cast("long")).as("__mn"),
+          max(col(tsCol).cast("long")).as("__mx"))
         .persist()
       val t = smp.agg(sum("__c"), min("__mn"), max("__mx")).head()
       val out =
@@ -110,8 +121,16 @@ object RangeScan {
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sortCols = (keyCol +: orderCols).map(col)
+    // total-order tie-break: append every remaining ORDERABLE column so the
+    // re-executed pass-2 sort emits the identical stream as pass 1 (ties
+    // under the full sort are identical rows — fetch-order-proof)
+    val named = (keyCol +: orderCols).toSet
+    val tieCols = df.schema.fields
+      .filter(f => !named.contains(f.name) &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name))
     val ranged = df.repartitionByRange(p, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+      .sortWithinPartitions(sortCols ++ tieCols: _*)
     val schema = ranged.schema
     val ki = schema.fieldIndex(keyCol)
     val vi = schema.fieldIndex(valCol)
@@ -275,7 +294,8 @@ object RangeScan {
         .drop("__brk")
     }
     val isHot = col(keyCol).isin(hot: _*)
-    val bucket = when(isHot, (col(tsCol) - mn).divide(w).cast("long"))
+    val bucket = when(isHot,
+        (col(tsCol).cast("long") - mn).divide(w).cast("long"))
       .otherwise(lit(0L))
     val withB = df.withColumn("__b", bucket)
 
@@ -323,7 +343,12 @@ object RangeScan {
     * bucket's first-row ts via a ≤ hot×buckets-row broadcast — sparse
     * bucket ids (a hot key with time gaps) are handled by patching the
     * PREVIOUS EXISTING bucket, not b−1 arithmetically. With no hot keys:
-    * exactly the plain window lead. */
+    * exactly the plain window lead. Only the bucket's true LAST row is
+    * patched — a mid-bucket null lead (null tsCol on the successor row)
+    * stays null, as the window form leaves it. `tsCol` must be non-null on
+    * HOT keys' rows (a null would get a null bucket id, breaking the
+    * contiguous-bucket ordering); cold keys tolerate nulls. Any numeric
+    * order column works (cast to long for the bucket geometry). */
   def nextTsBucketed(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, outCol: String, buckets: Int = 0,
       hotKeys: Seq[Any] = null): DataFrame = {
@@ -341,9 +366,15 @@ object RangeScan {
     }
     val isHot = col(keyCol).isin(hot: _*)
     val withB = df.withColumn("__b",
-      when(isHot, (col(tsCol) - mn).divide(w).cast("long")).otherwise(lit(0L)))
+      when(isHot, (col(tsCol).cast("long") - mn).divide(w).cast("long"))
+        .otherwise(lit(0L)))
     val wIn = Window.partitionBy(keyCol, "__b").orderBy(tsCol, tieCol)
-    val led = withB.withColumn(outCol, lead(col(tsCol), 1).over(wIn))
+    // __last flags the bucket's true last row (no successor), so the seam
+    // patch below never rewrites a mid-bucket null lead caused by a null
+    // tsCol on the successor row — those stay null, as the window form does
+    val led = withB
+      .withColumn(outCol, lead(col(tsCol), 1).over(wIn))
+      .withColumn("__last", lead(lit(1), 1).over(wIn).isNull)
     // per-(hot key, bucket) first-row ts, re-targeted at the PREVIOUS
     // existing bucket of the same key — patches that bucket's last row
     val wS = Window.partitionBy(keyCol).orderBy("__b")
@@ -356,7 +387,9 @@ object RangeScan {
         col("__first_ts"))
     led.join(broadcast(patches),
         col(keyCol) === col("__pk") && col("__b") === col("__pb"), "left")
-      .withColumn(outCol, coalesce(col(outCol), col("__first_ts")))
-      .drop("__b", "__pk", "__pb", "__first_ts")
+      .withColumn(outCol,
+        when(col("__last"), coalesce(col(outCol), col("__first_ts")))
+          .otherwise(col(outCol)))
+      .drop("__b", "__last", "__pk", "__pb", "__first_ts")
   }
 }

@@ -149,6 +149,44 @@ class RangeScanSpec extends SparkSpec {
     auto should contain theSameElementsInOrderAs expected
   }
 
+  it should "work with an Int order column (detectHot casts bounds to long)" in {
+    import spark.implicits._
+    val rows = (for (i <- 0 until 4000) yield ("hot", i, i.toLong)) ++
+      (for (i <- 0 until 200) yield ("cold", i * 3, (9000 + i).toLong))
+    val df = rows.toDF("k", "ts", "id") // ts is IntegerType
+    val w = Window.partitionBy("k").orderBy("ts", "id")
+    val expected = df.withColumn("nxt", lead("ts", 1).over(w))
+      .orderBy("k", "ts", "id").collect().map(_.toSeq)
+    // auto-detection path: previously threw ClassCastException on Int ts
+    val got = RangeScan.nextTsBucketed(df, "k", "ts", "id", "nxt", buckets = 8)
+      .select((df.columns :+ "nxt").map(col): _*)
+      .orderBy("k", "ts", "id").collect().map(_.toSeq)
+    got should contain theSameElementsInOrderAs expected
+  }
+
+  it should "tolerate null tsCol on cold keys, leaving mid-stream null leads null" in {
+    import spark.implicits._
+    // two consecutive null-ts rows on a cold key produce a MID-partition
+    // null lead (nulls sort first); the hot-key seam patch must not touch
+    // cold keys and the null lead must survive, as the window form leaves it
+    val rows: Seq[(String, java.lang.Long, Long)] =
+      (for (i <- 0 until 3000) yield ("hot", java.lang.Long.valueOf(i.toLong), i.toLong)) ++
+      Seq(("cold", null, 9000L), ("cold", null, 9001L),
+        ("cold", java.lang.Long.valueOf(10L), 9002L),
+        ("cold", java.lang.Long.valueOf(20L), 9003L))
+    val df = rows.toDF("k", "ts", "id")
+    val w = Window.partitionBy("k").orderBy("ts", "id")
+    val expected = df.withColumn("nxt", lead("ts", 1).over(w))
+      .orderBy("k", "id").collect().map(_.toSeq)
+    val got = RangeScan.nextTsBucketed(df, "k", "ts", "id", "nxt",
+        buckets = 8, hotKeys = Seq("hot"))
+      .select((df.columns :+ "nxt").map(col): _*)
+      .orderBy("k", "id").collect().map(_.toSeq)
+    got should contain theSameElementsInOrderAs expected
+    // the mid-stream null lead is really exercised
+    expected.count(r => r(0) == "cold" && r(3) == null) shouldBe 2
+  }
+
   it should "make twapSpread equal the window twap on driver data" in {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/events.parquet").exists())
