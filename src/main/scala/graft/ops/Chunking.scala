@@ -22,6 +22,33 @@ object Chunking {
     * Chunk `i` covers tokens [i·stride, i·stride + chunkTokens); the last
     * chunk is the first one whose span reaches the end of the document
     * (possibly shorter than `chunkTokens`, never empty). */
+  /** Like [[chunks]] but emits the chunk's TOKEN SPAN text instead of its
+    * md5: (doc_id, chunk_no, n_tokens, span). The rewrite form — a caller
+    * that reassembles documents from surviving chunks (passage-level
+    * corpus dedup, [[graft.queries.TextQueries]] `text_passage_scrub`)
+    * needs the text; the report form keeps the narrower md5 frame. Same
+    * chunk geometry, same null-text semantics, same zero-shuffle plan. */
+  def spans(docs: DataFrame, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride >= 1 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens]")
+    val C = chunkTokens
+    val S = stride
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(NearDup.normCol(col("text")), " ").as("words"))
+      .withColumn("n", size(col("words")).cast("long"))
+      .withColumn("chunk_no",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n - $C, 0L) + ${S - 1}) div $S"))))
+      .select(col("doc_id"), col("chunk_no"),
+        least(lit(C.toLong), col("n") - col("chunk_no") * S).as("n_tokens"),
+        array_join(
+          slice(col("words"), (col("chunk_no") * S + 1).cast("int"), lit(C)),
+          " ").as("span"))
+  }
+
   def chunks(docs: DataFrame, chunkTokens: Int = 64,
       stride: Int = 48): DataFrame = {
     require(stride >= 1 && stride <= chunkTokens,

@@ -988,7 +988,65 @@ object TextQueries {
        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
        |ORDER BY keep_doc, chunk_md5""".stripMargin
 
+  /** Passage-level corpus dedup WITH REWRITE — the RefinedWeb/CCNet-style
+    * scrub pass that [[chunkDedup]] only reports on: split every document
+    * into NON-overlapping 32-token passages, keep each distinct passage
+    * only at its globally-first occurrence (smallest (doc_id, chunk_no) —
+    * also collapsing within-document repeats), and reassemble each
+    * document from its surviving passages in order. Output per doc:
+    * passage counts, surviving token count, and the md5 of the rewritten
+    * text (small, hashable oracle row; the full text is one `array_join`
+    * away for a sink).
+    *
+    * Scale shape: chunking is the zero-shuffle codegen split; the
+    * first-occurrence election is ONE map-side-combinable groupBy on
+    * chunk_md5 (min of a (doc_id, chunk_no) struct); the verdict joins
+    * back on chunk_md5 and documents reassemble with ONE groupBy(doc_id)
+    * whose per-group payload is bounded by document length — no pair
+    * explosion anywhere, same discipline as the exact-dedup family. */
+  def passageScrub(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.ops.Chunking.spans(
+        tPar(s, dir, "documents").select("doc_id", "text"), 32, 32)
+      .withColumn("chunk_md5", md5(col("span")))
+    val firsts = ch.groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_no"))).as("f"))
+    ch.join(firsts, "chunk_md5")
+      .withColumn("keep",
+        col("doc_id") === col("f.doc_id") && col("chunk_no") === col("f.chunk_no"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("new_n_tokens"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("chunk_no"), col("span"))))),
+            x => x.getField("span")),
+          " ")).as("new_md5"))
+      .orderBy("doc_id")
+  }
+
+  val passageScrubSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') words
+       |           FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, len(words)::BIGINT n, words,
+       |             unnest(generate_series(0, (greatest(len(words)-32,0)+31)//32)) i
+       |      FROM w),
+       |ch AS (SELECT doc_id, i chunk_no, least(32, n - i*32)::BIGINT n_tokens,
+       |              array_to_string(words[i*32+1:i*32+32], ' ') span FROM c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY md5(span)
+       |                                   ORDER BY doc_id, chunk_no) rn FROM ch)
+       |SELECT doc_id, count(*)::BIGINT n_chunks,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+       |       CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) new_n_tokens,
+       |       md5(coalesce(array_to_string(
+       |             list(span ORDER BY chunk_no) FILTER (WHERE rn = 1), ' '),
+       |           '')) new_md5
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "text_passage_scrub" -> (passageScrub _),
     "text_chunk_dedup" -> (chunkDedup _),
     "text_chunking" -> (chunking _),
     "text_incr_dedup" -> (incrDedup _),
@@ -1017,6 +1075,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_passage_scrub" -> passageScrubSql,
     "text_chunk_dedup" -> chunkDedupSql,
     "text_chunking" -> chunkingSql,
     "text_incr_dedup" -> incrDedupSql,
