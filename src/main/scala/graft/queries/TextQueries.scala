@@ -1045,7 +1045,178 @@ object TextQueries {
        |           '')) new_md5
        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- hybrid retrieval (BM25-family lexical + vector cosine, RRF-fused) ----
+
+  private val HS_QN = 3      // probe queries (smallest doc_ids with a vector)
+  private val HS_TERMS = 8   // lexical query terms per probe
+  private val HS_POOL = 50   // per-ranker candidate pool depth
+  private val HS_K = 10      // fused output depth
+  private val HS_DIM = 64
+
+  /** HYBRID SEARCH — the RAG/curation retrieval stack as one operator:
+    * a lexical BM25-family ranker over an inverted index, a dense cosine
+    * ranker over the embedding table, fused with Reciprocal-Rank Fusion
+    * (Cormack & Clarke SIGIR'09: rrf = Σ 1/(60 + rank)).
+    *
+    * Lexical scoring is a RATIONAL-ARITHMETIC BM25 variant, fully integer
+    * for bit-reproducibility: with k1 = 1.2, b = 0.75 and avgdl = L/N the
+    * tf-normalization term tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) equals
+    * exactly 22·tf·L / (10·tf·L + 3·L + 9·dl·N) — integer numerator and
+    * denominator — and idf uses the log-free ratio surrogate
+    * ((2(N−df)+1)·1000) div (2df+1) (milli-units of (N−df+½)/(df+½); the
+    * same monotone-in-df ordering per term as BM25's ln of it, steeper
+    * across terms — and the established integer-idf pattern of
+    * `text_tfidf`). Per-(query,doc) scores are integer SUMS of per-term
+    * integer scores, so aggregation order cannot perturb ranks, and the
+    * RRF fusion is integer micro-units: 10⁶ div (60+rank). The only floats
+    * anywhere are the cosine ranker's fold-dots (the hash-green ANN
+    * precedent).
+    *
+    * Scale shape: tf/df/dl is the standard inverted-index build (one
+    * exploded shuffle on doc_id, map-side-combined aggs); query terms are
+    * a broadcast (q × 8 rows); lexical candidates come from the
+    * qterm ⋈ tf EQUI-join on term — postings-list candidate generation,
+    * never a scan of all docs per query (a stopword-df term admits many
+    * candidates; production indexes add WAND/impact-ordered pruning — the
+    * pool cap here bounds the downstream window the same way). The dense
+    * side broadcasts the q probe vectors over one narrow pass of the
+    * embedding table (top-`HS_POOL` per query via per-partition window).
+    * Fusion joins two (q × pool)-sized frames — constant-sized at any
+    * corpus scale. */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = tPar(s, dir, "documents")
+    val emb = tPar(s, dir, "embeddings")
+    // inverted index: one shuffle of exploded words on doc_id (tf and the
+    // per-doc length dl both group by doc_id with map-side combine)
+    val words = docs.select(col("doc_id"),
+      explode(call_function("graft_words", col("text"))).as("term"))
+      .repartition(col("doc_id"))
+    val tf = graft.util.CacheBin.persist(
+      words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tot = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(dl.agg(sum("dl").cast("long").as("ltot")))
+    // probes: smallest doc_ids that HAVE a dense vector (documents and
+    // embeddings only partially overlap at some tiers)
+    val probes = docs.select(col("doc_id"))
+      .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("q_id")).orderBy("q_id").limit(HS_QN)
+    // per-probe lexical query = its top-HS_TERMS terms by (tf desc, term)
+    val qt = tf.join(broadcast(probes), col("doc_id") === col("q_id"))
+      .withColumn("tr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("tf").desc, col("term"))))
+      .filter(col("tr") <= HS_TERMS)
+      .select(col("q_id"), col("term").as("qterm"))
+    // postings join → per-term integer BM25 scores → per-doc integer sum
+    val lex = qt.join(tf, col("qterm") === col("term"))
+      .join(broadcast(dfreq.withColumnRenamed("term", "dterm")),
+        col("qterm") === col("dterm"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("s",
+        expr("(((2*(nd - df) + 1) * 1000) div (2*df + 1)) * (22 * tf * ltot)" +
+          " div (10 * tf * ltot + 3 * ltot + 9 * dl * nd)"))
+      .groupBy("q_id", "doc_id").agg(sum("s").as("score"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("lex_rank") <= HS_POOL)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+    // dense ranker: fold-dot cosine of each probe vector vs the embedding
+    // table (broadcast hash join on a constant key — a broadcast fan-out,
+    // not a nested-loop product)
+    val ev = emb.select(col("vec_id"),
+        transform(col("embedding"), e => e.cast("double")).as("v"))
+      .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
+      .withColumn("one", lit(1))
+    val qv = ev.join(broadcast(probes), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("qv"), col("n2").as("qn"), col("one"))
+    val vr = ev.join(broadcast(qv), "one")
+      .withColumn("cosine", call_function("graft_dot", col("qv"), col("v")) /
+        (sqrt(col("qn")) * sqrt(col("n2"))))
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("vec_rank") <= HS_POOL)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("vec_rank"))
+    // reciprocal-rank fusion in integer micro-units; absent-from-one-list
+    // contributes 0 (and reports rank 0 in the output)
+    lex.join(vr, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf_micro").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= HS_K)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_micro"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val hybridSearchSql: String = {
+    def dotSql(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $HS_DIM), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) term FROM n),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM w GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*)::BIGINT FROM documents) nd,
+       |               (SELECT CAST(sum(dl) AS BIGINT) FROM dl) ltot),
+       |probes AS (SELECT doc_id q_id FROM documents
+       |           JOIN embeddings ON doc_id = vec_id ORDER BY doc_id LIMIT $HS_QN),
+       |qt AS (SELECT q_id, term FROM (
+       |         SELECT p.q_id, t.term,
+       |                row_number() OVER (PARTITION BY p.q_id
+       |                                   ORDER BY t.tf DESC, t.term) tr
+       |         FROM probes p JOIN tf t ON t.doc_id = p.q_id)
+       |       WHERE tr <= $HS_TERMS),
+       |sc AS (SELECT q.q_id, t.doc_id,
+       |              (((2*(o.nd - f.df) + 1) * 1000) // (2*f.df + 1))
+       |                * (22 * t.tf * o.ltot)
+       |                // (10 * t.tf * o.ltot + 3 * o.ltot + 9 * d.dl * o.nd) s
+       |       FROM qt q JOIN tf t ON t.term = q.term
+       |            JOIN dfreq f ON f.term = q.term
+       |            JOIN dl d ON d.doc_id = t.doc_id, tot o),
+       |lexs AS (SELECT q_id, doc_id, CAST(sum(s) AS BIGINT) score
+       |         FROM sc GROUP BY 1, 2),
+       |lex AS (SELECT q_id, doc_id, lex_rank FROM (
+       |          SELECT q_id, doc_id,
+       |                 row_number() OVER (PARTITION BY q_id
+       |                                    ORDER BY score DESC, doc_id) lex_rank
+       |          FROM lexs) WHERE lex_rank <= $HS_POOL),
+       |e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} n2
+       |      FROM embeddings),
+       |qv AS (SELECT p.q_id, e.embedding qe, e.n2 qn
+       |       FROM probes p JOIN e ON e.vec_id = p.q_id),
+       |vr AS (SELECT q_id, vec_id doc_id, vec_rank FROM (
+       |         SELECT q.q_id, c.vec_id,
+       |                row_number() OVER (PARTITION BY q.q_id
+       |                  ORDER BY ${dotSql("q.qe", "c.embedding")}
+       |                           / (sqrt(q.qn) * sqrt(c.n2)) DESC,
+       |                           c.vec_id) vec_rank
+       |         FROM qv q, e c) WHERE vec_rank <= $HS_POOL),
+       |f AS (SELECT coalesce(l.q_id, v.q_id) q_id,
+       |             coalesce(l.doc_id, v.doc_id) doc_id,
+       |             coalesce(1000000 // (60 + l.lex_rank), 0)
+       |               + coalesce(1000000 // (60 + v.vec_rank), 0) rrf_micro,
+       |             coalesce(l.lex_rank, 0) lex_rank,
+       |             coalesce(v.vec_rank, 0) vec_rank
+       |      FROM lex l FULL OUTER JOIN vr v
+       |        ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       |SELECT q_id, rank, doc_id, CAST(rrf_micro AS BIGINT) rrf_micro,
+       |       CAST(lex_rank AS BIGINT) lex_rank, CAST(vec_rank AS BIGINT) vec_rank
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY rrf_micro DESC, doc_id) AS BIGINT) rank FROM f)
+       |WHERE rank <= $HS_K ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "text_hybrid_search" -> (hybridSearch _),
     "text_passage_scrub" -> (passageScrub _),
     "text_chunk_dedup" -> (chunkDedup _),
     "text_chunking" -> (chunking _),
@@ -1075,6 +1246,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_hybrid_search" -> hybridSearchSql,
     "text_passage_scrub" -> passageScrubSql,
     "text_chunk_dedup" -> chunkDedupSql,
     "text_chunking" -> chunkingSql,

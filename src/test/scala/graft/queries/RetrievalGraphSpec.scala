@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Differential + invariant specs for the retrieval/graph/selection family
+  * (round 17): join_er_blocked, graph_triangles, vec_kcenter,
+  * text_hybrid_search, plus invariants for text_passage_scrub and
+  * vec_knn_graph. The differential tests re-derive the expected result in
+  * PLAIN SCALA from the raw parquet (no Spark query machinery), so a bug in
+  * the distributed formulation cannot hide in its own oracle mirror.
+  */
+class RetrievalGraphSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] =
+    graft.util.CacheBin.withScope { df.collect() }
+
+  // tiny reference levenshtein (full DP, test-only)
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  behavior of "join_er_blocked"
+
+  it should "equal the brute-force all-pairs levenshtein scan (exact recall)" in {
+    val cust = rows(spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_name"))
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val brute = (for {
+      i <- cust.indices.iterator
+      j <- (i + 1) until cust.length
+      if lev(cust(i)._2, cust(j)._2) <= 1
+    } yield (cust(i)._1, cust(j)._1, cust(i)._2, cust(j)._2,
+        lev(cust(i)._2, cust(j)._2).toLong)).toVector.sorted
+    val got = rows(JoinQueries.erBlocked(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toVector
+    got.sorted shouldBe brute
+    // and ordering contract: (id_a, id_b) ascending
+    got shouldBe got.sortBy(t => (t._1, t._2))
+  }
+
+  behavior of "graph_triangles"
+
+  it should "match a plain-Scala triangle enumeration of the strong trade graph" in {
+    def tbl(n: String) = rows(spark.read.parquet(s"$dir/$n.parquet"))
+    val nation = tbl("nation").map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = tbl("customer").map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val supp = tbl("supplier").map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val ordCust = tbl("orders").map(r =>
+      r.getLong(r.fieldIndex("o_orderkey")) -> r.getLong(r.fieldIndex("o_custkey"))).toMap
+    val weights = new scala.collection.mutable.HashMap[(String, String), Long]()
+    tbl("lineitem").foreach { r =>
+      val src = nation(cust(ordCust(r.getLong(r.fieldIndex("l_orderkey")))))
+      val dst = nation(supp(r.getLong(r.fieldIndex("l_suppkey"))))
+      if (src != dst) {
+        val k = if (src < dst) (src, dst) else (dst, src)
+        weights(k) = weights.getOrElse(k, 0L) + 1L
+      }
+    }
+    val sw = weights.values.sum
+    val ne = weights.size.toLong
+    // NB: Map.collect returning pairs would rebuild a Map (dedup by first
+    // element) — filter + keySet keeps every qualifying edge
+    val strong = weights.filter(kv => kv._2 * ne > sw).keySet.toSet
+    val ns = strong.flatMap(e => Set(e._1, e._2)).toVector.sorted
+    val brute = (for {
+      ai <- ns.indices.iterator; bi <- (ai + 1) until ns.length
+      ci <- (bi + 1) until ns.length
+      a = ns(ai); b = ns(bi); c = ns(ci)
+      if strong((a, b)) && strong((b, c)) && strong((a, c))
+    } yield (a, b, c)).toVector
+    val got = rows(GraphQueries.triangles(spark, dir))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toVector
+    got.sorted shouldBe brute.sorted
+    got.nonEmpty shouldBe true // degenerate-empty would make the test vacuous
+  }
+
+  behavior of "vec_kcenter"
+
+  it should "match a plain-Scala greedy farthest-point selection" in {
+    val vecs = rows(spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding"))
+      .map { r =>
+        val m = r.getSeq[Float](1).map(x =>
+          BigDecimal(x.toDouble * 1000000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+        (r.getLong(0), m)
+      }.sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val mind = new scala.collection.mutable.HashMap[Long, Long]()
+    var expected = Vector((vecs.head._1, 0L))
+    var center = vecs.head._2
+    vecs.foreach { case (id, m) => mind(id) = d2(m, center) }
+    for (_ <- 1 until 8) {
+      val (nid, nd) = vecs.map { case (id, _) => (id, mind(id)) }
+        .maxBy { case (id, d) => (d, -id) }
+      expected :+= ((nid, nd))
+      center = vecs.find(_._1 == nid).get._2
+      vecs.foreach { case (id, m) =>
+        mind(id) = math.min(mind(id), d2(m, center)) }
+    }
+    val got = rows(VectorQueries.kcenterSample(spark, dir))
+      .map(r => (r.getLong(1), r.getLong(2))).toVector
+    got shouldBe expected
+    // coverage radii non-increasing after the seed — the greedy invariant
+    val radii = got.drop(1).map(_._2)
+    radii.zip(radii.drop(1)).foreach { case (a, b) => a should be >= b }
+  }
+
+  behavior of "text_hybrid_search"
+
+  it should "fuse consistently and retrieve each probe doc for itself" in {
+    val got = rows(TextQueries.hybridSearch(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    got.nonEmpty shouldBe true
+    val byQ = got.groupBy(_._1)
+    byQ.keySet.size shouldBe 3
+    byQ.foreach { case (q, rs) =>
+      // self-retrieval: the probe doc is its own best fused hit (vector
+      // cosine 1.0 + lexical self-match dominate the RRF sum)
+      rs.minBy(_._2)._3 shouldBe q
+      // rrf recomputation from the reported component ranks
+      rs.foreach { case (_, _, _, rrf, lr, vr) =>
+        val e = (if (lr > 0) 1000000L / (60 + lr) else 0L) +
+          (if (vr > 0) 1000000L / (60 + vr) else 0L)
+        rrf shouldBe e
+      }
+      // ranks contiguous from 1 and ordered by (rrf desc, doc_id)
+      rs.map(_._2).sorted shouldBe (1L to rs.length).toVector
+      val ord = rs.sortBy(r => (-r._4, r._3)).map(_._2)
+      ord shouldBe (1L to rs.length).toVector
+    }
+  }
+
+  behavior of "text_passage_scrub"
+
+  it should "keep each distinct passage exactly once and never grow a doc" in {
+    val got = rows(TextQueries.passageScrub(spark, dir))
+    got.nonEmpty shouldBe true
+    var kept = 0L; var chunks = 0L
+    got.foreach { r =>
+      val (n, k, tok) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      k should be <= n
+      tok should be <= k * 32
+      kept += k; chunks += n
+    }
+    kept should be < chunks // the planted dups guarantee some scrubbing
+    // global first-occurrence-wins: total kept == distinct passages
+    val distinctPassages = graft.util.CacheBin.withScope {
+      import org.apache.spark.sql.functions._
+      graft.ops.Chunking.spans(
+          spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          32, 32)
+        .select(md5(col("span"))).distinct().count()
+    }
+    kept shouldBe distinctPassages
+  }
+
+  behavior of "vec_knn_graph"
+
+  it should "emit at most k ranked, self-free, bounded-cosine neighbors per node" in {
+    val got = rows(VectorQueries.knnGraph(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.nonEmpty shouldBe true
+    got.groupBy(_._1).foreach { case (node, rs) =>
+      rs.length should be <= 3
+      rs.map(_._2).sorted shouldBe (1L to rs.length).toVector
+      rs.foreach { case (n, _, nbr, cos) =>
+        nbr should not be n
+        cos should (be >= -1.0000001 and be <= 1.0000001)
+      }
+      rs.map(_._3).distinct.length shouldBe rs.length
+    }
+  }
+}
