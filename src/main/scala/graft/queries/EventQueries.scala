@@ -335,6 +335,61 @@ object EventQueries {
     * Exact integer µs arithmetic on the deterministic (ts, event_id)
     * order; one lag() window pass on the same user_id shuffle the
     * aggregation reuses. */
+  /** One-sided CUSUM change-point detection per user (Page 1954): over each
+    * user's event sequence ordered by (ts, event_id), the recurrence
+    * s_i = max(0, s_{i-1} + (v_i − k)) with reference k = the global mean
+    * value (exact integer: Σcents div n) raises an ALARM the first time
+    * s_i ≥ 5k. Emits each user's first alarm.
+    *
+    * Scale shape — the whole point of this formulation: the max-reset
+    * recurrence looks inherently sequential, but it has the closed form
+    * s_i = P_i − min(0, min_{j≤i} P_j) (P = running sum of deviations), so
+    * it is TWO window passes (running sum, running min) over ONE
+    * (user_id) exchange — no driver loop, no iterative joins, and exact
+    * integer cents throughout (no float summation-order hazard). The
+    * window is the standard sort-based per-key scan; a pathologically hot
+    * user takes the `RangeScan` spread remedy like the rest of the lag
+    * family. */
+  def cusum(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), valC.as("v"))
+    val kdf = e.agg(expr("sum(v) div count(*)").cast("long").as("k"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.crossJoin(broadcast(kdf))
+      .withColumn("d", col("v") - col("k"))
+      .withColumn("p", sum("d").over(run))
+      .withColumn("s", col("p") -
+        least(lit(0L), min(col("p")).over(run)))
+      .filter(col("s") >= col("k") * 5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("alarm_event_id"),
+        col("ts_us").as("alarm_ts_us"), col("s").as("s_cents"))
+      .orderBy("user_id")
+  }
+
+  val cusumSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT tus, event_id,
+      |                  CAST(round(value*100) AS BIGINT) v FROM events),
+      |kk AS (SELECT CAST(sum(v) AS BIGINT) // count(*) k FROM e),
+      |ps AS (SELECT user_id, tus, event_id,
+      |              CAST(sum(v - kk.k) OVER (PARTITION BY user_id
+      |                ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)
+      |                AS BIGINT) p
+      |       FROM e, kk),
+      |sc AS (SELECT user_id, tus, event_id,
+      |              p - least(0, min(p) OVER (PARTITION BY user_id
+      |                ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)) s
+      |       FROM ps),
+      |al AS (SELECT user_id, tus, event_id, s,
+      |              row_number() OVER (PARTITION BY user_id
+      |                ORDER BY tus, event_id) rn
+      |       FROM sc, kk WHERE s >= 5 * kk.k)
+      |SELECT user_id, event_id alarm_event_id, tus alarm_ts_us,
+      |       CAST(s AS BIGINT) s_cents
+      |FROM al WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   def interarrival(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     events(s, dir)
@@ -470,6 +525,7 @@ object EventQueries {
       |FROM i GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
+    "ev_cusum" -> (cusum _),
     "ev_session_dynamic" -> (sessionDynamic _),
     "ev_interarrival" -> (interarrival _),
     "ev_interarrival_spread" -> (interarrivalSpread _),
@@ -491,6 +547,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "ev_session_dynamic" -> sessionDynamicSql,
+    "ev_cusum" -> cusumSql,
     "ev_interarrival" -> interarrivalSql,
     "ev_interarrival_spread" -> interarrivalSql, // identical output by contract
     "ev_rolling_24h" -> rolling24hSql,

@@ -336,9 +336,12 @@ object JoinQueries {
           col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"), col("name").as("name_a"),
         col("name_b"))
-      .distinct() // a pair can share both segments — candidates dedup once
+      // verify BEFORE dedup: levenshtein is a narrow codegen filter that
+      // drops ~99% of candidates, so the distinct (a shuffle) runs on the
+      // link-sized set, not the candidate-sized one
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 1)
+      .distinct() // a pair can share both segments — links dedup once
       .orderBy("id_a", "id_b")
   }
 
@@ -350,11 +353,11 @@ object JoinQueries {
       |      FROM c, (VALUES (0), (1)) s(seg)),
       |cand AS (SELECT DISTINCT x.id id_a, y.id id_b, x.nm name_a, y.nm name_b
       |         FROM b x JOIN b y
-      |           ON x.seg = y.seg AND x.blk = y.blk AND x.id < y.id)
+      |           ON x.seg = y.seg AND x.blk = y.blk AND x.id < y.id
+      |         WHERE levenshtein(x.nm, y.nm) <= 1)
       |SELECT id_a, id_b, name_a, name_b,
       |       CAST(levenshtein(name_a, name_b) AS BIGINT) dist
-      |FROM cand WHERE levenshtein(name_a, name_b) <= 1
-      |ORDER BY id_a, id_b""".stripMargin
+      |FROM cand ORDER BY id_a, id_b""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
     "join_er_blocked" -> (erBlocked _),

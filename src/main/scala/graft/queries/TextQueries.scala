@@ -1045,6 +1045,49 @@ object TextQueries {
        |           '')) new_md5
        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-document n-gram NOVELTY score — the curation signal behind
+    * "how much of this doc is new to the corpus": for each document, the
+    * fraction of its DISTINCT word 3-grams whose globally-first occurrence
+    * (min doc_id) is this document. Low novelty = mostly-recycled text
+    * (template spam, boilerplate mirrors); the per-doc profile complements
+    * the pair-level dedup family (which answers "which docs match whom",
+    * not "how derivative is each doc"). Exact integer percent.
+    *
+    * Scale shape: explode 3-grams → per-doc distinct (map-side combined
+    * groupBy) → global min(doc_id) per gram (second map-side-combined
+    * groupBy, gram-keyed) → join back on gram → one doc-keyed count. All
+    * shuffles are equi-keyed on gram/doc; the gram frame is the same
+    * inverted structure every dedup op here rides. */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val norm = normCol(col("text"))
+    val grams = tPar(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(shinglesOf(wordsOf(norm), norm, 3)).as("g"))
+      .distinct()
+    val firsts = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(firsts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_pct", expr("(n_novel * 100) div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val noveltySql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
+       |g AS (SELECT DISTINCT doc_id,
+       |             unnest(${shinglesSql("words", "norm", 3)}) g FROM w),
+       |f AS (SELECT g, min(doc_id) first_doc FROM g GROUP BY 1)
+       |SELECT g.doc_id, count(*)::BIGINT n_grams,
+       |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |            AS BIGINT) n_novel,
+       |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |            AS BIGINT) * 100
+       |         // count(*) novelty_pct
+       |FROM g JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- hybrid retrieval (BM25-family lexical + vector cosine, RRF-fused) ----
 
   private val HS_QN = 3      // probe queries (smallest doc_ids with a vector)
@@ -1087,33 +1130,40 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = tPar(s, dir, "documents")
     val emb = tPar(s, dir, "embeddings")
-    // inverted index: one shuffle of exploded words on doc_id (tf and the
-    // per-doc length dl both group by doc_id with map-side combine)
+    // inverted index in ONE shuffle: the per-doc length dl rides along the
+    // exploded words (narrow size() of the same split — no separate dl
+    // aggregation or join), so tf = (doc_id, term, tf, dl) after a single
+    // map-side-combined groupBy
     val words = docs.select(col("doc_id"),
-      explode(call_function("graft_words", col("text"))).as("term"))
-      .repartition(col("doc_id"))
+      call_function("graft_words", col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
     val tf = graft.util.CacheBin.persist(
-      words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      words.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), min("dl").as("dl")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // corpus totals: N over documents; L = Σ tf (total token count)
     val tot = docs.agg(count(lit(1)).as("nd"))
-      .crossJoin(dl.agg(sum("dl").cast("long").as("ltot")))
+      .crossJoin(tf.agg(sum("tf").cast("long").as("ltot")))
     // probes: smallest doc_ids that HAVE a dense vector (documents and
-    // embeddings only partially overlap at some tiers)
-    val probes = docs.select(col("doc_id"))
+    // embeddings only partially overlap at some tiers) — one bounded
+    // scalar collect (the idAtRank pattern), inlined as literals so
+    // neither ranking branch re-derives the probe subtree
+    val probeIds = docs.select(col("doc_id"))
       .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"))
-      .select(col("doc_id").as("q_id")).orderBy("q_id").limit(HS_QN)
+      .orderBy("doc_id").limit(HS_QN).collect().map(_.getLong(0)).toSeq
+    require(probeIds.nonEmpty, "hybridSearch: no doc with an embedding")
     // per-probe lexical query = its top-HS_TERMS terms by (tf desc, term)
-    val qt = tf.join(broadcast(probes), col("doc_id") === col("q_id"))
+    val qt = tf.filter(col("doc_id").isin(probeIds: _*))
+      .withColumn("q_id", col("doc_id"))
       .withColumn("tr", row_number().over(
         Window.partitionBy("q_id").orderBy(col("tf").desc, col("term"))))
       .filter(col("tr") <= HS_TERMS)
       .select(col("q_id"), col("term").as("qterm"))
     // postings join → per-term integer BM25 scores → per-doc integer sum
-    val lex = qt.join(tf, col("qterm") === col("term"))
+    val lex = broadcast(qt).join(tf, col("qterm") === col("term"))
       .join(broadcast(dfreq.withColumnRenamed("term", "dterm")),
         col("qterm") === col("dterm"))
-      .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
       .withColumn("s",
         expr("(((2*(nd - df) + 1) * 1000) div (2*df + 1)) * (22 * tf * ltot)" +
@@ -1131,8 +1181,9 @@ object TextQueries {
         transform(col("embedding"), e => e.cast("double")).as("v"))
       .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
       .withColumn("one", lit(1))
-    val qv = ev.join(broadcast(probes), col("vec_id") === col("q_id"))
-      .select(col("q_id"), col("v").as("qv"), col("n2").as("qn"), col("one"))
+    val qv = ev.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn"), col("one"))
     val vr = ev.join(broadcast(qv), "one")
       .withColumn("cosine", call_function("graft_dot", col("qv"), col("v")) /
         (sqrt(col("qn")) * sqrt(col("n2"))))
@@ -1216,6 +1267,7 @@ object TextQueries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "text_novelty" -> (novelty _),
     "text_hybrid_search" -> (hybridSearch _),
     "text_passage_scrub" -> (passageScrub _),
     "text_chunk_dedup" -> (chunkDedup _),
@@ -1246,6 +1298,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_novelty" -> noveltySql,
     "text_hybrid_search" -> hybridSearchSql,
     "text_passage_scrub" -> passageScrubSql,
     "text_chunk_dedup" -> chunkDedupSql,

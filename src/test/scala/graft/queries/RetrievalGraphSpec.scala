@@ -169,6 +169,55 @@ class RetrievalGraphSpec extends SparkSpec {
     kept shouldBe distinctPassages
   }
 
+  behavior of "ev_cusum"
+
+  it should "match the literal sequential max-reset recurrence" in {
+    // the closed form (P_i - min(0, min prefix)) is what ships; this
+    // re-derives alarms with the textbook per-user sequential loop
+    val evs = rows(Q.events(spark, dir)
+      .select("user_id", "ts_us", "event_id", "value"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val k = evs.map(_._4).sum / evs.length
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      var s = 0L
+      es.sortBy(e => (e._2, e._3)).collectFirst {
+        case (_, ts, eid, v) if { s = math.max(0L, s + (v - k)); s >= 5 * k } =>
+          (u, eid, ts, s)
+      }
+    }.toVector.sortBy(_._1)
+    val got = rows(EventQueries.cusum(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    got shouldBe expected
+    got.nonEmpty shouldBe true
+  }
+
+  behavior of "text_novelty"
+
+  it should "conserve novelty: novel counts sum to the distinct gram count" in {
+    val got = rows(TextQueries.novelty(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.nonEmpty shouldBe true
+    got.foreach { case (_, n, novel, pct) =>
+      novel should be <= n
+      pct shouldBe (novel * 100) / n
+    }
+    // every distinct gram is novel for exactly one doc (its first)
+    val totalNovel = got.map(_._3).sum
+    val distinctGrams = graft.util.CacheBin.withScope {
+      import org.apache.spark.sql.functions._
+      val norm = graft.ops.NearDup.normCol(col("text"))
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(graft.ops.NearDup.shinglesOf(
+          graft.ops.NearDup.wordsOf(norm), norm, 3)).as("g"))
+        .select("g").distinct().count()
+    }
+    totalNovel shouldBe distinctGrams
+    // and somebody recycles: at least one doc below 100% novelty
+    got.exists(_._4 < 100) shouldBe true
+  }
+
   behavior of "vec_knn_graph"
 
   it should "emit at most k ranked, self-free, bounded-cosine neighbors per node" in {
