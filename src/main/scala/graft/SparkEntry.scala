@@ -37,12 +37,12 @@ object SparkEntry {
       CorpusQueries.oracle ++ GraphQueries.oracle
 
   /** Queries deliberately without a DuckDB oracle: probabilistic sketches
-    * whose exact twins ARE oracle-checked (core_distinct_counts,
-    * text_boilerplate, core_median_prices, ev_dedup_exact), and the ANN
-    * recall self-check whose floors are spec-enforced (AnnRecallSpec).
+    * whose exact twins ARE oracle-checked (text_boilerplate,
+    * core_median_prices, ev_dedup_exact), and the ANN recall self-check
+    * whose floors are spec-enforced (AnnRecallSpec). CMS and HLL graduated
+    * to fully oracle-checked (r14/r16) and are no longer listed.
     * AllQueriesSmokeSpec asserts queries = oracleSql ∪ this set, so a new
     * query cannot silently ship without either an oracle or an entry here. */
   val noOracle: Set[String] = Set(
-    "sk_hll_users", "sk_sbf_dedup", "sk_heavy_hitters", "sk_quantiles",
-    "vec_ann_recall")
+    "sk_sbf_dedup", "sk_heavy_hitters", "sk_quantiles", "vec_ann_recall")
 }

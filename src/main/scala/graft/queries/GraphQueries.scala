@@ -122,6 +122,9 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    // scalar totals attach as the repo's standard 1-row broadcast
+    // crossJoin (plans as a BroadcastNestedLoopJoin with a single-row
+    // build side — constant work per probe row, not a pair blowup)
     val tot = und.agg(sum("w").cast("long").as("sw"),
       count(lit(1)).as("ne"))
     val strong = und.crossJoin(broadcast(tot))

@@ -1142,9 +1142,11 @@ object TextQueries {
       words.groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"), min("dl").as("dl")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // corpus totals: N over documents; L = Σ tf (total token count)
+    // corpus totals: N over documents; L = Σ tf (total token count);
+    // scalar attaches are 1-row broadcast crossJoins (constant work per
+    // probe row — the repo's standard scalar pattern)
     val tot = docs.agg(count(lit(1)).as("nd"))
-      .crossJoin(tf.agg(sum("tf").cast("long").as("ltot")))
+      .crossJoin(broadcast(tf.agg(sum("tf").cast("long").as("ltot"))))
     // probes: smallest doc_ids that HAVE a dense vector (documents and
     // embeddings only partially overlap at some tiers) — one bounded
     // scalar collect (the idAtRank pattern), inlined as literals so

@@ -100,6 +100,39 @@ class GraftPlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  it should "build the kNN graph through banded equi-joins, never a cross product" in {
+    val plan = planOf(VectorQueries.knnGraph(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "generate ER candidates via the segment equi-join, never all-pairs" in {
+    val plan = planOf(JoinQueries.erBlocked(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "enumerate triangles via two edge equi-joins, never a cross product" in {
+    // the scalar-totals attach is the repo's deliberate 1-row broadcast
+    // crossJoin (BNLJ with a single-row build) — only a true cartesian
+    // between data-sized frames is forbidden, and both triangle-closing
+    // joins must be hash/sort-merge equi-joins
+    val plan = planOf(GraphQueries.triangles(spark, dir))
+    plan should not include "CartesianProduct"
+    "SortMergeJoin|BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
+  }
+
+  it should "fuse hybrid search via postings equi-joins, never a corpus scan per query" in {
+    // scalar totals + the q-probe fan-out are bounded-build broadcast
+    // joins by construction; the postings join and the fusion join must
+    // be equi-joins and no data-sized cartesian may appear
+    val plan = planOf(graft.util.CacheBin.withScope {
+      TextQueries.hybridSearch(spark, dir)
+    })
+    plan should not include "CartesianProduct"
+    "SortMergeJoin|BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
+  }
+
   it should "keep the split assignment a narrow map until its rollup groupBy" in {
     val plan = planOf(PipelineQueries.splitAssign(spark, dir))
     // exactly the rollup's exchange plus the final orderBy's range exchange
