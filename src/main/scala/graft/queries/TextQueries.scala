@@ -1059,13 +1059,18 @@ object TextQueries {
     * shuffles are equi-keyed on gram/doc; the gram frame is the same
     * inverted structure every dedup op here rides. */
   def novelty(s: SparkSession, dir: String): DataFrame = {
-    val norm = normCol(col("text"))
+    // grams travel as 64-bit polynomial hashes, NOT raw strings, and the
+    // whole normalize → 3-gram → hash → per-doc-distinct frontend is the
+    // ONE codegen'd graft_shingle_hashes pass (the ShingleHashes
+    // discipline every near-dup operator uses — the composed
+    // regex + HOF + per-gram-hash chain measured 24-31 s at sf0.1; this
+    // form ~1 s). Hash collisions are deterministic and mirrored
+    // bit-for-bit by the oracle's polyHash over the same shingles.
     val grams = tPar(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(shinglesOf(wordsOf(norm), norm, 3)).as("g"))
-      .distinct()
-    val firsts = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-    grams.join(firsts, "g")
+      .select(col("doc_id"), explode(call_function("graft_shingle_hashes",
+        col("text"), lit(3), lit(31L), lit(P1))).as("gh"))
+    val firsts = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
+    grams.join(firsts, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -1077,16 +1082,16 @@ object TextQueries {
   val noveltySql: String =
     s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
        |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
-       |g AS (SELECT DISTINCT doc_id,
-       |             unnest(${shinglesSql("words", "norm", 3)}) g FROM w),
-       |f AS (SELECT g, min(doc_id) first_doc FROM g GROUP BY 1)
+       |g0 AS (SELECT doc_id, unnest(${shinglesSql("words", "norm", 3)}) g FROM w),
+       |g AS (SELECT DISTINCT doc_id, ${polyHashSql("g", 31L, P1)} gh FROM g0),
+       |f AS (SELECT gh, min(doc_id) first_doc FROM g GROUP BY 1)
        |SELECT g.doc_id, count(*)::BIGINT n_grams,
        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
        |            AS BIGINT) n_novel,
        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
        |            AS BIGINT) * 100
        |         // count(*) novelty_pct
-       |FROM g JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM g JOIN f USING (gh) GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- hybrid retrieval (BM25-family lexical + vector cosine, RRF-fused) ----
 
@@ -1150,9 +1155,12 @@ object TextQueries {
     // probes: smallest doc_ids that HAVE a dense vector (documents and
     // embeddings only partially overlap at some tiers) — one bounded
     // scalar collect (the idAtRank pattern), inlined as literals so
-    // neither ranking branch re-derives the probe subtree
-    val probeIds = docs.select(col("doc_id"))
-      .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"))
+    // neither ranking branch re-derives the probe subtree. Reads the raw
+    // id columns (t, not tPar): the probe job must not shuffle the text
+    // column it never touches
+    val probeIds = t(s, dir, "documents").select(col("doc_id"))
+      .join(t(s, dir, "embeddings").select(col("vec_id")),
+        col("doc_id") === col("vec_id"))
       .orderBy("doc_id").limit(HS_QN).collect().map(_.getLong(0)).toSeq
     require(probeIds.nonEmpty, "hybridSearch: no doc with an embedding")
     // per-probe lexical query = its top-HS_TERMS terms by (tf desc, term)

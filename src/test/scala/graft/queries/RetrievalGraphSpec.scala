@@ -203,7 +203,10 @@ class RetrievalGraphSpec extends SparkSpec {
       novel should be <= n
       pct shouldBe (novel * 100) / n
     }
-    // every distinct gram is novel for exactly one doc (its first)
+    // every distinct gram is novel for exactly one doc (its first) — the
+    // operator keys on the 64-bit polynomial gram hash, so compare
+    // against the distinct HASH count (collisions, if any, merge grams
+    // identically on both sides)
     val totalNovel = got.map(_._3).sum
     val distinctGrams = graft.util.CacheBin.withScope {
       import org.apache.spark.sql.functions._
@@ -211,7 +214,8 @@ class RetrievalGraphSpec extends SparkSpec {
       spark.read.parquet(s"$dir/documents.parquet")
         .select(explode(graft.ops.NearDup.shinglesOf(
           graft.ops.NearDup.wordsOf(norm), norm, 3)).as("g"))
-        .select("g").distinct().count()
+        .select(graft.ops.NearDup.polyHash(col("g"), 31L, 1000000007L).as("gh"))
+        .distinct().count()
     }
     totalNovel shouldBe distinctGrams
     // and somebody recycles: at least one doc below 100% novelty
