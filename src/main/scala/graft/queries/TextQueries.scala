@@ -297,6 +297,64 @@ object TextQueries {
     s"""SELECT md5($normSql) fp, min(doc_id) keep_doc_id, count(*) n_copies
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cross-source DUPLICATE-PASSAGE OVERLAP MATRIX — the dataset-mixing
+    * diagnostic: for every source pair (a ≤ b), how many duplicated
+    * 32-token PASSAGE pairs span them. A hot off-diagonal cell means two
+    * "different" corpus sources recycle the same text (double-counted in
+    * the mix and a leakage channel between train splits drawn
+    * per-source). Passage granularity, not whole-doc: mirrors are rarely
+    * byte-identical documents, but their shared passages are (the same
+    * planted structure `text_passage_scrub` scrubs).
+    *
+    * Scale shape — counts, never pairs: per (passage-md5, source) counts
+    * roll up first, then the pair counts are pure arithmetic —
+    * within-source Σ_fp c·(c−1)/2 and cross-source Σ_fp c_a·c_b via a
+    * per-fp self-join whose fan-out is bounded by the number of DISTINCT
+    * SOURCES sharing a passage (≤ |sources|, a small constant), so a
+    * million-copy passage contributes one multiplication, not 10¹²
+    * join rows. */
+  def dupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val cs = graft.util.CacheBin.persist(
+      graft.ops.Chunking.spans(docs.select("doc_id", "text"), 32, 32)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(md5(col("span")).as("fp"), col("source"))
+        .groupBy("fp", "source").agg(count(lit(1)).as("c")))
+    val within = cs.groupBy(col("source").as("source_a"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("n_dup_pairs"))
+      .withColumn("source_b", col("source_a"))
+    val cross = cs.join(
+        cs.select(col("fp").as("fp2"), col("source").as("source_b"),
+          col("c").as("c2")),
+        col("fp") === col("fp2") && col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(sum(col("c") * col("c2")).as("n_dup_pairs"))
+    within.select("source_a", "source_b", "n_dup_pairs")
+      .union(cross.select("source_a", "source_b", "n_dup_pairs"))
+      .filter(col("n_dup_pairs") > 0)
+      .orderBy("source_a", "source_b")
+  }
+
+  val dupMatrixSql: String =
+    s"""WITH w AS (SELECT doc_id, source, string_split($normSql, ' ') words
+       |           FROM documents WHERE text IS NOT NULL),
+       |c0 AS (SELECT doc_id, source, len(words)::BIGINT n, words,
+       |              unnest(generate_series(0, (greatest(len(words)-32,0)+31)//32)) i
+       |       FROM w),
+       |ch AS (SELECT source, array_to_string(words[i*32+1:i*32+32], ' ') span
+       |       FROM c0),
+       |cs AS (SELECT md5(span) fp, source, count(*)::BIGINT c
+       |       FROM ch GROUP BY 1, 2),
+       |wi AS (SELECT source source_a, source source_b,
+       |              CAST(sum((c * (c - 1)) // 2) AS BIGINT) n_dup_pairs
+       |       FROM cs GROUP BY 1, 2),
+       |x AS (SELECT a.source source_a, b.source source_b,
+       |             CAST(sum(a.c * b.c) AS BIGINT) n_dup_pairs
+       |      FROM cs a JOIN cs b ON a.fp = b.fp AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT * FROM (SELECT * FROM wi UNION ALL SELECT * FROM x)
+       |WHERE n_dup_pairs > 0 ORDER BY source_a, source_b""".stripMargin
+
   // ---- MinHash + LSH near-dup ----
 
   private val NUM_SIGS = 9
@@ -1277,6 +1335,7 @@ object TextQueries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "text_dup_matrix" -> (dupMatrix _),
     "text_novelty" -> (novelty _),
     "text_hybrid_search" -> (hybridSearch _),
     "text_passage_scrub" -> (passageScrub _),
@@ -1308,6 +1367,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_dup_matrix" -> dupMatrixSql,
     "text_novelty" -> noveltySql,
     "text_hybrid_search" -> hybridSearchSql,
     "text_passage_scrub" -> passageScrubSql,

@@ -222,6 +222,77 @@ class RetrievalGraphSpec extends SparkSpec {
     got.exists(_._4 < 100) shouldBe true
   }
 
+  behavior of "vec_mmr"
+
+  it should "match a plain-Scala MMR re-rank over the same pool" in {
+    val vecs = rows(spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding"))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosMicro(a: Array[Double], b: Array[Double]): Long =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byId = vecs.toMap
+    val expected = vecs.take(3).flatMap { case (q, qv) =>
+      val pool = vecs
+        .map { case (id, v) =>
+          (id, dot(qv, v) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(v, v))))
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(12)
+        .map { case (id, _) => (id, cosMicro(qv, byId(id))) }
+      var cands = pool.toVector
+      var sel = Vector.empty[(Long, Long, Long, Long, Long)]
+      for (r <- 1 to 5) {
+        val scored = cands.map { case (id, rel) =>
+          val pen = sel.map(s => cosMicro(byId(id), byId(s._3)))
+            .foldLeft(0L)(math.max)
+          (id, rel, 7L * rel - 3L * pen)
+        }
+        val (id, rel, sc) = scored.minBy { case (i, _, s) => (-s, i) }
+        sel :+= ((q, r.toLong, id, rel, sc))
+        cands = cands.filterNot(_._1 == id)
+      }
+      sel
+    }
+    val got = rows(VectorQueries.mmrRerank(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toVector
+    got shouldBe expected
+    // and MMR actually diversifies: for at least one query the selection
+    // ORDER differs from pure relevance order (a diversity penalty that
+    // never fires would make the operator a re-labeled top-k)
+    val reordered = expected.groupBy(_._1).exists { case (_, rs) =>
+      val mmrOrder = rs.sortBy(_._2).map(_._3)
+      val relOrder = rs.sortBy(r => (-r._4, r._3)).map(_._3)
+      mmrOrder != relOrder
+    }
+    reordered shouldBe true
+  }
+
+  behavior of "text_dup_matrix"
+
+  it should "conserve pairs: matrix total == sum over passages of C(n,2)" in {
+    val got = rows(TextQueries.dupMatrix(spark, dir))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.nonEmpty shouldBe true
+    got.foreach { case (a, b, n) => a should be <= b; n should be > 0L }
+    val matrixTotal = got.map(_._3).sum
+    val expected = graft.util.CacheBin.withScope {
+      import org.apache.spark.sql.functions._
+      graft.ops.Chunking.spans(
+          spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          32, 32)
+        .groupBy(md5(col("span"))).agg(count(lit(1)).as("n"))
+        .select(expr("CAST(sum(n * (n - 1) div 2) AS LONG)"))
+        .collect()(0).getLong(0)
+    }
+    matrixTotal shouldBe expected
+  }
+
   behavior of "vec_knn_graph"
 
   it should "emit at most k ranked, self-free, bounded-cosine neighbors per node" in {
