@@ -1103,6 +1103,91 @@ object TextQueries {
        |           '')) new_md5
        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** LSH INDEX-QUALITY EVALUATION as a fully oracle-checked query — the
+    * missing piece between "the LSH index runs" and "the LSH index is
+    * good": precision/recall of the production MinHash-LSH candidate
+    * generator against exact-Jaccard ground truth at τ = 1/2, in exact
+    * integer ppm. (`vec_ann_recall` is the dense-side analogue but is a
+    * rows-only self-check; here BOTH pipelines are deterministic, so the
+    * whole confusion matrix cross-engine hash-matches.)
+    *
+    * Accounting: candidates = the banded LSH pairs with their exact
+    * verify (2·inter ≥ union — integer, no float threshold); truth = the
+    * same-LANGUAGE brute-force pairs over the identical 3-gram hash sets
+    * (the blocked-evaluation protocol — language-stratified like
+    * `text_ngram_jaccard`, and like it excluded from the 10× parity tier
+    * where O(n²) oracles are infeasible by design). Verified
+    * CROSS-language candidates exist (identical short texts under
+    * different language labels collapse to the same shingle fallback), so
+    * the two metrics deliberately use different denominators: precision
+    * counts every verified candidate against the pool; recall counts
+    * candidates ∩ truth against the stratified truth, so an
+    * out-of-stratum candidate can never inflate it. sf0.01 reads
+    * precision 471698 ppm / recall 1000000 ppm — the banding catches
+    * every true τ ≥ ½ pair at a 2:1 candidate overhead.
+    *
+    * Scale shape: the candidate side is the production LSH path (banded
+    * equi-join); the truth side is the O(n²)-within-language eval scan
+    * you run on a SAMPLE at 100 TB — the operator's cost model is
+    * explicit about which side is the audit. */
+  def lshEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val cand = graft.ops.NearDup.pairsWithJaccard(
+      docs, "doc_id", "text", minhashParams)
+    val hs = docs.select(col("doc_id"), col("lang"),
+      sort_array(call_function("graft_shingle_hashes", col("text"),
+        lit(3), lit(31L), lit(P1))).as("hs"))
+    val a = hs.select(col("lang"), col("doc_id").as("ta"),
+      col("hs").as("ha"), size(col("hs")).cast("long").as("na"))
+    val b = hs.select(col("lang").as("lb"), col("doc_id").as("tb"),
+      col("hs").as("hb"), size(col("hs")).cast("long").as("nb"))
+    val truth = a.join(b, col("lang") === col("lb") && col("ta") < col("tb"))
+      .select(col("ta"), col("tb"),
+        call_function("graft_intersect_size", col("ha"), col("hb"))
+          .as("ic"), (col("na") + col("nb")).as("nab"))
+      .filter(col("ic") * 2 >= col("nab") - col("ic"))
+      .select("ta", "tb")
+    val m = cand.agg(count(lit(1)).as("n_cand"),
+      sum(when(col("inter_cnt") * 2 >= col("union_cnt"), 1L).otherwise(0L))
+        .as("tp"))
+    val tt = truth.agg(count(lit(1)).as("n_truth"))
+    val it = truth.join(cand.filter(col("inter_cnt") * 2 >= col("union_cnt")),
+        col("ta") === col("doc_a") && col("tb") === col("doc_b"))
+      .agg(count(lit(1)).as("tp_in_truth"))
+    m.crossJoin(broadcast(tt)).crossJoin(broadcast(it))
+      .select(col("n_cand"), col("tp"), (col("n_cand") - col("tp")).as("fp"),
+        col("n_truth"), col("tp_in_truth"),
+        (col("n_truth") - col("tp_in_truth")).as("fn"),
+        expr("(tp * 1000000) div n_cand").as("precision_ppm"),
+        expr("(tp_in_truth * 1000000) div n_truth").as("recall_ppm"))
+  }
+
+  val lshEvalSql: String = {
+    val mp = minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH cand AS (SELECT * FROM ($mp)),
+       |n2 AS (SELECT doc_id, lang, $normSql norm FROM documents),
+       |w2 AS (SELECT doc_id, lang, string_split(norm, ' ') words, norm FROM n2),
+       |hs2 AS (SELECT doc_id, lang, list_distinct(list_transform(
+       |          ${shinglesSql("words", "norm", 3)},
+       |          sg -> ${polyHashSql("sg", 31L, P1)})) hs FROM w2),
+       |t AS (SELECT a.doc_id ta, b.doc_id tb
+       |      FROM hs2 a JOIN hs2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |      WHERE 2 * len(list_intersect(a.hs, b.hs))
+       |              >= len(list_distinct(list_concat(a.hs, b.hs)))),
+       |m AS (SELECT count(*)::BIGINT n_cand,
+       |             CAST(sum(CASE WHEN 2*inter_cnt >= union_cnt THEN 1 ELSE 0 END)
+       |                  AS BIGINT) tp FROM cand),
+       |tt AS (SELECT count(*)::BIGINT n_truth FROM t),
+       |it AS (SELECT count(*)::BIGINT tp_in_truth
+       |       FROM t JOIN cand c ON t.ta = c.doc_a AND t.tb = c.doc_b
+       |       WHERE 2*c.inter_cnt >= c.union_cnt)
+       |SELECT m.n_cand, m.tp, m.n_cand - m.tp fp, tt.n_truth, it.tp_in_truth,
+       |       tt.n_truth - it.tp_in_truth fn,
+       |       (m.tp * 1000000) // m.n_cand precision_ppm,
+       |       (it.tp_in_truth * 1000000) // tt.n_truth recall_ppm
+       |FROM m, tt, it""".stripMargin
+  }
+
   /** Per-document n-gram NOVELTY score — the curation signal behind
     * "how much of this doc is new to the corpus": for each document, the
     * fraction of its DISTINCT word 3-grams whose globally-first occurrence
@@ -1335,6 +1420,7 @@ object TextQueries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "text_lsh_eval" -> (lshEval _),
     "text_dup_matrix" -> (dupMatrix _),
     "text_novelty" -> (novelty _),
     "text_hybrid_search" -> (hybridSearch _),
@@ -1367,6 +1453,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_lsh_eval" -> lshEvalSql,
     "text_dup_matrix" -> dupMatrixSql,
     "text_novelty" -> noveltySql,
     "text_hybrid_search" -> hybridSearchSql,
