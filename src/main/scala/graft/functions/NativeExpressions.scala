@@ -760,6 +760,113 @@ object CharWindowHashes {
   * from the DataFrame API via `call_function`. Usable either through
   * [[GraftExtensions]] (spark.sql.extensions=graft.functions.GraftExtensions)
   * or an explicit [[GraftFunctions.register]] on an existing session. */
+/** plane_dot(v, j, dim): sequential-fold dot of a double vector with the
+  * deterministic ±1 LCG hyperplane `j` (weight(j,d) = sign bit of
+  * ((1103515245·(j·dim+d)+12345) div 65536) mod 2) — identical IEEE op
+  * order and weights as folding `graft_dot` over a literal weight array,
+  * but the weights are GENERATED in the codegen loop. With 49 planes per
+  * row, the literal-array form made Catalyst plans carry 49×dim literal
+  * nodes; analysis + codegen of that tree dominated the whole query
+  * (measured ~2 s per action at the 10× tier). This node is O(1) plan
+  * size. */
+case class PlaneDot(child: Expression, plane: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var acc = 0.0
+    var d = 0
+    while (d < n) {
+      val x = (1103515245L * (plane.toLong * dim + d) + 12345L) / 65536L
+      acc = acc + v.getDouble(d) * (if ((x % 2 + 2) % 2 == 1) 1.0 else -1.0)
+      d += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double $acc = 0.0;
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |for (int $d = 0; $d < $n; $d++) {
+         |  long $x = (1103515245L * (${plane.toLong * dim}L + $d) + 12345L) / 65536L;
+         |  $acc = $acc + $c.getDouble($d) * ((($x % 2 + 2) % 2 == 1) ? 1.0 : -1.0);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneDot =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_plane_dot"
+}
+
+/** plane_bucket(v, base, nbits, dim): LSH sign bucket — bit j of the
+  * result is set iff plane_dot(v, base + j, dim) > 0, for j < nbits.
+  * Exactly `Σ_j CASE WHEN plane_dot > 0 THEN 2^j END` but one O(1)-plan
+  * node instead of nbits CASE branches over literal weight arrays. */
+case class PlaneBucket(child: Expression, base: Int, nbits: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var bkt = 0L
+    var j = 0
+    while (j < nbits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = (1103515245L * ((base + j).toLong * dim + d) + 12345L) / 65536L
+        acc = acc + v.getDouble(d) * (if ((x % 2 + 2) % 2 == 1) 1.0 else -1.0)
+        d += 1
+      }
+      if (acc > 0) bkt |= 1L << j
+      j += 1
+    }
+    bkt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val acc = ctx.freshName("acc")
+      val bkt = ctx.freshName("bkt")
+      s"""
+         |long $bkt = 0L;
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |for (int $j = 0; $j < $nbits; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    long $x = (1103515245L * (($base + $j) * ${dim.toLong}L + $d) + 12345L) / 65536L;
+         |    $acc = $acc + $c.getDouble($d) * ((($x % 2 + 2) % 2 == 1) ? 1.0 : -1.0);
+         |  }
+         |  if ($acc > 0) $bkt |= 1L << $j;
+         |}
+         |${ev.value} = $bkt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneBucket =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_plane_bucket"
+}
+
 object GraftFunctions {
 
   private def longLit(e: Expression, what: String): Long = e match {
@@ -843,6 +950,23 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_words(text)")
         WordsOf(Cast(args.head, StringType))
+      }),
+    (FunctionIdentifier("graft_plane_dot"),
+      new ExpressionInfo(classOf[PlaneDot].getName, "graft_plane_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_plane_dot(v, plane, dim)")
+        PlaneDot(Cast(args.head, ArrayType(DoubleType)),
+          longLit(args(1), "plane").toInt, longLit(args(2), "dim").toInt)
+      }),
+    (FunctionIdentifier("graft_plane_bucket"),
+      new ExpressionInfo(classOf[PlaneBucket].getName, "graft_plane_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_plane_bucket(v, base, nbits, dim)")
+        val nbits = longLit(args(2), "nbits").toInt
+        require(nbits >= 0 && nbits <= 63,
+          s"graft_plane_bucket: nbits must be in [0, 63], got $nbits")
+        PlaneBucket(Cast(args.head, ArrayType(DoubleType)),
+          longLit(args(1), "base").toInt, nbits, longLit(args(3), "dim").toInt)
       }),
     (FunctionIdentifier("graft_nearest_codes"),
       new ExpressionInfo(classOf[NearestCodes].getName, "graft_nearest_codes"),
