@@ -506,7 +506,95 @@ object EventAnalytics {
       |            // min(tot) AS BIGINT) share_ppm
       |FROM r""".stripMargin
 
+  /** Multi-touch ATTRIBUTION: every `purchase` is a conversion; the same
+    * user's `view`/`click` events strictly before it and within a 7-day
+    * lookback are its touchpoints. Three standard credit models over the
+    * same touch frame — `first` (all credit to the earliest touch),
+    * `last` (to the latest), `linear` (split evenly) — reported as total
+    * credited ppm and credited-touch counts per (model, touch type).
+    *
+    * Cross-engine exactness: credits are integer PPM per conversion.
+    * Linear's 1000000/n splits as floor(1e6/n) per touch with the
+    * remainder (1e6 mod n) distributed +1 to the n_mod earliest touches
+    * (rank order, event_id tie-break), so every conversion's credit sums
+    * to exactly 1,000,000 in BOTH engines — no float division anywhere.
+    *
+    * Scale shape: one user_id-keyed shuffle joins touches to conversions
+    * (per-user fan-out = touches×conversions inside the lookback, bounded
+    * by per-user activity; the hot-key remedy is the quota/salt chain
+    * pipe_skew_audit drives); one conv_id-keyed exchange ranks each
+    * conversion's touch list (lists are lookback-bounded, never
+    * corpus-sized); the final aggregate is 6 rows. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = 7L * 24 * 3600 * 1000000
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "ts_us")
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts_us").as("touch_ts"))
+    val paired = touch.join(conv, "user_id")
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - lit(lookbackUs))
+    val w = Window.partitionBy("conv_id")
+    val ranked = paired
+      .withColumn("rk", row_number().over(w.orderBy("touch_ts", "touch_id")))
+      .withColumn("n", count(lit(1)).over(w))
+    val credited = ranked.select(col("touch_type"),
+      when(col("rk") === 1, lit(1000000L)).otherwise(lit(0L)).as("c_first"),
+      when(col("rk") === col("n"), lit(1000000L)).otherwise(lit(0L)).as("c_last"),
+      (expr("1000000L div n") +
+        when(col("rk") <= expr("1000000L % n"), 1L).otherwise(0L)).as("c_linear"))
+    def model(name: String, c: String): DataFrame =
+      credited.groupBy("touch_type")
+        .agg(sum(col(c)).as("credit_ppm"),
+          sum(when(col(c) > 0, 1L).otherwise(0L)).as("touches"))
+        .select(lit(name).as("model"), col("touch_type"), col("credit_ppm"),
+          col("touches"))
+    model("first", "c_first")
+      .unionAll(model("last", "c_last"))
+      .unionAll(model("linear", "c_linear"))
+      .orderBy("model", "touch_type")
+  }
+
+  val attributionSql: String =
+    """WITH conv AS (SELECT user_id, event_id conv_id, epoch_us(ts)::BIGINT conv_ts
+      |              FROM events WHERE event_type = 'purchase'),
+      |touch AS (SELECT user_id, event_id touch_id, event_type touch_type,
+      |                 epoch_us(ts)::BIGINT touch_ts
+      |          FROM events WHERE event_type IN ('view', 'click')),
+      |p AS (SELECT t.touch_type, c.conv_id, t.touch_ts, t.touch_id
+      |      FROM touch t JOIN conv c ON t.user_id = c.user_id
+      |      WHERE t.touch_ts < c.conv_ts
+      |        AND t.touch_ts >= c.conv_ts - 604800000000),
+      |r AS (SELECT touch_type,
+      |             row_number() OVER (PARTITION BY conv_id
+      |                                ORDER BY touch_ts, touch_id) rk,
+      |             count(*) OVER (PARTITION BY conv_id) n
+      |      FROM p),
+      |cr AS (SELECT touch_type,
+      |              CASE WHEN rk = 1 THEN 1000000 ELSE 0 END c_first,
+      |              CASE WHEN rk = n THEN 1000000 ELSE 0 END c_last,
+      |              1000000 // n + (CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END) c_linear
+      |       FROM r)
+      |SELECT model, touch_type, CAST(credit_ppm AS BIGINT) credit_ppm,
+      |       CAST(touches AS BIGINT) touches FROM (
+      |  SELECT 'first' model, touch_type, sum(c_first) credit_ppm,
+      |         sum(CASE WHEN c_first > 0 THEN 1 ELSE 0 END) touches
+      |  FROM cr GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'last', touch_type, sum(c_last),
+      |         sum(CASE WHEN c_last > 0 THEN 1 ELSE 0 END)
+      |  FROM cr GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'linear', touch_type, sum(c_linear),
+      |         sum(CASE WHEN c_linear > 0 THEN 1 ELSE 0 END)
+      |  FROM cr GROUP BY 2)
+      |ORDER BY model, touch_type""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev_attribution" -> (attribution _),
     "ev_power_users" -> (powerUsers _),
     "ev_share_drift" -> (typeShareDrift _),
     "ev_latest_state" -> (latestState _),
@@ -525,6 +613,7 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_attribution" -> attributionSql,
     "ev_power_users" -> powerUsersSql,
     "ev_share_drift" -> typeShareDriftSql,
     "ev_latest_state" -> latestStateSql,

@@ -1419,7 +1419,103 @@ object TextQueries {
        |WHERE rank <= $HS_K ORDER BY q_id, rank""".stripMargin
   }
 
+  // Winnowing parameters: char 8-grams, 4 hashes per selection window —
+  // guarantees a shared fingerprint for any common substring of
+  // WIN_W + WIN_K − 1 = 11+ normalized chars, while keeping only ~2/(W+1)
+  // of positions (Schleimer/Wilkerson/Aiken 2003 §4's density bound).
+  private val WIN_K = 8
+  private val WIN_W = 4
+  // boilerplate guard: a fingerprint present in more docs than this is a
+  // corpus-wide phrase, not a duplication signal (the text_boilerplate
+  // rationale) — and the cap bounds pair-join volume at DF·|fp|
+  private val WIN_DF = 50L
+  private val WIN_SHIFT = 1L << 33
+
+  /** Document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken 2003
+    * — the MOSS plagiarism-detector algorithm): per doc, rolling char
+    * 8-gram hashes ([[graft.functions.CharWindowHashes]], O(len) per row),
+    * then each window of 4 consecutive hashes selects its minimum
+    * (rightmost on ties — the robust-winnowing tie rule); the distinct
+    * selected hashes are the doc's fingerprint set. Reports the top-25
+    * doc pairs by shared-fingerprint count with the overlap coefficient
+    * |A∩B|/min(|A|,|B|) in exact ppm.
+    *
+    * The rightmost-min selection is ONE window max over the packed key
+    * `(P1 − h)·2^33 + pos` — lexicographic (smallest hash, then largest
+    * position) without a second argmin pass; both engines fold the same
+    * integer key, so selection is bit-identical. Window starts are
+    * restricted to full-width frames (`pos ≤ m − W + 1`; short docs keep
+    * the single all-covering window), exactly the paper's window set.
+    *
+    * Scale shape: narrow per-doc hashing, one doc-keyed window sort, then
+    * a fingerprint equi-join whose per-key fan-out the DF cap bounds —
+    * candidate volume ≤ WIN_DF · |fingerprints|, linear in corpus size
+    * (the same guard-rail family as the LSH band joins; no all-pairs
+    * scan). */
+  def winnow(s: SparkSession, dir: String): DataFrame = {
+    val hs = tPar(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.NearDup.normFused(col("text")).as("norm"))
+      .filter(col("norm").isNotNull)
+      .select(col("doc_id"),
+        greatest(length(col("norm")) - lit(WIN_K - 1), lit(1)).as("m"),
+        posexplode(call_function("graft_char_window_hashes",
+          col("norm"), lit(WIN_K), lit(31L), lit(P1))).as(Seq("pos0", "h")))
+      .select(col("doc_id"), col("m"), (col("pos0") + 1).as("pos"),
+        ((lit(P1) - col("h")) * lit(WIN_SHIFT) + col("pos0") + 1).as("key"))
+    val selW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WIN_W - 1)
+    val fp = hs.withColumn("sel", max("key").over(selW))
+      .filter(col("pos") <= greatest(col("m") - lit(WIN_W - 1), lit(1)))
+      .select(col("doc_id"), (lit(P1) - expr(s"sel div ${WIN_SHIFT}L")).as("h"))
+      .distinct()
+    val df = fp.groupBy("h").agg(count(lit(1)).as("dfc"))
+    val kept = fp.join(df, "h").filter(col("dfc") <= WIN_DF)
+      .select("doc_id", "h")
+    val perDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("h"))
+    kept.select(col("doc_id").as("doc_a"), col("h"))
+      .join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fp"))
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("nfp").as("fp_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("nfp").as("fp_b")), "doc_b")
+      .withColumn("overlap_ppm",
+        expr("shared_fp * 1000000L div least(fp_a, fp_b)"))
+      .orderBy(col("shared_fp").desc, col("doc_a"), col("doc_b"))
+      .limit(25)
+      .select("doc_a", "doc_b", "shared_fp", "fp_a", "fp_b", "overlap_ppm")
+  }
+
+  val winnowSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |hs AS (SELECT doc_id, greatest(length(norm) - ${WIN_K - 1}, 1) m, pos,
+       |              ($P1 - ${polyHashSql(s"substring(norm, pos, $WIN_K)", 31L, P1)}) * $WIN_SHIFT + pos pk
+       |       FROM (SELECT doc_id, norm,
+       |               unnest(generate_series(1, greatest(length(norm) - ${WIN_K - 1}, 1))) pos
+       |             FROM n)),
+       |sel AS (SELECT doc_id, pos, m,
+       |               max(pk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                              ROWS BETWEEN CURRENT ROW AND ${WIN_W - 1} FOLLOWING) sk
+       |        FROM hs),
+       |fp AS (SELECT DISTINCT doc_id, $P1 - sk // $WIN_SHIFT h
+       |       FROM sel WHERE pos <= greatest(m - ${WIN_W - 1}, 1)),
+       |df AS (SELECT h, count(*) dfc FROM fp GROUP BY 1),
+       |kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN df ON fp.h = df.h
+       |         WHERE df.dfc <= $WIN_DF),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) nfp FROM kept GROUP BY 1),
+       |pr AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) shared_fp
+       |       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT pr.doc_a, pr.doc_b, pr.shared_fp, pa.nfp fp_a, pb.nfp fp_b,
+       |       CAST(pr.shared_fp * 1000000 // least(pa.nfp, pb.nfp) AS BIGINT) overlap_ppm
+       |FROM pr JOIN pd pa ON pa.doc_id = pr.doc_a
+       |        JOIN pd pb ON pb.doc_id = pr.doc_b
+       |ORDER BY pr.shared_fp DESC, pr.doc_a, pr.doc_b
+       |LIMIT 25""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "text_winnow" -> (winnow _),
     "text_lsh_eval" -> (lshEval _),
     "text_dup_matrix" -> (dupMatrix _),
     "text_novelty" -> (novelty _),
@@ -1453,6 +1549,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_winnow" -> winnowSql,
     "text_lsh_eval" -> lshEvalSql,
     "text_dup_matrix" -> dupMatrixSql,
     "text_novelty" -> noveltySql,
