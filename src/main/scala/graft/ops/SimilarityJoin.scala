@@ -152,4 +152,96 @@ object SimilarityJoin {
       .filter(col("inter_cnt") * den >= col("union_cnt") * num)
       .select("id_a", "id_b", "inter_cnt", "union_cnt")
   }
+
+  /** All ORDERED pairs (id_a ≠ id_b) with CONTAINMENT
+    * |A∩B| / |A| ≥ num/den — the asymmetric predicate Jaccard can't
+    * express: a short document quoted/wrapped inside a longer one has
+    * high containment but low Jaccard, which is exactly the
+    * subset-duplication (and eval-set contamination) case. Output:
+    * id_a, id_b, inter_cnt, len_a, len_b — exact, no false negatives.
+    *
+    * One-sided prefix filtering: with tokens in the same global
+    * rare-first canonical order as [[jaccardSelfJoin]], A must share one
+    * of its first `|A| − ⌈t·|A|⌉ + 1` tokens with B (missing the whole
+    * prefix caps the overlap at ⌈t|A|⌉ − 1 < t·|A|) — but B's witness may
+    * be ANY of B's tokens, so the PROBE side emits prefixes while the
+    * INDEX side emits every token. The join stays selective because the
+    * probe prefix is rare-first: high-df tokens sit in the suffix and are
+    * never probe keys, so per-key candidate volume is df(rare token) ·
+    * prefix-emissions — never O(n²). The shared canonical order also
+    * keeps PPJoin's positional bound valid one-sidedly: the earliest
+    * shared pair (pa, pb) is the same token, no common token precedes it
+    * on either side, so |A∩B| ≤ min(|A|−pa, |B|−pb) prunes before the
+    * verify. Length filter: |B|·den ≥ |A|·num (the overlap can't exceed
+    * |B|). Verify: exact intersect, integer `inter·den ≥ |A|·num`. */
+  def containmentSelfJoin(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      num: Int,
+      den: Int): DataFrame = {
+    require(num > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+
+    val toks = sets
+      .select(col(idCol).as("id"), array_distinct(col(setCol)).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+    val dfreq = toks
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+    val ordered = graft.util.CacheBin.persist(
+      toks
+        .select(col("id"), explode(col("toks")).as("tok"))
+        .join(dfreq, "tok")
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("dt"))
+        .select(
+          col("id"),
+          expr("transform(dt, x -> x.tok)").as("toks"),
+          size(col("dt")).as("len")))
+
+    // probe prefix: |A| − ⌈t·|A|⌉ + 1 tokens; index: every token with its
+    // canonical position (the positional bound needs pb)
+    val prefixLen =
+      expr(s"cast(len - ((len * $num + ${den - 1}) div $den) + 1 as int)")
+    val probe = ordered.select(col("id").as("id_a"), col("len").as("len_a"),
+      posexplode(slice(col("toks"), lit(1), prefixLen)))
+      .select(col("id_a"), col("len_a"), col("pos").as("pa"), col("col").as("tok"))
+    val index = ordered.select(col("id").as("id_b"), col("len").as("len_b"),
+      posexplode(col("toks")))
+      .select(col("id_b"), col("len_b"), col("pos").as("pb"), col("col").as("tok_b"))
+
+    val cand = probe
+      .join(index,
+        col("tok") === col("tok_b") && col("id_a") =!= col("id_b") &&
+          col("len_b") * den >= col("len_a") * num)
+      .groupBy("id_a", "id_b", "len_a", "len_b")
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      .filter(
+        least(col("len_a") - col("pa"), col("len_b") - col("pb")) * den >=
+          col("len_a") * num)
+      .select("id_a", "id_b")
+
+    val isLong = sets.schema(setCol).dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    def interOf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (isLong) call_function("graft_intersect_size", a, b)
+      else size(array_intersect(a, b)).cast("long")
+    val fa = ordered.select(
+      col("id").as("va"), col("toks").as("toks_a"), col("len").as("la"))
+    val fb = ordered.select(
+      col("id").as("vb"), col("toks").as("toks_b"), col("len").as("lb"))
+    cand
+      .join(fa, col("id_a") === col("va"))
+      .join(fb, col("id_b") === col("vb"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        interOf(col("toks_a"), col("toks_b")).as("inter_cnt"),
+        col("la").cast("long").as("len_a"),
+        col("lb").cast("long").as("len_b"))
+      .filter(col("inter_cnt") * den >= col("len_a") * num)
+  }
 }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document fingerprinting by WINNOWING (Schleimer, Wilkerson, Aiken —
+  * SIGMOD 2003; the MOSS plagiarism-detector algorithm): over the rolling
+  * k-gram hash sequence h_1..h_m of a normalized document, every window
+  * of `w` consecutive hashes selects its MINIMUM, rightmost position on
+  * ties (the paper's robust-winnowing tie rule); the distinct selected
+  * hashes are the document's fingerprint set.
+  *
+  * Guarantee (paper §3): any substring match of length ≥ w + k − 1
+  * normalized chars produces at least one shared fingerprint, while only
+  * ~2/(w+1) of all positions are kept — the detection-vs-density dial.
+  *
+  * Spark shape: the k-gram hashes come from ONE rolling-hash native
+  * expression ([[graft.functions.CharWindowHashes]], O(len) per row); the
+  * rightmost-min selection is ONE window max over the packed key
+  * `(p − h)·2^33 + pos` — lexicographically (smallest hash, then largest
+  * position) without a second argmin pass, and pure BIGINT arithmetic so
+  * a DuckDB mirror selects bit-identically. Window starts are restricted
+  * to full-width frames (`pos ≤ m − w + 1`; docs shorter than w hashes
+  * keep the single all-covering window). One doc-keyed window sort total.
+  *
+  * No instructions from the reference repo were followed for this file;
+  * the reference has no fingerprinting operator at all (its only dedup is
+  * the exact SBF filter) — this is additive training-data-pipeline
+  * surface. */
+object Winnow {
+
+  /** The packed-key shift: (p − h) < 2^30 for both standard moduli, so
+    * the product stays under 2^63 while positions up to 2^33 (an 8.5
+    * billion-char document) pack losslessly. */
+  val Shift: Long = 1L << 33
+
+  /** Distinct winnowing fingerprints per document: (idCol, h). `textCol`
+    * is normalized with [[NearDup.normFused]] ([a-z0-9 ], chars ==
+    * bytes); null texts yield no rows. */
+  def fingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      base: Long = 31L,
+      p: Long = 1000000007L): DataFrame = {
+    require(k >= 2 && w >= 1, s"winnow(k=$k, w=$w): need k >= 2, w >= 1")
+    val hs = docs
+      .select(col(idCol).as("__id"), NearDup.normFused(col(textCol)).as("__norm"))
+      .filter(col("__norm").isNotNull)
+      .select(col("__id"),
+        greatest(length(col("__norm")) - lit(k - 1), lit(1)).as("__m"),
+        posexplode(call_function("graft_char_window_hashes",
+          col("__norm"), lit(k), lit(base), lit(p))).as(Seq("__pos0", "__h")))
+      .select(col("__id"), col("__m"), (col("__pos0") + 1).as("__pos"),
+        ((lit(p) - col("__h")) * lit(Shift) + col("__pos0") + 1).as("__key"))
+    val selW = Window.partitionBy("__id").orderBy("__pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    hs.withColumn("__sel", max("__key").over(selW))
+      .filter(col("__pos") <= greatest(col("__m") - lit(w - 1), lit(1)))
+      .select(col("__id").as(idCol),
+        (lit(p) - expr(s"__sel div ${Shift}L")).as("h"))
+      .distinct()
+  }
+
+  /** Plain-Scala reference implementation of the same selection (the
+    * differential-spec oracle — intentionally the naive O(m·w) loop). */
+  def fingerprintsLocal(norm: String, k: Int, w: Int,
+      base: Long = 31L, p: Long = 1000000007L): Set[Long] = {
+    val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val m = math.max(bytes.length - k + 1, 1)
+    val hs = new Array[Long](m)
+    for (i <- 0 until m) {
+      var h = 0L
+      var j = i
+      while (j < math.min(i + k, bytes.length)) {
+        h = (h * base + (bytes(j) & 0xff)) % p
+        j += 1
+      }
+      hs(i) = h
+    }
+    val starts = 0 to math.max(m - w, 0)
+    starts.map { s =>
+      val win = hs.slice(s, math.min(s + w, m))
+      val minH = win.min
+      // rightmost min in the window
+      val rel = win.lastIndexOf(minH)
+      hs(s + rel)
+    }.toSet
+  }
+}

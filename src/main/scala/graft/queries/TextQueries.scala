@@ -600,6 +600,41 @@ object TextQueries {
        |FROM p WHERE inter_cnt * 5 >= union_cnt * 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** EXACT containment join at C(A→B) = |A∩B|/|A| ≥ 9/10 over the same
+    * portable bigram-shingle hashes as [[ssjoin]] — the ASYMMETRIC
+    * predicate behind subset-duplication and contamination sweeps (a doc
+    * quoted inside a wrapper has containment ≈ 1 but Jaccard ≪ 1, so the
+    * Jaccard join never sees it). One-sided prefix filter + positional
+    * bound ([[graft.ops.SimilarityJoin.containmentSelfJoin]]); the oracle
+    * is the independent brute-force ordered-pairs scan, so a hash match
+    * proves the probe/index filters lossless on real data. */
+  def containJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"),
+          lit(2), lit(31L), lit(P1)).as("bg"))
+    graft.ops.SimilarityJoin.containmentSelfJoin(docs, "doc_id", "bg", 9, 10)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter_cnt"), col("len_a").as("n_a"), col("len_b").as("n_b"),
+        expr("inter_cnt * 1000000L div len_a").as("contain_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containJoinSql: String =
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         ${shinglesSql("words", "norm", 2)},
+       |         g -> ${polyHashSql("g", 31L, 1000000007L)})) bg FROM w),
+       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |             CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) inter_cnt,
+       |             CAST(len(a.bg) AS BIGINT) n_a, CAST(len(b.bg) AS BIGINT) n_b
+       |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+       |SELECT doc_a, doc_b, inter_cnt, n_a, n_b,
+       |       CAST(inter_cnt * 1000000 // n_a AS BIGINT) contain_ppm
+       |FROM p WHERE inter_cnt * 10 >= n_a * 9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val ngramLshSql: String = {
     val sigExprs = (0 until NUM_SIGS).map { i =>
       s"list_min(list_transform(hs, h -> (${2L * i + 3}*h + ${7L * i + 1}) % $MH_P)) s$i"
@@ -1453,22 +1488,8 @@ object TextQueries {
     * (the same guard-rail family as the LSH band joins; no all-pairs
     * scan). */
   def winnow(s: SparkSession, dir: String): DataFrame = {
-    val hs = tPar(s, dir, "documents")
-      .select(col("doc_id"), graft.ops.NearDup.normFused(col("text")).as("norm"))
-      .filter(col("norm").isNotNull)
-      .select(col("doc_id"),
-        greatest(length(col("norm")) - lit(WIN_K - 1), lit(1)).as("m"),
-        posexplode(call_function("graft_char_window_hashes",
-          col("norm"), lit(WIN_K), lit(31L), lit(P1))).as(Seq("pos0", "h")))
-      .select(col("doc_id"), col("m"), (col("pos0") + 1).as("pos"),
-        ((lit(P1) - col("h")) * lit(WIN_SHIFT) + col("pos0") + 1).as("key"))
-    val selW = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WIN_W - 1)
-    val fp = hs.withColumn("sel", max("key").over(selW))
-      .filter(col("pos") <= greatest(col("m") - lit(WIN_W - 1), lit(1)))
-      .select(col("doc_id"), (lit(P1) - expr(s"sel div ${WIN_SHIFT}L")).as("h"))
-      .distinct()
+    val fp = graft.ops.Winnow.fingerprints(
+      tPar(s, dir, "documents"), "doc_id", "text", WIN_K, WIN_W, 31L, P1)
     val df = fp.groupBy("h").agg(count(lit(1)).as("dfc"))
     val kept = fp.join(df, "h").filter(col("dfc") <= WIN_DF)
       .select("doc_id", "h")
@@ -1546,6 +1567,7 @@ object TextQueries {
     "text_ngram_jaccard" -> (ngramJaccard _),
     "text_ngram_lsh" -> (ngramLsh _),
     "text_ssjoin" -> (ssjoin _),
+    "text_contain_join" -> (containJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1580,5 +1602,6 @@ object TextQueries {
     "text_ngram_jaccard" -> ngramJaccardSql,
     "text_ngram_lsh" -> ngramLshSql,
     "text_ssjoin" -> ssjoinSql,
+    "text_contain_join" -> containJoinSql,
   )
 }

@@ -138,4 +138,89 @@ class SimilarityJoinSpec extends SparkSpec {
     r.head.getLong(2) shouldBe 2L
     r.head.getLong(3) shouldBe 2L
   }
+
+  behavior of "SimilarityJoin.containmentSelfJoin"
+
+  private def naiveContain(num: Int, den: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val a = sets.select(col("id").as("id_a"), col("toks").as("ta"))
+    val b = sets.select(col("id").as("id_b"), col("toks").as("tb"))
+    a.crossJoin(b)
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        org.apache.spark.sql.functions.size(array_intersect(col("ta"), col("tb")))
+          .cast("long").as("i"),
+        org.apache.spark.sql.functions.size(col("ta")).cast("long").as("la"),
+        org.apache.spark.sql.functions.size(col("tb")).cast("long").as("lb"))
+      .filter(col("i") * den >= col("la") * num)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+  }
+
+  it should "match the naive ordered-pairs scan exactly (asymmetric)" in {
+    for ((num, den) <- Seq((1, 2), (4, 5), (9, 10), (1, 1))) {
+      val expected = naiveContain(num, den)
+      val got = graft.util.CacheBin.withScope {
+        SimilarityJoin.containmentSelfJoin(sets, "id", "toks", num, den)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+          .toSet
+      }
+      withClue(s"threshold $num/$den (naive=${expected.size} pairs): ") {
+        got shouldBe expected
+        expected should not be empty
+      }
+    }
+  }
+
+  it should "find subset-duplication that the Jaccard join cannot see" in {
+    import spark.implicits._
+    // A (3 tokens) fully inside B (12 tokens): containment 1, Jaccard 1/4
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, (Seq("a", "b", "c") ++ (0 until 9).map("z" + _)))
+    ).toDF("id", "toks")
+    val contain = graft.util.CacheBin.withScope {
+      SimilarityJoin.containmentSelfJoin(df, "id", "toks", 9, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    contain shouldBe Set((1L, 2L)) // only the short-into-long direction
+    graft.util.CacheBin.withScope {
+      SimilarityJoin.jaccardSelfJoin(df, "id", "toks", 1, 2)
+        .collect() should have length 0
+    }
+  }
+
+  it should "stay lossless under heavy duplication (differential trials)" in {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val vocabSize = 10 + trial * 5
+      val vocab = (0 until vocabSize).map(i => f"w$i%02d")
+      val rows = (0 until 50).map { i =>
+        val len = 2 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocabSize))).distinct)
+      }
+      val df = rows.toDF("id", "toks")
+      val a = df.select(col("id").as("id_a"), col("toks").as("ta"))
+      val b = df.select(col("id").as("id_b"), col("toks").as("tb"))
+      val naiveSet = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          org.apache.spark.sql.functions.size(array_intersect(col("ta"), col("tb")))
+            .cast("long").as("i"),
+          org.apache.spark.sql.functions.size(col("ta")).cast("long").as("la"))
+        .filter(col("i") * 10 >= col("la") * 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fast = graft.util.CacheBin.withScope {
+        SimilarityJoin.containmentSelfJoin(df, "id", "toks", 9, 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      withClue(s"trial $trial (naive=${naiveSet.size}): ") {
+        fast shouldBe naiveSet
+      }
+    }
+  }
 }

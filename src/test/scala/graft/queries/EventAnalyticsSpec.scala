@@ -153,6 +153,56 @@ class EventAnalyticsSpec extends SparkSpec {
     got.head.getLong(2) shouldBe 2L // both types aligned on the dense domain
   }
 
+  it should "attribute multi-touch credit exactly (first/last/linear ppm)" in {
+    // conversions: user 1 purchase at t0+2H (touches view@t0 rank1,
+    // click@t0+H rank2), user 4 purchase at t0+D+H (touch click@t0 only),
+    // user 3's purchase at day 8 has both touches outside the 7d lookback
+    // and must drop; user 4's day-7 click is AFTER its conversion
+    val got = EventAnalytics.attribution(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe Seq(
+      ("first", "click", 1000000L, 1L),
+      ("first", "view", 1000000L, 1L),
+      ("last", "click", 2000000L, 2L),
+      ("last", "view", 0L, 0L),
+      ("linear", "click", 1500000L, 2L),
+      ("linear", "view", 500000L, 1L))
+    // per-model credit conservation: 2 surviving conversions × 1e6 each
+    got.groupBy(_._1).foreach { case (m, rows) =>
+      withClue(s"model $m: ") { rows.map(_._3).sum shouldBe 2000000L }
+    }
+  }
+
+  it should "split linear remainders to the earliest touches" in {
+    // one conversion with 3 touches: 1e6 div 3 = 333333 rem 1 — the
+    // rank-1 touch gets the extra micro-credit, totals stay exactly 1e6
+    val d = graft.SparkSpec.tempDir("attr-rem")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val rows = Seq(
+      (1L, t0, "view"), (2L, t0 + H, "view"), (3L, t0 + 2 * H, "click"),
+      (4L, t0 + 3 * H, "purchase"))
+      .map { case (id, us, ty) =>
+        Row(id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)),
+          1L, ty, 1.0)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val lin = EventAnalytics.attribution(spark, d)
+      .filter("model = 'linear'").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    lin("view") shouldBe (333333L + 1L + 333333L) // ranks 1 (+rem) and 2
+    lin("click") shouldBe 333333L // rank 3
+    lin.values.sum shouldBe 1000000L
+  }
+
   it should "produce CMS estimates >= exact counts and exact at this scale" in {
     val rows = SketchQueries.cmsUsers(spark, dir).collect()
     rows.length shouldBe 6

@@ -32,7 +32,7 @@ OUT="/tmp/verify_scale_$(basename "$TIER")"
 # completes; text_ngram_jaccard's oracle alone runs >30 min, and
 # vec_cosine_pairs' ~1.25e9 64-dim dots would take days in DuckDB). They
 # stay gated at sf0.01 + the perturbed seedcheck tier.
-PAIR_ORACLES="text_ngram_jaccard,text_simhash_pairs,text_ssjoin,vec_cosine_pairs,vec_dedup_removal,text_lsh_eval"
+PAIR_ORACLES="text_ngram_jaccard,text_simhash_pairs,text_ssjoin,vec_cosine_pairs,vec_dedup_removal,text_lsh_eval,text_contain_join"
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
   tools/verify.sh "$TIER" "$OUT" "$(nproc)" ${FILTER:+"$FILTER"}
 echo "--- verify errors (must be {}): ---"
