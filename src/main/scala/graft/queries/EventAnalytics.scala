@@ -593,8 +593,52 @@ object EventAnalytics {
       |  FROM cr GROUP BY 2)
       |ORDER BY model, touch_type""".stripMargin
 
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * customer-value grid): per user, last-activity timestamp, event count,
+    * and cents revenue; each dimension quintile-scored 1–5 with `ntile(5)`
+    * over a TOTAL order (metric, then user_id — ntile is position-based,
+    * so the tie-break is what makes both engines assign identical scores),
+    * then rolled up to the 125-cell segment grid with user counts and
+    * total cents.
+    *
+    * Scale shape: one user_id-keyed aggregate builds the keys-sized
+    * per-user frame; the three ntile windows run on THAT frame (the
+    * bounded-single-partition discipline powerUsers documents — a
+    * users-sized sort, not events-sized; at true scale swap ntile for a
+    * percentile-threshold join, same output contract); the final rollup
+    * is ≤125 rows. */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir).groupBy("user_id")
+      .agg(max("ts_us").as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("value"))).as("monetary_c"))
+    def quint(orderCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      ntile(5).over(org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*))
+    u.withColumn("r_score", quint(Seq(col("last_ts"), col("user_id"))).cast("long"))
+      .withColumn("f_score", quint(Seq(col("freq"), col("user_id"))).cast("long"))
+      .withColumn("m_score", quint(Seq(col("monetary_c"), col("user_id"))).cast("long"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("monetary_c").as("tot_c"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmSql: String =
+    """WITH u AS (SELECT user_id, max(epoch_us(ts)::BIGINT) last_ts,
+      |                  count(*)::BIGINT freq,
+      |                  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) monetary_c
+      |           FROM events GROUP BY 1),
+      |q AS (SELECT user_id, monetary_c,
+      |             CAST(ntile(5) OVER (ORDER BY last_ts, user_id) AS BIGINT) r_score,
+      |             CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT) f_score,
+      |             CAST(ntile(5) OVER (ORDER BY monetary_c, user_id) AS BIGINT) m_score
+      |      FROM u)
+      |SELECT r_score, f_score, m_score, count(*)::BIGINT n_users,
+      |       CAST(sum(monetary_c) AS BIGINT) tot_c
+      |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ev_attribution" -> (attribution _),
+    "ev_rfm" -> (rfm _),
     "ev_power_users" -> (powerUsers _),
     "ev_share_drift" -> (typeShareDrift _),
     "ev_latest_state" -> (latestState _),
@@ -614,6 +658,7 @@ object EventAnalytics {
 
   val oracle: Map[String, String] = Map(
     "ev_attribution" -> attributionSql,
+    "ev_rfm" -> rfmSql,
     "ev_power_users" -> powerUsersSql,
     "ev_share_drift" -> typeShareDriftSql,
     "ev_latest_state" -> latestStateSql,

@@ -1535,7 +1535,85 @@ object TextQueries {
        |ORDER BY pr.shared_fp DESC, pr.doc_a, pr.doc_b
        |LIMIT 25""".stripMargin
 
+  /** Keyphrase extraction by RAKE (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free word runs (gaps-and-islands — `pos − rn`
+    * over non-stop tokens, the gold-standard relational form, identical
+    * in both engines; regex splitting is NOT mirrorable because DuckDB's
+    * RE2 lacks the lookarounds the boundary pattern needs) capped at 4
+    * words; each word scores degree/frequency over the candidate corpus
+    * (degree = Σ length of phrases containing it) in exact MILLI units
+    * (deg·1000 div freq); a phrase scores the sum of its member words.
+    * Top 25 phrases with occurrence and doc counts.
+    *
+    * Scale shape: one doc-keyed window for the islands, one phrase-sized
+    * groupBy, a vocabulary-bounded word-stats aggregate joined back to
+    * phrase members (both sides shuffle on the word key), then a
+    * 25-bounded global top-k. No per-doc collection beyond that doc's
+    * own token run. */
+  def keyphrase(s: SparkSession, dir: String): DataFrame = {
+    val words = tPar(s, dir, "documents")
+      .select(col("doc_id"), normCol(col("text")).as("norm"))
+      .filter(col("norm").isNotNull && length(col("norm")) > 0)
+      .select(col("doc_id"), posexplode(wordsOf(col("norm"))).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(graft.ops.Quality.stopwords: _*))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val isl = words.filter(!col("is_stop"))
+      .withColumn("grp", col("pos") - row_number().over(W))
+    val phrases = graft.util.CacheBin.persist(
+      isl.groupBy("doc_id", "grp")
+        .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("pw"))
+        .select(col("doc_id"), col("grp"),
+          expr("transform(pw, x -> x.w)").as("ws"),
+          size(col("pw")).as("len"))
+        .filter(col("len") <= 4))
+    val members = phrases.select(col("doc_id"), col("grp"),
+      concat_ws(" ", col("ws")).as("phrase"), col("len"),
+      explode(col("ws")).as("w"))
+    val wstats = members.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .withColumn("score_w", expr("deg * 1000L div freq"))
+    members.join(wstats.select("w", "score_w"), "w")
+      .groupBy("doc_id", "grp", "phrase")
+      .agg(sum("score_w").as("s")) // per OCCURRENCE (same for equal text)
+      .groupBy("phrase")
+      .agg(max("s").as("score_milli"), count(lit(1)).as("n_occur"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("score_milli").desc, col("phrase"))
+      .limit(25)
+      .select("phrase", "score_milli", "n_occur", "n_docs")
+  }
+
+  val keyphraseSql: String = {
+    val stopsIn = graft.ops.Quality.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
+       |w AS (SELECT doc_id, pos, words[pos] w
+       |      FROM (SELECT doc_id, string_split(norm, ' ') words,
+       |              unnest(generate_series(1, len(string_split(norm, ' ')))) pos
+       |            FROM n WHERE length(norm) > 0)),
+       |isl AS (SELECT doc_id, pos, w,
+       |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) grp
+       |        FROM w WHERE w NOT IN ($stopsIn)),
+       |p AS (SELECT doc_id, grp,
+       |             array_to_string(list(w ORDER BY pos), ' ') phrase,
+       |             count(*)::BIGINT len
+       |      FROM isl GROUP BY 1, 2 HAVING count(*) <= 4),
+       |mem AS (SELECT doc_id, grp, phrase, len,
+       |               unnest(string_split(phrase, ' ')) w FROM p),
+       |ws AS (SELECT w, count(*)::BIGINT freq, CAST(sum(len) AS BIGINT) deg
+       |       FROM mem GROUP BY 1),
+       |occ AS (SELECT m.doc_id, m.grp, m.phrase,
+       |               CAST(sum(ws.deg * 1000 // ws.freq) AS BIGINT) s
+       |        FROM mem m JOIN ws ON ws.w = m.w GROUP BY 1, 2, 3)
+       |SELECT phrase, CAST(max(s) AS BIGINT) score_milli,
+       |       count(*)::BIGINT n_occur,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) n_docs
+       |FROM occ GROUP BY 1
+       |ORDER BY score_milli DESC, phrase LIMIT 25""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "text_keyphrase" -> (keyphrase _),
     "text_winnow" -> (winnow _),
     "text_lsh_eval" -> (lshEval _),
     "text_dup_matrix" -> (dupMatrix _),
@@ -1572,6 +1650,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "text_winnow" -> winnowSql,
+    "text_keyphrase" -> keyphraseSql,
     "text_lsh_eval" -> lshEvalSql,
     "text_dup_matrix" -> dupMatrixSql,
     "text_novelty" -> noveltySql,
