@@ -179,12 +179,13 @@ object GraphQueries {
     * trade → one blob or all singletons at any sparsification); the kNN
     * graph is where community structure actually lives.
     *
-    * Scale shape: each round is one hash join of the edge list with the
-    * (node,label) frame on the destination key plus one node-keyed argmax
-    * window — O(rounds) shuffles over edge-sized frames (≤ 2·k·n rows),
-    * the PageRank discipline; no per-node neighbor lists are collected.
-    * The symmetrized edge frame is persisted once and reused by all
-    * rounds. */
+    * Scale shape ([[graft.ops.LabelProp]], the PageRank two-path
+    * discipline): codebook-small graphs collect the adjacency and iterate
+    * on the driver (4 distributed rounds over ≤3n edges paid ~7 s of
+    * per-round scheduler latency at sf0.1 for microseconds of math);
+    * large graphs run each round as one edge-sized hash join + one
+    * node-keyed argmax window — O(rounds) shuffles, no per-node neighbor
+    * lists collected, spec-asserted equal to the local path. */
   def communities(s: SparkSession, dir: String): DataFrame = {
     val g = VectorQueries.knnGraph(s, dir)
       .select(col("node_id").as("u"), col("nbr_id").as("v"),
@@ -193,19 +194,8 @@ object GraphQueries {
       g.unionAll(g.select(col("v").as("u"), col("u").as("v"), col("w")))
         .groupBy("u", "v").agg(max("w").as("w")))
     val nodes = t(s, dir, "embeddings").select(col("vec_id").as("node"))
-    var labels = nodes.withColumn("lbl", col("node"))
-    val rnW = org.apache.spark.sql.expressions.Window
-      .partitionBy("u").orderBy(col("sw_").desc, col("lbl"))
-    for (_ <- 1 to LpIters) {
-      val top = sym
-        .join(labels.select(col("node").as("v2"), col("lbl")), col("v") === col("v2"))
-        .groupBy(col("u"), col("lbl")).agg(sum("w").as("sw_"))
-        .withColumn("rn", row_number().over(rnW))
-        .filter(col("rn") === 1)
-        .select(col("u").as("node2"), col("lbl").as("nlbl"))
-      labels = nodes.join(top, col("node") === col("node2"), "left")
-        .select(col("node"), coalesce(col("nlbl"), col("node")).as("lbl"))
-    }
+    val labels = graft.util.CacheBin.persist(
+      graft.ops.LabelProp.run(nodes, sym, LpIters))
     val size = labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
     val la = labels.select(col("node").as("u"), col("lbl").as("ca"))
