@@ -200,10 +200,21 @@ object SimilarityJoin {
           expr("transform(dt, x -> x.tok)").as("toks"),
           size(col("dt")).as("len")))
 
-    // probe prefix: |A| − ⌈t·|A|⌉ + 1 tokens; index: every token with its
-    // canonical position (the positional bound needs pb)
-    val prefixLen =
-      expr(s"cast(len - ((len * $num + ${den - 1}) div $den) + 1 as int)")
+    // EXTENDED probe prefix: the minimal containment prefix is
+    // |A| − ⌈t·|A|⌉ + 1 tokens (sharing NONE of it caps the overlap below
+    // t·|A|), and probing `Extra` tokens deeper buys a witness-COUNT
+    // bound: A misses at most m = |A| − ⌈t·|A|⌉ of its own tokens, so a
+    // true pair must share ≥ q − m tokens of A's first q. With the
+    // minimal prefix that bound is the trivial "≥ 1"; at q = prefix+8 it
+    // becomes "≥ 9" — the filter that carries low-entropy corpora, where
+    // duplication inflates every token's df until "rare" prefix tokens
+    // admit half the corpus (measured on the replicated 100× rehearsal:
+    // 141 M candidate pairs pass the 1-witness prefix test, and shipping
+    // their token arrays into the verify was a 9+ minute spilling join;
+    // the 9-witness count bound passes ~the true pairs only).
+    val Extra = 8
+    val prefixLen = expr(
+      s"cast(least(len - ((len * $num + ${den - 1}) div $den) + 1 + $Extra, len) as int)")
     val probe = ordered.select(col("id").as("id_a"), col("len").as("len_a"),
       posexplode(slice(col("toks"), lit(1), prefixLen)))
       .select(col("id_a"), col("len_a"), col("pos").as("pa"), col("col").as("tok"))
@@ -211,15 +222,29 @@ object SimilarityJoin {
       posexplode(col("toks")))
       .select(col("id_b"), col("len_b"), col("pos").as("pb"), col("col").as("tok_b"))
 
+    // One witness row per (pair, shared token in A's q-window): the
+    // groupBy is map-side combinable, its shuffle rows are compact
+    // (ids + 4 longs — no arrays), and BOTH lossless pair filters run on
+    // the aggregate before anything wide is shipped:
+    //  - witness count nw ≥ q − m (see above);
+    //  - PPJoin positional bound min(|A|−pa, |B|−pb) ≥ ⌈t·|A|⌉ — valid on
+    //    the aggregated minima because for a TRUE pair the globally
+    //    earliest common token t0 lies inside the minimal prefix ⊆
+    //    q-window, so min(pa)/min(pb) are exactly t0's positions (the
+    //    same-token argument of jaccardSelfJoin); a false pair can only
+    //    get a LOOSER bound and is killed by the exact verify.
     val cand = probe
       .join(index,
         col("tok") === col("tok_b") && col("id_a") =!= col("id_b") &&
           col("len_b") * den >= col("len_a") * num)
       .groupBy("id_a", "id_b", "len_a", "len_b")
-      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      .agg(count(lit(1)).as("nw"), min("pa").as("pa"), min("pb").as("pb"))
       .filter(
-        least(col("len_a") - col("pa"), col("len_b") - col("pb")) * den >=
-          col("len_a") * num)
+        col("nw") >=
+          least(expr(s"cast(len_a - ((len_a * $num + ${den - 1}) div $den) + 1 + $Extra as int)"),
+            col("len_a")) - (col("len_a") - expr(s"(len_a * $num + ${den - 1}) div $den")) &&
+          least(col("len_a") - col("pa"), col("len_b") - col("pb")) * den >=
+            col("len_a") * num)
       .select("id_a", "id_b")
 
     val isLong = sets.schema(setCol).dataType match {

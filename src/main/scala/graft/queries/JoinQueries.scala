@@ -315,10 +315,14 @@ object JoinQueries {
     * candidate volume ≤ W·n·|Σ| — LINEAR in n with no data-entropy
     * assumption. Segment schemes (n²/arity per segment) stay quadratic:
     * measured 55 s at the 10× tier (150 k names → ~10⁸ candidate pairs
-    * through the 100-ary low-digit segment) vs sub-second for this plan.
-    * Positions in a constant prefix ("Customer#…") yield singleton
-    * buckets and zero pairs — entropy-blind by construction. For
-    * threshold m, use keys deleting every m-subset (C(W,m) keys). */
+    * through the 100-ary low-digit segment). With deletion keys the same
+    * tier runs OUTPUT-bound, not candidate-bound: a dense id space makes
+    * ~27 M names genuinely lev ≤ 1 of each other, and the measured 32 s
+    * is the link-sized distinct + sort of that result — the irreducible
+    * cost of enumerating the answer, not of finding it. Positions in a
+    * constant prefix ("Customer#…") yield singleton buckets and zero
+    * pairs — entropy-blind by construction. For threshold m, use keys
+    * deleting every m-subset (C(W,m) keys). */
   def erBlocked(s: SparkSession, dir: String): DataFrame = {
     val c = tPar(s, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))

@@ -607,12 +607,25 @@ object TextQueries {
     * Jaccard join never sees it). One-sided prefix filter + positional
     * bound ([[graft.ops.SimilarityJoin.containmentSelfJoin]]); the oracle
     * is the independent brute-force ordered-pairs scan, so a hash match
-    * proves the probe/index filters lossless on real data. */
+    * proves the probe/index filters lossless on real data.
+    *
+    * Runs on the EXACT-DEDUPED corpus: identical shingle sets collapse to
+    * their min-id representative first (canonical sorted-array group key,
+    * identical in both engines). That is the realistic pipeline order —
+    * text_dedup_exact owns byte-duplicate removal — and it is ALSO the
+    * scale guard this op needs: on a duplicate-heavy tier every copy
+    * pairs with every copy at containment 1, so both the candidate join
+    * and the ANSWER itself grow quadratically in the duplication factor
+    * (measured: the replicated 100× rehearsal tier turned the verify join
+    * into a 25+ minute spilling SMJ before this collapse; after it, the
+    * tier runs in seconds and the output is the duplication-free truth). */
   def containJoin(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
       .select(col("doc_id"),
-        call_function("graft_shingle_hashes", col("text"),
-          lit(2), lit(31L), lit(P1)).as("bg"))
+        array_sort(array_distinct(call_function("graft_shingle_hashes",
+          col("text"), lit(3), lit(31L), lit(P1)))).as("bg"))
+      .groupBy("bg").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "bg")
     graft.ops.SimilarityJoin.containmentSelfJoin(docs, "doc_id", "bg", 9, 10)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("inter_cnt"), col("len_a").as("n_a"), col("len_b").as("n_b"),
@@ -623,13 +636,14 @@ object TextQueries {
   val containJoinSql: String =
     s"""WITH n AS (SELECT doc_id, $normSql norm FROM documents),
        |w AS (SELECT doc_id, string_split(norm, ' ') words, norm FROM n),
-       |sh AS (SELECT doc_id, list_distinct(list_transform(
-       |         ${shinglesSql("words", "norm", 2)},
-       |         g -> ${polyHashSql("g", 31L, 1000000007L)})) bg FROM w),
+       |sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+       |         ${shinglesSql("words", "norm", 3)},
+       |         g -> ${polyHashSql("g", 31L, 1000000007L)}))) bg FROM w),
+       |reps AS (SELECT min(doc_id) doc_id, bg FROM sh GROUP BY bg),
        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
        |             CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) inter_cnt,
        |             CAST(len(a.bg) AS BIGINT) n_a, CAST(len(b.bg) AS BIGINT) n_b
-       |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+       |      FROM reps a JOIN reps b ON a.doc_id <> b.doc_id)
        |SELECT doc_a, doc_b, inter_cnt, n_a, n_b,
        |       CAST(inter_cnt * 1000000 // n_a AS BIGINT) contain_ppm
        |FROM p WHERE inter_cnt * 10 >= n_a * 9
