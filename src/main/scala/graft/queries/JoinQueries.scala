@@ -324,45 +324,65 @@ object JoinQueries {
     * pairs — entropy-blind by construction. For threshold m, use keys
     * deleting every m-subset (C(W,m) keys). */
   def erBlocked(s: SparkSession, dir: String): DataFrame = {
-    val c = tPar(s, dir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // entity-group first: records with IDENTICAL names are one entity at
+    // any duplication level (the contain-join collapse, applied to ER).
+    // The OUTPUT CONTRACT is grouped too — (name_a, name_b, counts,
+    // n_links) — because that is where this op's real scale bug lived:
+    // enumerating id-level links makes the TRUE ANSWER itself grow as
+    // c² in the duplication factor (measured: 26.9 M id pairs at the 10×
+    // tier where every name has c=10 copies; ~2.7 B at 100× with c=100 —
+    // the single-pass run died spilling). The grouped form carries the
+    // same information (links = cnt_a·cnt_b, within-group = C(cnt,2)) at
+    // distinct-name size, which replication never grows.
+    val c = tPar(s, dir, "customer").select(col("c_name").as("name"))
+    val g = graft.util.CacheBin.persist(
+      c.groupBy("name").agg(count(lit(1)).as("cnt")))
+    val self = g.filter(col("cnt") >= 2)
+      .select(col("name").as("name_a"), col("name").as("name_b"),
+        lit(0L).as("dist"), col("cnt").as("n_a"), col("cnt").as("n_b"),
+        expr("cnt * (cnt - 1) div 2").as("n_links"))
     val W = 18
     val delKeys = (1 to W).map { p =>
       struct(lit(p).as("p"),
         concat(substring(col("name"), 1, p - 1),
           substring(col("name"), p + 1, W)).as("k"))
     }
-    val blocked = c.select(col("id"), col("name"),
+    val blocked = g.select(col("name"), col("cnt"),
         explode(array(delKeys: _*)).as("b"))
-      .select(col("id"), col("name"), col("b.p").as("p"), col("b.k").as("k"))
-    val right = blocked.select(col("id").as("id_b"), col("name").as("name_b"),
-      col("p").as("p_b"), col("k").as("k_b"))
-    blocked.join(right,
+      .select(col("name"), col("cnt"), col("b.p").as("p"), col("b.k").as("k"))
+    val right = blocked.select(col("name").as("name_b"),
+      col("cnt").as("cnt_b"), col("p").as("p_b"), col("k").as("k_b"))
+    val cross = blocked.join(right,
         col("p") === col("p_b") && col("k") === col("k_b") &&
-          col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"), col("name").as("name_a"),
-        col("name_b"))
-      // verify BEFORE dedup: levenshtein is a narrow codegen filter, so
-      // the distinct (a shuffle, only needed when duplicate names make a
-      // pair share every key) runs on the link-sized set
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          col("name") < col("name_b"))
+      // distinct names share exactly ONE deletion key (the key at their
+      // differing position), so no post-join dedup is needed at all
+      .withColumn("dist",
+        levenshtein(col("name"), col("name_b")).cast("long"))
       .filter(col("dist") <= 1)
-      .distinct()
-      .orderBy("id_a", "id_b")
+      .select(col("name").as("name_a"), col("name_b"), col("dist"),
+        col("cnt").as("n_a"), col("cnt_b").as("n_b"),
+        (col("cnt") * col("cnt_b")).cast("long").as("n_links"))
+    self.unionAll(cross).orderBy("name_a", "name_b")
   }
 
   val erBlockedSql: String =
-    """WITH c AS (SELECT c_custkey id, c_name nm FROM customer),
-      |b AS (SELECT id, nm, s.p,
+    """WITH g AS (SELECT c_name nm, count(*)::BIGINT cnt
+      |           FROM customer GROUP BY 1),
+      |self AS (SELECT nm name_a, nm name_b, 0::BIGINT dist,
+      |                cnt n_a, cnt n_b, CAST(cnt*(cnt-1)//2 AS BIGINT) n_links
+      |         FROM g WHERE cnt >= 2),
+      |b AS (SELECT nm, cnt, s.p,
       |             substring(nm, 1, s.p - 1) || substring(nm, s.p + 1, 18) k
-      |      FROM c, (SELECT unnest(generate_series(1, 18)) p) s),
-      |cand AS (SELECT DISTINCT x.id id_a, y.id id_b, x.nm name_a, y.nm name_b
-      |         FROM b x JOIN b y
-      |           ON x.p = y.p AND x.k = y.k AND x.id < y.id
-      |         WHERE levenshtein(x.nm, y.nm) <= 1)
-      |SELECT id_a, id_b, name_a, name_b,
-      |       CAST(levenshtein(name_a, name_b) AS BIGINT) dist
-      |FROM cand ORDER BY id_a, id_b""".stripMargin
+      |      FROM g, (SELECT unnest(generate_series(1, 18)) p) s),
+      |crossp AS (SELECT x.nm name_a, y.nm name_b,
+      |                  CAST(levenshtein(x.nm, y.nm) AS BIGINT) dist,
+      |                  x.cnt n_a, y.cnt n_b, CAST(x.cnt*y.cnt AS BIGINT) n_links
+      |           FROM b x JOIN b y
+      |             ON x.p = y.p AND x.k = y.k AND x.nm < y.nm
+      |           WHERE levenshtein(x.nm, y.nm) <= 1)
+      |SELECT * FROM self UNION ALL SELECT * FROM crossp
+      |ORDER BY name_a, name_b""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
     "join_er_blocked" -> (erBlocked _),

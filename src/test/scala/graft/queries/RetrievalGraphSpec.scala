@@ -30,21 +30,45 @@ class RetrievalGraphSpec extends SparkSpec {
   behavior of "join_er_blocked"
 
   it should "equal the brute-force all-pairs levenshtein scan (exact recall)" in {
-    val cust = rows(spark.read.parquet(s"$dir/customer.parquet")
-      .select("c_custkey", "c_name"))
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val brute = (for {
-      i <- cust.indices.iterator
-      j <- (i + 1) until cust.length
-      if lev(cust(i)._2, cust(j)._2) <= 1
-    } yield (cust(i)._1, cust(j)._1, cust(i)._2, cust(j)._2,
-        lev(cust(i)._2, cust(j)._2).toLong)).toVector.sorted
+    // brute-force ground truth in the GROUPED contract: distinct names
+    // with multiplicities; self rows for duplicated names (C(cnt,2)
+    // links), cross rows for lev<=1 name pairs (cnt_a*cnt_b links)
+    val names = rows(spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_name")).map(_.getString(0))
+    val groups = names.groupBy(identity).view.mapValues(_.length.toLong)
+      .toVector.sortBy(_._1)
+    val self = groups.filter(_._2 >= 2).map { case (n, c) =>
+      (n, n, 0L, c, c, c * (c - 1) / 2)
+    }
+    val cross = (for {
+      i <- groups.indices.iterator
+      j <- (i + 1) until groups.length
+      d = lev(groups(i)._1, groups(j)._1)
+      if d <= 1
+    } yield (groups(i)._1, groups(j)._1, d.toLong, groups(i)._2,
+        groups(j)._2, groups(i)._2 * groups(j)._2)).toVector
+    val brute = (self ++ cross).sorted
     val got = rows(JoinQueries.erBlocked(spark, dir))
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
-        r.getLong(4))).toVector
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toVector
     got.sorted shouldBe brute
-    // and ordering contract: (id_a, id_b) ascending
+    brute.nonEmpty shouldBe true
+    // and ordering contract: (name_a, name_b) ascending
     got shouldBe got.sortBy(t => (t._1, t._2))
+  }
+
+  it should "fold duplicated names into multiplicities, not id pairs" in {
+    import spark.implicits._
+    val d = graft.SparkSpec.tempDir("er-grouped")
+    // "AAAA" x3 (self: 3 links), "AAAB" x2 (self: 1; cross to AAAA: 6)
+    Seq((1L, "AAAA"), (2L, "AAAA"), (3L, "AAAA"), (4L, "AAAB"), (5L, "AAAB"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val got = rows(JoinQueries.erBlocked(spark, d))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    got should contain theSameElementsAs Seq(
+      ("AAAA", "AAAA", 0L, 3L), ("AAAB", "AAAB", 0L, 1L),
+      ("AAAA", "AAAB", 1L, 6L))
   }
 
   behavior of "graph_triangles"
