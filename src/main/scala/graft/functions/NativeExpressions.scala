@@ -867,6 +867,85 @@ case class PlaneBucket(child: Expression, base: Int, nbits: Int, dim: Int)
   override def prettyName: String = "graft_plane_bucket"
 }
 
+/** graft_phrases(norm, stopCsv, maxLen): maximal stopword-free word runs
+  * of the pre-normalized text, runs longer than maxLen dropped — the RAKE
+  * candidate extraction as ONE narrow codegen map. The relational
+  * gaps-and-islands form (posexplode → per-doc window row_number →
+  * groupBy(doc, run) collect_list) computes the same thing through three
+  * shuffles of the exploded token table; at the 100× tier those shuffles
+  * were ~80% of text_keyphrase's 80 s. The DuckDB oracle keeps the
+  * relational form — different derivation, same answer, which is the
+  * point of the cross-engine check. */
+case class PhrasesOf(child: Expression, stopCsv: String, maxLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    PhrasesOf.compute(input.asInstanceOf[UTF8String], stopCsv, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csvRef = ctx.addReferenceObj("stopCsv", stopCsv, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PhrasesOf.compute($c, $csvRef, $maxLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PhrasesOf =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_phrases"
+}
+
+object PhrasesOf {
+
+  private val stopCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
+
+  private def stopsOf(csv: String): java.util.HashSet[String] =
+    stopCache.computeIfAbsent(csv, { s: String =>
+      val set = new java.util.HashSet[String]()
+      s.split(",").foreach(w => if (w.nonEmpty) set.add(w))
+      set
+    })
+
+  /** Shared by interpreted eval and generated code. Input must already be
+    * normalized ([a-z0-9 ], single spaces) — the [[NearDup.normFused]]
+    * contract every text operator here shares. */
+  def compute(s: UTF8String, stopCsv: String, maxLen: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val stops = stopsOf(stopCsv)
+    val str = s.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = str.length
+    var runStart = -1 // char offset where the current run began
+    var runLen = 0 // words in the current run
+    var runEnd = -1 // char offset one past the run's last word
+    def flush(): Unit = {
+      if (runLen >= 1 && runLen <= maxLen)
+        out.add(UTF8String.fromString(str.substring(runStart, runEnd)))
+      runStart = -1; runLen = 0; runEnd = -1
+    }
+    while (i < n) {
+      // next word [i, j)
+      var j = i
+      while (j < n && str.charAt(j) != ' ') j += 1
+      if (j > i) {
+        val w = str.substring(i, j)
+        if (stops.contains(w)) flush()
+        else {
+          if (runStart < 0) runStart = i
+          runLen += 1; runEnd = j
+        }
+      }
+      i = j + 1
+    }
+    flush() // trailing run
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
 object GraftFunctions {
 
   private def longLit(e: Expression, what: String): Long = e match {
@@ -950,6 +1029,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_words(text)")
         WordsOf(Cast(args.head, StringType))
+      }),
+    (FunctionIdentifier("graft_phrases"),
+      new ExpressionInfo(classOf[PhrasesOf].getName, "graft_phrases"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_phrases(norm, stopCsv, maxLen)")
+        val csv = args(1) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_phrases: stopCsv must be a string literal, got $other")
+        }
+        PhrasesOf(Cast(args.head, StringType), csv,
+          longLit(args(2), "maxLen").toInt)
       }),
     (FunctionIdentifier("graft_plane_dot"),
       new ExpressionInfo(classOf[PlaneDot].getName, "graft_plane_dot"),

@@ -37,7 +37,7 @@ object Chunking {
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        split(NearDup.normCol(col("text")), " ").as("words"))
+        split(NearDup.normFused(col("text")), " ").as("words"))
       .withColumn("n", size(col("words")).cast("long"))
       .withColumn("chunk_no",
         explode(sequence(lit(0L),
@@ -61,7 +61,7 @@ object Chunking {
       // without this filter Spark's size(null) = -1 would emit a junk row)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        split(NearDup.normCol(col("text")), " ").as("words"))
+        split(NearDup.normFused(col("text")), " ").as("words"))
       .withColumn("n", size(col("words")).cast("long"))
       // last chunk index: ceil(max(n-C, 0) / S) — 0 when the doc fits
       .withColumn("chunk_no",

@@ -117,7 +117,7 @@ object PipelineQueries {
     * map-side-combined groupBy; writing is `partitionBy(shard)` on top. */
   def shardPlan(s: SparkSession, dir: String): DataFrame = {
     val N_SHARDS = 16
-    val words = graft.ops.NearDup.wordsOf(graft.ops.NearDup.normCol(col("text")))
+    val words = graft.ops.NearDup.wordsOf(graft.ops.NearDup.normFused(col("text")))
     tPar(s, dir, "documents")
       .select(col("doc_id"), size(words).cast("long").as("n_words"),
         graft.ops.NearDup.polyHash(concat(lit("shard:"), col("doc_id").cast("string")),
@@ -155,7 +155,7 @@ object PipelineQueries {
     * it with a plain window cumsum: identical values). */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val BUDGET = 2048L
-    val words = graft.ops.NearDup.wordsOf(graft.ops.NearDup.normCol(col("text")))
+    val words = graft.ops.NearDup.wordsOf(graft.ops.NearDup.normFused(col("text")))
     val counted = tPar(s, dir, "documents")
       .select(col("doc_id"), size(words).cast("long").as("n_words"))
     graft.ops.Packing.runningSum(counted, "doc_id", "n_words")

@@ -265,7 +265,7 @@ object TextQueries {
   /** Document fingerprinting: md5 of the normalized text + a rolling
     * polynomial fingerprint over word hashes. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = normCol(col("text"))
+    val norm = graft.ops.NearDup.normFused(col("text"))
     val words = wordsOf(norm)
     tPar(s, dir, "documents")
       .select(col("doc_id"),
@@ -288,7 +288,7 @@ object TextQueries {
   /** Exact dedup: group by content hash, keep canonical min doc_id. */
   def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
     tPar(s, dir, "documents")
-      .select(md5(normCol(col("text"))).as("fp"), col("doc_id"))
+      .select(md5(graft.ops.NearDup.normFused(col("text"))).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("fp")
@@ -1550,11 +1550,11 @@ object TextQueries {
        |LIMIT 25""".stripMargin
 
   /** Keyphrase extraction by RAKE (Rose et al. 2010): candidate phrases
-    * are maximal stopword-free word runs (gaps-and-islands — `pos − rn`
-    * over non-stop tokens, the gold-standard relational form, identical
-    * in both engines; regex splitting is NOT mirrorable because DuckDB's
-    * RE2 lacks the lookarounds the boundary pattern needs) capped at 4
-    * words; each word scores degree/frequency over the candidate corpus
+    * are maximal stopword-free word runs capped at 4 words — extracted by
+    * the [[graft.functions.PhrasesOf]] codegen expression in one narrow
+    * map, while the DuckDB oracle derives the same runs relationally
+    * (gaps-and-islands `pos − rn`; regex boundary splitting is NOT
+    * mirrorable because RE2 lacks lookarounds); each word scores degree/frequency over the candidate corpus
     * (degree = Σ length of phrases containing it) in exact MILLI units
     * (deg·1000 div freq); a phrase scores the sum of its member words.
     * Top 25 phrases with occurrence and doc counts.
@@ -1565,34 +1565,42 @@ object TextQueries {
     * 25-bounded global top-k. No per-doc collection beyond that doc's
     * own token run. */
   def keyphrase(s: SparkSession, dir: String): DataFrame = {
-    val words = tPar(s, dir, "documents")
-      .select(col("doc_id"), normCol(col("text")).as("norm"))
-      .filter(col("norm").isNotNull && length(col("norm")) > 0)
-      .select(col("doc_id"), posexplode(wordsOf(col("norm"))).as(Seq("pos", "w")))
-      .withColumn("is_stop", col("w").isin(graft.ops.Quality.stopwords: _*))
-    val W = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val isl = words.filter(!col("is_stop"))
-      .withColumn("grp", col("pos") - row_number().over(W))
+    // phrase extraction is ONE narrow codegen map (graft_phrases) — the
+    // relational gaps-and-islands derivation the ORACLE uses costs three
+    // shuffles of the exploded token table (measured ~80% of this query's
+    // 80 s at the 100× tier); the cross-engine hash match proves the two
+    // derivations equal
+    val stopCsv = graft.ops.Quality.stopwords.mkString(",")
     val phrases = graft.util.CacheBin.persist(
-      isl.groupBy("doc_id", "grp")
-        .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("pw"))
-        .select(col("doc_id"), col("grp"),
-          expr("transform(pw, x -> x.w)").as("ws"),
-          size(col("pw")).as("len"))
-        .filter(col("len") <= 4))
-    val members = phrases.select(col("doc_id"), col("grp"),
-      concat_ws(" ", col("ws")).as("phrase"), col("len"),
-      explode(col("ws")).as("w"))
-    val wstats = members.groupBy("w")
+      tPar(s, dir, "documents")
+        // normFused, not the regex normCol: the two regexp_replace passes
+        // cost 70 of this query's 73 s at the 100× tier (the same lesson
+        // text_novelty learned in r17's gram-frontend fusion)
+        .select(col("doc_id"), graft.ops.NearDup.normFused(col("text")).as("norm"))
+        .filter(col("norm").isNotNull && length(col("norm")) > 0)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_phrases",
+            col("norm"), lit(stopCsv), lit(4))).as(Seq("grp", "phrase")))
+        .withColumn("ws", split(col("phrase"), " "))
+        .withColumn("len", size(col("ws")).cast("long")))
+    // a phrase's score is a function of its TEXT alone (sum of member
+    // word scores), so only DISTINCT phrases are ever joined with the
+    // word stats — the occurrence table contributes two map-side-combined
+    // aggregates (word stats; per-phrase occurrence/doc counts) and never
+    // a join-by-word or occurrence-keyed shuffle (which dominated the
+    // first version: 74 s → 23 s at the 100× tier)
+    val wstats = phrases.select(col("len"), explode(col("ws")).as("w"))
+      .groupBy("w")
       .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
       .withColumn("score_w", expr("deg * 1000L div freq"))
-    members.join(wstats.select("w", "score_w"), "w")
-      .groupBy("doc_id", "grp", "phrase")
-      .agg(sum("score_w").as("s")) // per OCCURRENCE (same for equal text)
+    val occAgg = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occur"), countDistinct("doc_id").as("n_docs"))
+    val pScore = occAgg.select(col("phrase"))
+      .withColumn("w", explode(split(col("phrase"), " ")))
+      .join(wstats.select("w", "score_w"), "w")
       .groupBy("phrase")
-      .agg(max("s").as("score_milli"), count(lit(1)).as("n_occur"),
-        countDistinct("doc_id").as("n_docs"))
+      .agg(sum("score_w").as("score_milli"))
+    occAgg.join(pScore, "phrase")
       .orderBy(col("score_milli").desc, col("phrase"))
       .limit(25)
       .select("phrase", "score_milli", "n_occur", "n_docs")

@@ -9,6 +9,7 @@ class ChunkingSpec extends SparkSpec {
 
   private def docsOf(texts: (Long, String)*) = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // normFused needs graft_words
     texts.toSeq.toDF("doc_id", "text")
   }
 
