@@ -59,11 +59,17 @@ object LabelProp {
           case Some(nbrs) =>
             val scores = new scala.collection.mutable.HashMap[Long, Long]()
             nbrs.foreach { case (v, w) =>
-              val l = lbl(v)
-              scores.update(l, scores.getOrElse(l, 0L) + w)
+              // a source absent from the nodes frame casts no vote —
+              // mirrors the distributed path's INNER join, which silently
+              // drops such votes (edges ⊄ nodes must not diverge the paths)
+              lbl.get(v).foreach { l =>
+                scores.update(l, scores.getOrElse(l, 0L) + w)
+              }
             }
-            // weight-majority, smallest label on ties
-            n -> scores.toSeq.minBy { case (l, s) => (-s, l) }._1
+            if (scores.isEmpty) n -> n // distributed: coalesce(nlbl, node)
+            else
+              // weight-majority, smallest label on ties
+              n -> scores.toSeq.minBy { case (l, s) => (-s, l) }._1
         }
       }.toMap
       i += 1

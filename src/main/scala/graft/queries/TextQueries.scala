@@ -1301,8 +1301,10 @@ object TextQueries {
     * Lexical scoring is a RATIONAL-ARITHMETIC BM25 variant, fully integer
     * for bit-reproducibility: with k1 = 1.2, b = 0.75 and avgdl = L/N the
     * tf-normalization term tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) equals
-    * exactly 22·tf·L / (10·tf·L + 3·L + 9·dl·N) — integer numerator and
-    * denominator — and idf uses the log-free ratio surrogate
+    * exactly 22·tf·L / (10·tf·L + 3·L + 9·dl·N) — computed in floored
+    * MILLI-units (22000·tf·L div denom) so the largest intermediate is
+    * ~1e17 at the 100× tier instead of the >2^63 the raw idf·num product
+    * reaches there — and idf uses the log-free ratio surrogate
     * ((2(N−df)+1)·1000) div (2df+1) (milli-units of (N−df+½)/(df+½); the
     * same monotone-in-df ordering per term as BM25's ln of it, steeper
     * across terms — and the established integer-idf pattern of
@@ -1368,8 +1370,14 @@ object TextQueries {
         col("qterm") === col("dterm"))
       .crossJoin(broadcast(tot))
       .withColumn("s",
-        expr("(((2*(nd - df) + 1) * 1000) div (2*df + 1)) * (22 * tf * ltot)" +
-          " div (10 * tf * ltot + 3 * ltot + 9 * dl * nd)"))
+        // rounding contract (mirrored in the oracle): the tf-normalization
+        // term is floored to MILLI-units BEFORE the idf multiply, keeping
+        // every intermediate ≤ 22000·tf·ltot (~1e17 at the 100× tier) —
+        // the naive idf·22·tf·ltot product exceeds 2^63 there, silently
+        // wrapping in non-ANSI Spark while DuckDB raises. Precondition:
+        // tf·ltot < 4.1e14 (≥400× headroom over the 100× tier).
+        expr("(((2*(nd - df) + 1) * 1000) div (2*df + 1)) * " +
+          "((22000 * tf * ltot) div (10 * tf * ltot + 3 * ltot + 9 * dl * nd))"))
       .groupBy("q_id", "doc_id").agg(sum("s").as("score"))
       .withColumn("lex_rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
@@ -1430,8 +1438,8 @@ object TextQueries {
        |       WHERE tr <= $HS_TERMS),
        |sc AS (SELECT q.q_id, t.doc_id,
        |              (((2*(o.nd - f.df) + 1) * 1000) // (2*f.df + 1))
-       |                * (22 * t.tf * o.ltot)
-       |                // (10 * t.tf * o.ltot + 3 * o.ltot + 9 * d.dl * o.nd) s
+       |                * ((22000 * t.tf * o.ltot)
+       |                   // (10 * t.tf * o.ltot + 3 * o.ltot + 9 * d.dl * o.nd)) s
        |       FROM qt q JOIN tf t ON t.term = q.term
        |            JOIN dfreq f ON f.term = q.term
        |            JOIN dl d ON d.doc_id = t.doc_id, tot o),
