@@ -47,6 +47,38 @@ object Bench {
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Fixed HOST-CALIBRATION probe (round 18, VERDICT r17 #1): a pinned,
+    * data-blind Spark job — `bit_xor(xxhash64(id))` over a 2-billion-row
+    * Range in 32 fixed splits; whole-stage codegen, no I/O, no data
+    * dependence, the only exchange a single-row partial-agg merge — timed
+    * warm min-of-2 FIRST in every bench JVM (~1.4 s/child incl. warm-up).
+    * Why: Spark-second numbers on this shared host drift with
+    * JVM-workload throughput between rounds — r17's apparent 1.4×
+    * "regression" was proven pure host drift (the r16 binary re-benched
+    * at r17 speeds back-to-back while DuckDB reproduced its r16 total to
+    * the second). The probe makes every bench line self-calibrating:
+    * cross-round comparisons multiply raw times by (calib_ref/calib_run)
+    * per BASELINE.md's "Host-drift normalization" rule. The merged line
+    * reports the MEDIAN across child JVMs (robust to a steal burst
+    * landing on one chunk) plus min/max as the burst spread. */
+  private val CALIB_ROWS = 2000000000L
+  private def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.expr
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, CALIB_ROWS, 1L, 32)
+        .select(expr("bit_xor(xxhash64(id))")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // codegen + JIT warm
+    math.min(once(), once())
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // child protocol: an explicit comma-separated query list
@@ -82,8 +114,10 @@ object Bench {
     * that JVM startup stays ~15% of bench wall-clock. */
   private val CHUNK = 6
 
-  /** Run one chunk of queries in a child JVM; parse its per-query times. */
-  private def runGroup(g: Seq[String], cp: String): Option[Seq[(String, Double)]] = try {
+  /** Run one chunk of queries in a child JVM; parse its per-query times
+    * plus the child's calibration-probe time. */
+  private def runGroup(g: Seq[String],
+      cp: String): Option[(Seq[(String, Double)], Option[Double])] = try {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
       "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
@@ -110,11 +144,13 @@ object Bench {
     System.err.println(s"[bench] chunk ${g.mkString(",")} failed: ${e.getMessage}"); None
   }
 
-  /** Parse a child's JSON line into per-query times. A truncated/malformed
+  /** Parse a child's JSON line into per-query times (plus the child's
+    * calibration time, when present — absence never fails the chunk: the
+    * probe is bookkeeping, not a bench result). A truncated/malformed
     * line or a query the child dropped (bench failure) must fail the WHOLE
     * chunk loudly (None → parent falls back), never merge partially. */
   private[graft] def parseChunkLine(line: String,
-      g: Seq[String]): Option[Seq[(String, Double)]] = {
+      g: Seq[String]): Option[(Seq[(String, Double)], Option[Double])] = {
     val start = line.indexOf("\"queries\":{")
     val end = line.lastIndexOf("},\"sf\"")
     if (start < 0 || end < 0 || end <= start) {
@@ -124,9 +160,12 @@ object Bench {
     val body = line.substring(start + "\"queries\":{".length, end)
     val parsed = """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    val calib = """"calib":([0-9.]+)""".r.findFirstMatchIn(line.take(start))
+      .map(_.group(1).toDouble)
     // key SET equality alone would accept a duplicated key (last-wins on
     // toMap); require exact multiplicity too
-    if (parsed.size == g.size && parsed.map(_._1).toSet == g.toSet) Some(parsed)
+    if (parsed.size == g.size && parsed.map(_._1).toSet == g.toSet)
+      Some((parsed, calib))
     else {
       System.err.println(s"[bench] chunk ${g.mkString(",")}: child returned " +
         s"${parsed.size}/${g.size} queries — treating chunk as failed")
@@ -149,17 +188,24 @@ object Bench {
         .flatMap { case (_, names) => names.sorted.grouped(CHUNK) }
       val parts = chunks.map { g =>
         val r = runGroup(g, cp)
-        r.foreach(t => System.err.println(
-          s"[bench] chunk ${g.head}..${g.last}: ${t.size} queries done"))
+        r.foreach { case (t, c) => System.err.println(
+          s"[bench] chunk ${g.head}..${g.last}: ${t.size} queries done" +
+            c.fold("")(v => f", calib $v%.3f s")) }
         r
       }
       val expected = orderedQueries.map(_._1)
-      val merged = parts.flatten.flatten.toMap
+      val merged = parts.flatten.flatMap(_._1).toMap
+      val calibs = parts.flatten.flatMap(_._2)
       if (parts.exists(_.isEmpty) || expected.exists(q => !merged.contains(q))) None
       else {
         val qs = expected.map(k => "\"" + k + "\":" + num(merged(k))).mkString("{", ",", "}")
         val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-        Some(s"""{"metric":"total","value":${num(expected.map(merged).sum)},"unit":"sec","runs":$runs,"agg":"min","mode":"fork-per-group","queries":$qs,"sf":"$sfDir"}""")
+        // calib: per-child host-speed probe — median is the round's number
+        // (normalize cross-round comparisons with it), min/max the spread
+        val calibJson =
+          if (calibs.isEmpty) ""
+          else s""""calib":${num(median(calibs))},"calib_min":${num(calibs.min)},"calib_max":${num(calibs.max)},"""
+        Some(s"""{"metric":"total","value":${num(expected.map(merged).sum)},"unit":"sec","runs":$runs,"agg":"min",${calibJson}"mode":"fork-per-group","queries":$qs,"sf":"$sfDir"}""")
       }
     }
   }
@@ -177,6 +223,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // host-speed probe FIRST (pinned job, before any data is touched) so
+    // every bench JVM's line is self-calibrating against host drift
+    val calib = try Some(calibrate(spark)) catch { case e: Throwable =>
+      System.err.println(s"[bench] calibration probe failed: ${e.getMessage}"); None }
 
     val ordered = chunk match {
       case Some(names) => orderedQueries.filter(q => names(q._1))
@@ -235,7 +286,8 @@ object Bench {
       System.err.println(s"[bench] $k failed in every pass — omitted") }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    val calibJson = calib.fold("")(c => s""""calib":${num(c)},""")
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min",$calibJson"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     if (chunk.isEmpty) writeFullLine(line) // whole-surface mode only, not per-chunk children
     spark.stop()

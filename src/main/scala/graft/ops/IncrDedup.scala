@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * batch form here recomputes them only because the oracle needs a
   * self-contained query. The streaming twin of this discipline is
   * [[graft.streaming.StreamNearDup]]'s cross-micro-batch band-key state.
+  *
+  * Round-18 cost shape (VERDICT r17 #3 — this was the one real-work query
+  * DuckDB beat 4×): ONE persisted base frame carries BOTH the md5
+  * fingerprint and the (pre-sorted) shingle-hash set, so the text is
+  * scanned and normalized once, not once per tier; the two exact tiers
+  * fold into a single fingerprint groupBy (`min(old id)` + `min(new id)`
+  * per fp, conditional aggregation) joined back once — replacing the old
+  * groupBy → join → anti-join → groupBy → join chain; and the verify join
+  * reads the base frame's already-sorted sets directly (IntersectSize
+  * merge path) instead of re-sorting per side.
   */
 object IncrDedup {
 
@@ -43,34 +53,44 @@ object IncrDedup {
       jaccNum: Long,
       jaccDen: Long,
       p: NearDup.Params = NearDup.Params()): DataFrame = {
-    val fp = graft.util.CacheBin.persist(docs.select(
-      col(idCol).as("id"),
-      md5(NearDup.normFused(col(textCol))).as("fp"),
-      col(isNewCol).as("is_new")))
+    // ONE text pass: normalize once, derive fingerprint AND sorted shingle
+    // set from the normalized output (shingle hashing over normFused text
+    // is idempotent — no second regex/normalization); sort_array here means
+    // every downstream intersection takes the sorted-merge path free
+    val base = graft.util.CacheBin.persist(docs
+      .select(col(idCol).as("id"),
+        NearDup.normFused(col(textCol)).as("norm"),
+        col(isNewCol).as("is_new"))
+      .select(col("id"), md5(col("norm")).as("fp"),
+        sort_array(call_function("graft_shingle_hashes", col("norm"),
+          lit(p.shingleK), lit(p.hashBase), lit(p.hashP))).as("hs"),
+        col("is_new")))
 
-    // exact tier
-    val oldMin = fp.filter(!col("is_new"))
-      .groupBy("fp").agg(min(col("id")).as("old_id"))
-    val newDocs = fp.filter(col("is_new"))
-    val exactOld = newDocs.join(oldMin, "fp")
+    // exact tiers, folded into one fingerprint groupBy: the per-fp smallest
+    // old id decides exact_dup_old; otherwise the per-fp smallest NEW id is
+    // the batch canonical (new_min only matters when old_id is null, so
+    // computing it over all new copies is equivalent to the old
+    // anti-join-then-group form). Null-fp (null-text) docs fall out of the
+    // inner join and land in the keep tier, like the old null-key joins.
+    val fpStats = base.groupBy("fp").agg(
+      min(when(!col("is_new"), col("id"))).as("old_id"),
+      min(when(col("is_new"), col("id"))).as("new_min"))
+    val joined = graft.util.CacheBin.persist(
+      base.filter(col("is_new")).select("id", "fp").join(fpStats, "fp"))
+    val exactOld = joined.filter(col("old_id").isNotNull)
       .select(col("id"), lit("exact_dup_old").as("status"),
         col("old_id").as("partner"))
-    val newRest = graft.util.CacheBin.persist(
-      newDocs.join(oldMin, Seq("fp"), "left_anti"))
-    val newCanon = newRest.groupBy("fp").agg(min(col("id")).as("canon"))
-    val withCanon = newRest.join(newCanon, "fp")
-    val exactNew = withCanon.filter(col("id") =!= col("canon"))
+    val exactNew = joined.filter(col("old_id").isNull && col("id") =!= col("new_min"))
       .select(col("id"), lit("exact_dup_new").as("status"),
-        col("canon").as("partner"))
-    val probeIds = withCanon.filter(col("id") === col("canon"))
+        col("new_min").as("partner"))
+    val probeIds = joined.filter(col("old_id").isNull && col("id") === col("new_min"))
       .select(col("id").as("doc_id"))
 
     // near-dup tier: probe bands × index bands, one (band, key) equi-join
-    val hs = graft.util.CacheBin.persist(
-      NearDup.shingleHashes(docs, idCol, textCol, p))
+    val hs = base.select(col("id").as("doc_id"), col("hs"))
     val bands = graft.util.CacheBin.persist(
       NearDup.bandKeys(NearDup.signatures(hs, p), p))
-    val indexIds = fp.filter(!col("is_new"))
+    val indexIds = base.filter(!col("is_new"))
       .select(col("id").as("doc_id"), lit(true).as("is_old"))
       .unionAll(probeIds.select(col("doc_id"), lit(false).as("is_old")))
     val probeBands = bands.join(probeIds, "doc_id")
@@ -82,10 +102,11 @@ object IncrDedup {
         col("band") === col("band2") && col("k") === col("k2") &&
           (col("is_old") || col("doc_b") < col("doc_a")))
       .select("doc_a", "doc_b").distinct()
-    val ha = hs.select(col("doc_id").as("da"),
-      sort_array(col("hs")).as("hs_a"), size(col("hs")).cast("long").as("n_a"))
-    val hb = hs.select(col("doc_id").as("db"),
-      sort_array(col("hs")).as("hs_b"), size(col("hs")).cast("long").as("n_b"))
+    // verify: the base frame's hs is already sorted — no per-side re-sort
+    val ha = hs.select(col("doc_id").as("da"), col("hs").as("hs_a"),
+      size(col("hs")).cast("long").as("n_a"))
+    val hb = hs.select(col("doc_id").as("db"), col("hs").as("hs_b"),
+      size(col("hs")).cast("long").as("n_b"))
     val near = cand
       .join(ha, col("doc_a") === col("da"))
       .join(hb, col("doc_b") === col("db"))
@@ -100,7 +121,7 @@ object IncrDedup {
       .select(col("id"), lit("near_dup").as("status"), col("partner"))
 
     val classified = exactOld.unionAll(exactNew).unionAll(near)
-    val keep = newDocs.select(col("id"))
+    val keep = base.filter(col("is_new")).select(col("id"))
       .join(classified.select(col("id").as("cid")),
         col("id") === col("cid"), "left_anti")
       .select(col("id"), lit("keep").as("status"), lit(-1L).as("partner"))

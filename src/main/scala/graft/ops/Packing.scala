@@ -48,4 +48,42 @@ object Packing {
       it.map { case (id, v) => acc += v; (id, v, acc) }
     }.toDF(idCol, valueCol, "cum")
   }
+
+  /** Global 1-based RANK over a composite total order, distributed — the
+    * running-COUNT sibling of [[runningSum]], generalized to any column
+    * types and a multi-column order (round 18, VERDICT r17 #2: replaces
+    * the `row_number()/ntile() over (ORDER BY …)` single-partition window
+    * that was the repo's last global single-point sort, in ev_rfm /
+    * ev_power_users).
+    *
+    * Same two-pass discipline: (1) range-partition by the order columns +
+    * local sort (range partitioning makes partition index the high-order
+    * sort key); (2) per-partition row counts to the driver (#partitions
+    * longs); (3) a narrow pass emits offset + local position. Bit-identical
+    * to `row_number() over (ORDER BY cols)` — the oracle SQL keeps the
+    * plain window — but no stage ever holds more than a partition.
+    *
+    * `orderCols` must form a TOTAL order (include a unique key last);
+    * equal-key rows would otherwise land in sampling-dependent order. */
+  def globalRank(df: DataFrame, orderCols: Seq[String],
+      rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cols = orderCols.map(col)
+    // both passes must see the same partition layout — persist the
+    // range-partitioned sort (released by the caller's CacheBin scope)
+    val parts = graft.util.CacheBin.persist(
+      df.repartitionByRange(cols: _*)
+        .sortWithinPartitions(cols: _*))
+    val counts = parts.rdd
+      .mapPartitionsWithIndex { case (pid, it) => Iterator((pid, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = parts.schema.add(rankCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = parts.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var p = offsets(pid)
+      it.map { r => p += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ p) }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

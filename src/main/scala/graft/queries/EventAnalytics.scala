@@ -475,15 +475,17 @@ object EventAnalytics {
 
   /** Revenue concentration: the top-decile users' share of total revenue
     * in exact ppm (the Pareto/whale analysis a monetization or abuse team
-    * runs). The global rank runs on the per-USER frame (keys-sized, not
-    * events-sized — same bounded-single-partition discipline as the
-    * cumulative-user curve); totals ride a broadcast 1-row frame. */
+    * runs). The global rank is the DISTRIBUTED two-pass
+    * [[graft.ops.Packing.globalRank]] over (revenue desc, user_id) — no
+    * single-partition `row_number()` window anywhere, so the plan holds at
+    * billions of users (round 18; the oracle keeps the plain window as the
+    * equivalence proof); totals ride a broadcast 1-row frame. */
   def powerUsers(s: SparkSession, dir: String): DataFrame = {
     val u = events(s, dir).groupBy("user_id")
       .agg(sum(cents(col("value"))).as("c"))
+      .withColumn("negc", -col("c")) // rank asc by (-c, user) == (c desc, user)
     val tot = u.agg(count(lit(1)).as("n"), sum("c").as("tot"))
-    val w = Window.orderBy(col("c").desc, col("user_id"))
-    u.withColumn("rn", row_number().over(w))
+    graft.ops.Packing.globalRank(u, Seq("negc", "user_id"), "rn")
       .crossJoin(broadcast(tot))
       .agg(min("n").as("n_users"),
         expr("(min(n)+9) div 10").as("top_decile_users"),
@@ -595,28 +597,55 @@ object EventAnalytics {
 
   /** RFM segmentation (recency / frequency / monetary — the classic
     * customer-value grid): per user, last-activity timestamp, event count,
-    * and cents revenue; each dimension quintile-scored 1–5 with `ntile(5)`
-    * over a TOTAL order (metric, then user_id — ntile is position-based,
-    * so the tie-break is what makes both engines assign identical scores),
-    * then rolled up to the 125-cell segment grid with user counts and
-    * total cents.
+    * and cents revenue; each dimension quintile-scored 1–5 positionally
+    * (ntile(5) semantics over the TOTAL order (metric, user_id) — the
+    * tie-break is what makes both engines assign identical scores), then
+    * rolled up to the 125-cell segment grid with user counts and total
+    * cents.
     *
-    * Scale shape: one user_id-keyed aggregate builds the keys-sized
-    * per-user frame; the three ntile windows run on THAT frame (the
-    * bounded-single-partition discipline powerUsers documents — a
-    * users-sized sort, not events-sized; at true scale swap ntile for a
-    * percentile-threshold join, same output contract); the final rollup
-    * is ≤125 rows. */
-  def rfm(s: SparkSession, dir: String): DataFrame = {
-    val u = events(s, dir).groupBy("user_id")
+    * Scale shape (round 18 — the repo's last single-partition window,
+    * killed): one user_id-keyed aggregate builds the keys-sized per-user
+    * frame; each dimension's position comes from the DISTRIBUTED two-pass
+    * [[graft.ops.Packing.globalRank]] (range shuffle + broadcast offsets +
+    * narrow local index — never a one-partition sort), chained so the
+    * three rank columns ride the same frame with NO joins; the quintile is
+    * then a closed-form narrow expression of (position, n) that reproduces
+    * ntile(5)'s bucket sizes exactly — bucket k of n rows spans positions
+    * (cum_{k−1}, cum_k], base = n div 5, the first n mod 5 buckets one
+    * larger. The ORACLE keeps plain `ntile(5) over (ORDER BY …)`: the
+    * hash match IS the proof the distributed formulation equals the
+    * window. Final rollup is ≤125 rows. */
+  def rfm(s: SparkSession, dir: String): DataFrame = rfmGrid(rfmStats(s, dir))
+
+  /** The per-user RFM sufficient statistic (last_ts, freq, monetary_c) —
+    * the 24 B/key frame [[graft.streaming.StreamRfm]] maintains online;
+    * batch and stream share [[rfmGrid]] for the scoring half. */
+  def rfmStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("user_id")
       .agg(max("ts_us").as("last_ts"),
         count(lit(1)).as("freq"),
         sum(cents(col("value"))).as("monetary_c"))
-    def quint(orderCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
-      ntile(5).over(org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*))
-    u.withColumn("r_score", quint(Seq(col("last_ts"), col("user_id"))).cast("long"))
-      .withColumn("f_score", quint(Seq(col("freq"), col("user_id"))).cast("long"))
-      .withColumn("m_score", quint(Seq(col("monetary_c"), col("user_id"))).cast("long"))
+
+  /** Quintile-score a (user_id, last_ts, freq, monetary_c) frame and roll
+    * up the 125-cell grid (the scoring half of [[rfm]], shared with the
+    * streaming twin's state snapshot). */
+  def rfmGrid(u: DataFrame): DataFrame = {
+    import graft.ops.Packing.globalRank
+    val tot = u.agg(count(lit(1)).as("n"))
+    val ranked =
+      globalRank(
+        globalRank(
+          globalRank(u, Seq("last_ts", "user_id"), "p_r"),
+          Seq("freq", "user_id"), "p_f"),
+        Seq("monetary_c", "user_id"), "p_m")
+    // exact ntile(5) from 1-based position p and row count n
+    def quint(p: String) = expr(
+      s"CASE WHEN $p <= (n % 5) * (n div 5 + 1)" +
+        s" THEN ($p - 1) div (n div 5 + 1) + 1" +
+        s" ELSE (n % 5) + ($p - (n % 5) * (n div 5 + 1) - 1) div (n div 5) + 1 END")
+    ranked.crossJoin(broadcast(tot))
+      .select(quint("p_r").as("r_score"), quint("p_f").as("f_score"),
+        quint("p_m").as("m_score"), col("monetary_c"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_users"), sum("monetary_c").as("tot_c"))
       .orderBy("r_score", "f_score", "m_score")

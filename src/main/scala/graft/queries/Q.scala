@@ -124,4 +124,19 @@ object Q {
   /** Epoch seconds of a (µs) timestamp column. Spark unix_timestamp floors;
     * mirror in DuckDB with CAST(floor(epoch(ts)) AS BIGINT). */
   def epochS(c: Column): Column = unix_timestamp(c).cast("long")
+
+  /** Cache key for per-JVM memos over a tier's table: dir plus a cheap
+    * file fingerprint (names + sizes + mtimes of the parquet file set), so
+    * data regenerated AT THE SAME PATH within one JVM invalidates the memo
+    * instead of silently serving stale results. Non-local paths fall back
+    * to the dir string (single-materialization assumption applies). */
+  def tableKey(dir: String, name: String): String = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    def sig(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+    val fp =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(sig).mkString(",")
+      else if (f.isFile) sig(f)
+      else ""
+    s"$dir|$name|$fp"
+  }
 }

@@ -1291,6 +1291,7 @@ object TextQueries {
   private val HS_TERMS = 8   // lexical query terms per probe
   private val HS_POOL = 50   // per-ranker candidate pool depth
   private val HS_K = 10      // fused output depth
+  private val HS_NPROBE = 4  // IVF cells probed by the dense ranker
   private val HS_DIM = 64
 
   /** HYBRID SEARCH — the RAG/curation retrieval stack as one operator:
@@ -1321,14 +1322,15 @@ object TextQueries {
     * never a scan of all docs per query (a stopword-df term admits many
     * candidates; production indexes add WAND/impact-ordered pruning — the
     * pool cap here bounds the downstream window the same way). The dense
-    * side broadcasts the q probe vectors over one narrow pass of the
-    * embedding table (top-`HS_POOL` per query via per-partition window).
+    * side routes through the IVF index's cell equi-join
+    * ([[graft.queries.VectorQueries.ivfProbeCandidates]], nprobe =
+    * `HS_NPROBE`) and reranks candidates by exact cosine — never a
+    * per-probe corpus scan, so the operator holds for big query sets too.
     * Fusion joins two (q × pool)-sized frames — constant-sized at any
     * corpus scale. */
   def hybridSearch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = tPar(s, dir, "documents")
-    val emb = tPar(s, dir, "embeddings")
     // inverted index in ONE shuffle: the per-doc length dl rides along the
     // exploded words (narrow size() of the same split — no separate dl
     // aggregation or join), so tf = (doc_id, term, tf, dl) after a single
@@ -1384,24 +1386,24 @@ object TextQueries {
         .cast("long"))
       .filter(col("lex_rank") <= HS_POOL)
       .select(col("q_id"), col("doc_id"), col("lex_rank"))
-    // dense ranker: fold-dot cosine of each probe vector vs the embedding
-    // table (broadcast hash join on a constant key — a broadcast fan-out,
-    // not a nested-loop product)
-    val ev = emb.select(col("vec_id"),
-        transform(col("embedding"), e => e.cast("double")).as("v"))
-      .withColumn("n2", call_function("graft_dot", col("v"), col("v")))
-      .withColumn("one", lit(1))
-    val qv = ev.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("n2").as("qn"), col("one"))
-    val vr = ev.join(broadcast(qv), "one")
-      .withColumn("cosine", call_function("graft_dot", col("qv"), col("v")) /
-        (sqrt(col("qn")) * sqrt(col("n2"))))
+    // dense ranker: candidates routed through the IVF index's cell
+    // equi-join (VectorQueries.ivfProbeCandidates, nprobe = HS_NPROBE) and
+    // reranked by exact fold-dot cosine — the corpus is never scanned per
+    // probe, so a big query set costs O(n/cells · nprobe) candidates per
+    // query. The ORACLE mirrors the routing (the annIvfSql discipline all
+    // four ANN oracles use), so the hash match proves the two engines run
+    // the identical routed computation; routing exactness vs a full scan
+    // is a measured recall property, not assumed (at the small test tiers
+    // a depth-50 pool spans most of a 500-vector corpus — top-50 touches
+    // all 10 cells at sf0.01 but only 2 at the 100× tier, where cells
+    // actually concentrate; the vec_ann_recall contract is the family's
+    // monitor).
+    val vr = VectorQueries.ivfProbeCandidates(s, dir, probeIds, HS_NPROBE)
       .withColumn("vec_rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id")))
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("doc_id")))
         .cast("long"))
       .filter(col("vec_rank") <= HS_POOL)
-      .select(col("q_id"), col("vec_id").as("doc_id"), col("vec_rank"))
+      .select(col("q_id"), col("doc_id"), col("vec_rank"))
     // reciprocal-rank fusion in integer micro-units; absent-from-one-list
     // contributes 0 (and reports rank 0 in the output)
     lex.join(vr, Seq("q_id", "doc_id"), "full_outer")
@@ -1452,15 +1454,33 @@ object TextQueries {
        |          FROM lexs) WHERE lex_rank <= $HS_POOL),
        |e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} n2
        |      FROM embeddings),
-       |qv AS (SELECT p.q_id, e.embedding qe, e.n2 qn
-       |       FROM probes p JOIN e ON e.vec_id = p.q_id),
-       |vr AS (SELECT q_id, vec_id doc_id, vec_rank FROM (
-       |         SELECT q.q_id, c.vec_id,
+       |cv AS (
+       |  SELECT CAST("label" AS BIGINT) clabel, i pos,
+       |         CAST(CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |           / CAST(count(*) * 1000000 AS DOUBLE) c
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $HS_DIM)) i)
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT clabel, list(c ORDER BY pos) cvec FROM cv GROUP BY 1),
+       |ac AS (SELECT e.vec_id, e.embedding, e.n2, cent.clabel,
+       |              ${dotSql("e.embedding", "cent.cvec")}
+       |                / (sqrt(e.n2) * sqrt(${dotSql("cent.cvec", "cent.cvec")})) ccos
+       |       FROM e, cent),
+       |cr AS (SELECT vec_id, embedding, n2, clabel,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) crank
+       |       FROM ac),
+       |cells AS (SELECT vec_id n_id, embedding ne, n2 nn, clabel cell
+       |          FROM cr WHERE crank = 1),
+       |pcell AS (SELECT p.q_id, r.embedding qe, r.n2 qn, r.clabel probe
+       |          FROM probes p JOIN cr r ON r.vec_id = p.q_id
+       |          WHERE r.crank <= $HS_NPROBE),
+       |vr AS (SELECT q_id, n_id doc_id, vec_rank FROM (
+       |         SELECT q.q_id, c.n_id,
        |                row_number() OVER (PARTITION BY q.q_id
-       |                  ORDER BY ${dotSql("q.qe", "c.embedding")}
-       |                           / (sqrt(q.qn) * sqrt(c.n2)) DESC,
-       |                           c.vec_id) vec_rank
-       |         FROM qv q, e c) WHERE vec_rank <= $HS_POOL),
+       |                  ORDER BY ${dotSql("q.qe", "c.ne")}
+       |                           / (sqrt(q.qn) * sqrt(c.nn)) DESC,
+       |                           c.n_id) vec_rank
+       |         FROM pcell q JOIN cells c ON q.probe = c.cell)
+       |       WHERE vec_rank <= $HS_POOL),
        |f AS (SELECT coalesce(l.q_id, v.q_id) q_id,
        |             coalesce(l.doc_id, v.doc_id) doc_id,
        |             coalesce(1000000 // (60 + l.lex_rank), 0)

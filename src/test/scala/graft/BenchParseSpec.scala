@@ -13,7 +13,22 @@ class BenchParseSpec extends AnyFunSuite {
   test("well-formed line with exactly the chunk's queries parses") {
     val line = """{"metric":"total","value":3.000,"unit":"sec","runs":3,"agg":"min","queries":{"q_a":1.250,"q_b":1.750},"sf":"/x"}"""
     assert(Bench.parseChunkLine(line, g) ===
-      Some(Seq("q_a" -> 1.25, "q_b" -> 1.75)))
+      Some((Seq("q_a" -> 1.25, "q_b" -> 1.75), None)))
+  }
+
+  test("calibration probe time is picked up from the line head") {
+    val line = """{"metric":"total","value":3.000,"unit":"sec","runs":3,"agg":"min","calib":0.462,"queries":{"q_a":1.250,"q_b":1.750},"sf":"/x"}"""
+    assert(Bench.parseChunkLine(line, g) ===
+      Some((Seq("q_a" -> 1.25, "q_b" -> 1.75), Some(0.462))))
+  }
+
+  test("a query literally named calib cannot shadow the probe field") {
+    // the probe is searched only BEFORE the queries object, so a query
+    // value can never be mistaken for the calibration time
+    val gc = Seq("calib", "q_b")
+    val line = """{"metric":"total","value":3.000,"unit":"sec","runs":3,"agg":"min","queries":{"calib":1.250,"q_b":1.750},"sf":"/x"}"""
+    assert(Bench.parseChunkLine(line, gc) ===
+      Some((Seq("calib" -> 1.25, "q_b" -> 1.75), None)))
   }
 
   test("truncated line (no sf suffix) is rejected") {

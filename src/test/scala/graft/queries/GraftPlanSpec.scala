@@ -388,6 +388,27 @@ class GraftPlanSpec extends SparkSpec {
     "hashpartitioning\\(user_id".r.findAllIn(plan).length should be >= 1
   }
 
+  it should "score RFM quintiles with no window operator at all (r18)" in {
+    // the quintile positions come from Packing.globalRank (range shuffle +
+    // broadcast offsets + narrow local index) and the score from a
+    // closed-form (position, n) expression — the executed plan must carry
+    // ZERO Window nodes (the old form's three empty-partition ntile windows
+    // were the repo's last single-partition sort)
+    val plan = planOf(EventAnalytics.rfm(spark, dir))
+    plan should not include "Window"
+    plan should include("BroadcastNestedLoopJoin") // the deliberate 1-row total
+  }
+
+  it should "route the hybrid dense ranker through the IVF cell equi-join (r18)" in {
+    val plan = planOf(TextQueries.hybridSearch(spark, dir))
+    // dense candidates come from the broadcast probe ⋈ cell equi-join —
+    // never a per-probe corpus scan (the old form's constant-key
+    // nested-loop fan-out is gone)
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastHashJoin")
+    plan should include("graft_nearest_codes")
+  }
+
   it should "compute centroid drift with equi-joins only" in {
     val plan = planOf(VectorQueries.centroidDrift(spark, dir))
     plan should not include "CartesianProduct"
