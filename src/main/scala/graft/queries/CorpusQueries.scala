@@ -646,6 +646,66 @@ object CorpusQueries {
        |SELECT doc_id, n_bigrams, lm_ppm FROM sc
        |ORDER BY lm_ppm, doc_id LIMIT 25""".stripMargin
 
+  // hashed-feature buckets for the DSIR importance scorer — small enough
+  // that the weight table broadcasts, large enough that the ratio signal
+  // survives hashing (DSIR uses 10⁴–10⁶ hashed n-gram buckets)
+  private val DSIR_B = 256L
+
+  /** DSIR-style data-selection importance scores (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every document by how target-domain-like its HASHED n-gram features
+    * are, where the target is the English subset (the stand-in for "a
+    * trusted high-quality corpus" — DSIR's target is e.g. Wikipedia). Each
+    * bigram instance hashes into one of `DSIR_B` buckets; a bucket's weight
+    * is the smoothed share of its mass that came from the target,
+    * w = ((2t+1)·10⁶) div (2c+1) ppm (the add-half smoothing and integer
+    * ratio discipline of the BM25 idf surrogate; t ≤ c since the target is
+    * a subset, so w ≤ 10⁶ and per-doc sums stay far from overflow). A doc's
+    * importance is the floored mean weight over its bigram INSTANCES —
+    * up to the constant corpus/target mass ratio this is the ratio-of-
+    * unigram-LM-probabilities DSIR resamples by, in exact integer ppm.
+    * Output: the top-25 selection (importance desc, doc_id).
+    *
+    * Shape at scale: one exploded bigram pass (the lm/tfidf frontend), a
+    * 256-row map-side-combined weight aggregate broadcast back over the
+    * instance frame, one doc-keyed agg, then a distributed top-k
+    * (TakeOrdered) — no corpus-sized sort, no pair joins. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val inst = graft.util.CacheBin.persist(tPar(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        call_function("graft_words", col("text")).as("words"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.ops.NearDup.shinglesOf(col("words"),
+          concat_ws(" ", col("words")), 2)).as("bg"))
+      .withColumn("b", call_function("graft_poly_hash",
+        col("bg"), lit(31L), lit(1000000007L)) % DSIR_B))
+    val wts = inst.groupBy("b").agg(
+        count(lit(1)).as("c"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+      .select(col("b"), expr("((2*t + 1) * 1000000) div (2*c + 1)").as("w"))
+    inst.join(broadcast(wts), "b")
+      .groupBy("doc_id")
+      .agg(min("lang").as("lang"),
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(w) div count(1)").as("imp_ppm"))
+      .orderBy(col("imp_ppm").desc, col("doc_id")).limit(25)
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH n AS (SELECT doc_id, lang, $normSql norm FROM documents),
+       |inst AS (SELECT doc_id, lang,
+       |                unnest(${shinglesSql("string_split(norm, ' ')", "norm", 2)}) bg
+       |         FROM n),
+       |h AS (SELECT doc_id, lang, ${polyHashSql("bg")} % $DSIR_B b FROM inst),
+       |wt AS (SELECT b,
+       |              ((2 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
+       |                 * 1000000) // (2 * count(*) + 1) w
+       |       FROM h GROUP BY 1)
+       |SELECT doc_id, min(lang) lang, CAST(count(*) AS BIGINT) n_bigrams,
+       |       CAST(sum(w) // count(*) AS BIGINT) imp_ppm
+       |FROM h JOIN wt USING (b) GROUP BY 1
+       |ORDER BY imp_ppm DESC, doc_id LIMIT 25""".stripMargin
+
   /** Temperature-scaled source mixing (T = 2): sampling weights
     * w_s = kept_words^(1/T) = sqrt(kept_words) — the standard
     * multilingual/multi-source re-balancing that UP-samples small sources
@@ -722,6 +782,7 @@ object CorpusQueries {
     "text_url_dedup" -> (urlDedup _),
     "text_lm_score" -> (lmScore _),
     "text_ppl_buckets" -> (pplBuckets _),
+    "text_dsir_weights" -> (dsirWeights _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -738,5 +799,6 @@ object CorpusQueries {
     "text_url_dedup" -> urlDedupSql,
     "text_lm_score" -> lmScoreSql,
     "text_ppl_buckets" -> pplBucketsSql,
+    "text_dsir_weights" -> dsirWeightsSql,
   )
 }
