@@ -86,29 +86,42 @@ object IncrDedup {
     val probeIds = joined.filter(col("old_id").isNull && col("id") === col("new_min"))
       .select(col("id").as("doc_id"))
 
-    // near-dup tier: probe bands × index bands, one (band, key) equi-join
+    // near-dup tier: probe bands × index bands, one (band, key) equi-join.
+    // EVERY join below is broadcast-driven from the NEW-BATCH-bounded side
+    // (probe ids, probe bands, the exact-dup exclusion set, candidate
+    // pairs) — the corpus-sized frames (bands, hs) are scanned but never
+    // shuffled, which is both the 100 TB shape (an ingest batch is bounded
+    // by definition; the corpus is not) and the sf0.1 constant-factor win
+    // (the old formulation paid 5 tiny-data exchanges here).
     val hs = base.select(col("id").as("doc_id"), col("hs"))
     val bands = graft.util.CacheBin.persist(
       NearDup.bandKeys(NearDup.signatures(hs, p), p))
-    val indexIds = base.filter(!col("is_new"))
-      .select(col("id").as("doc_id"), lit(true).as("is_old"))
-      .unionAll(probeIds.select(col("doc_id"), lit(false).as("is_old")))
-    val probeBands = bands.join(probeIds, "doc_id")
+    val probeIdsB = broadcast(probeIds)
+    val probeBands = bands.join(probeIdsB, "doc_id")
       .select(col("doc_id").as("doc_a"), col("band"), col("k"))
-    val indexBands = bands.join(indexIds, "doc_id")
-      .select(col("doc_id").as("doc_b"), col("is_old"),
+    // index = old docs + probes = everything minus the new docs already
+    // classified exact — an exclusion set bounded by the new batch
+    val newNonProbe = joined
+      .filter(col("old_id").isNotNull || col("id") =!= col("new_min"))
+      .select(col("id").as("doc_id"))
+    val indexBands = bands
+      .join(broadcast(newNonProbe), Seq("doc_id"), "left_anti")
+      .join(probeIdsB.withColumn("is_probe", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id").as("doc_b"),
+        coalesce(!col("is_probe"), lit(true)).as("is_old"),
         col("band").as("band2"), col("k").as("k2"))
-    val cand = probeBands.join(indexBands,
+    val cand = broadcast(probeBands).join(indexBands,
         col("band") === col("band2") && col("k") === col("k2") &&
           (col("is_old") || col("doc_b") < col("doc_a")))
       .select("doc_a", "doc_b").distinct()
-    // verify: the base frame's hs is already sorted — no per-side re-sort
+    // verify: the base frame's hs is already sorted — no per-side re-sort;
+    // the candidate side broadcasts into both hash-set lookups
     val ha = hs.select(col("doc_id").as("da"), col("hs").as("hs_a"),
       size(col("hs")).cast("long").as("n_a"))
     val hb = hs.select(col("doc_id").as("db"), col("hs").as("hs_b"),
       size(col("hs")).cast("long").as("n_b"))
-    val near = cand
-      .join(ha, col("doc_a") === col("da"))
+    val near = broadcast(broadcast(cand)
+      .join(ha, col("doc_a") === col("da")))
       .join(hb, col("doc_b") === col("db"))
       .select(col("doc_a"), col("doc_b"),
         call_function("graft_intersect_size", col("hs_a"), col("hs_b"))
@@ -120,7 +133,11 @@ object IncrDedup {
       .agg(min(col("doc_b")).as("partner"))
       .select(col("id"), lit("near_dup").as("status"), col("partner"))
 
-    val classified = exactOld.unionAll(exactNew).unionAll(near)
+    // classified is read TWICE (the output union and keep's anti-join) —
+    // without the persist the whole near-tier candidate+verify join runs
+    // twice, which profiling showed was most of the operator's cost
+    val classified = graft.util.CacheBin.persist(
+      exactOld.unionAll(exactNew).unionAll(near))
     val keep = base.filter(col("is_new")).select(col("id"))
       .join(classified.select(col("id").as("cid")),
         col("id") === col("cid"), "left_anti")
