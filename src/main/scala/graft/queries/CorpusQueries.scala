@@ -670,8 +670,13 @@ object CorpusQueries {
     * 256-row map-side-combined weight aggregate broadcast back over the
     * instance frame, one doc-keyed agg, then a distributed top-k
     * (TakeOrdered) — no corpus-sized sort, no pair joins. */
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val inst = graft.util.CacheBin.persist(tPar(s, dir, "documents")
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirScoredAll(s, dir).orderBy(col("imp_ppm").desc, col("doc_id")).limit(25)
+
+  /** The bucketed bigram instances (doc_id, lang, b) — shared by the
+    * weight trainer and the scorer; persisted into the caller's scope. */
+  private def dsirInst(s: SparkSession, dir: String): DataFrame =
+    graft.util.CacheBin.persist(tPar(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         call_function("graft_words", col("text")).as("words"))
       .select(col("doc_id"), col("lang"),
@@ -679,17 +684,37 @@ object CorpusQueries {
           concat_ws(" ", col("words")), 2)).as("bg"))
       .withColumn("b", call_function("graft_poly_hash",
         col("bg"), lit(31L), lit(1000000007L)) % DSIR_B))
-    val wts = inst.groupBy("b").agg(
+
+  private def dsirWeightFrame(inst: DataFrame): DataFrame =
+    inst.groupBy("b").agg(
         count(lit(1)).as("c"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
       .select(col("b"), expr("((2*t + 1) * 1000000) div (2*c + 1)").as("w"))
-    inst.join(broadcast(wts), "b")
+
+  /** Every document scored (no top-k cut) — the frame the spec and the
+    * streaming twin compare against. */
+  def dsirScoredAll(s: SparkSession, dir: String): DataFrame = {
+    val inst = dsirInst(s, dir)
+    inst.join(broadcast(dsirWeightFrame(inst)), "b")
       .groupBy("doc_id")
       .agg(min("lang").as("lang"),
         count(lit(1)).as("n_bigrams"),
         expr("sum(w) div count(1)").as("imp_ppm"))
-      .orderBy(col("imp_ppm").desc, col("doc_id")).limit(25)
   }
+
+  /** The trained DSIR weight table as a dense DSIR_B-long array
+    * (bucket → ppm weight) for the streaming front door
+    * ([[graft.streaming.StreamDsir]]). Buckets no training instance hashed
+    * into default to the smoothed neutral ratio (t = c = 0 → 10⁶ ppm):
+    * "no evidence" scores an unseen ingest-time bigram as neither
+    * target-like nor off-domain. */
+  def dsirBucketWeights(s: SparkSession, dir: String): Array[Long] =
+    graft.util.CacheBin.withScope {
+      val w = Array.fill(DSIR_B.toInt)(1000000L)
+      dsirWeightFrame(dsirInst(s, dir)).collect()
+        .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+      w
+    }
 
   val dsirWeightsSql: String =
     s"""WITH n AS (SELECT doc_id, lang, $normSql norm FROM documents),

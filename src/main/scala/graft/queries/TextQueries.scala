@@ -1358,7 +1358,10 @@ object TextQueries {
       .join(t(s, dir, "embeddings").select(col("vec_id")),
         col("doc_id") === col("vec_id"))
       .orderBy("doc_id").limit(HS_QN).collect().map(_.getLong(0)).toSeq
-    require(probeIds.nonEmpty, "hybridSearch: no doc with an embedding")
+    // zero docs with an embedding (a tier whose id spaces don't overlap —
+    // the renumbered seedcheck tier is exactly this) → an EMPTY result,
+    // mirroring the oracle's empty probes CTE; throwing here would diverge
+    // the engines on a legal input (caught by tools/seedcheck.sh, r18)
     // per-probe lexical query = its top-HS_TERMS terms by (tf desc, term)
     val qt = tf.filter(col("doc_id").isin(probeIds: _*))
       .withColumn("q_id", col("doc_id"))

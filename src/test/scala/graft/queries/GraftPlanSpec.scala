@@ -409,6 +409,21 @@ class GraftPlanSpec extends SparkSpec {
     plan should include("graft_nearest_codes")
   }
 
+  it should "score DSIR importance via a broadcast weight join (r18)" in {
+    val plan = planOf(CorpusQueries.dsirWeights(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // the selection is a distributed top-k, not a global sort
+    plan should include("TakeOrderedAndProject")
+  }
+
+  it should "mine hard negatives through the IVF cell equi-join (r18)" in {
+    val plan = planOf(VectorQueries.hardNegatives(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should include("graft_nearest_codes")
+  }
+
   it should "compute centroid drift with equi-joins only" in {
     val plan = planOf(VectorQueries.centroidDrift(spark, dir))
     plan should not include "CartesianProduct"
