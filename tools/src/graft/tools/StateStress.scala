@@ -52,7 +52,7 @@ object StateStress {
     val perKey = args.lift(2).map(_.toInt).getOrElse(2)
     val ops: Set[String] = args.lift(3)
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("funnel", "scd2", "retention"))
+      .getOrElse(Set("funnel", "scd2", "retention", "rfm"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -149,6 +149,12 @@ object StateStress {
     drive("retention", graft.streaming.StreamRetention(
       stream.select("event_id", "ts_us", "user_id")
         .as[graft.streaming.StreamRetention.RetEvent]))
+    // rfm (r18): one 24 B sufficient-statistic value per key — rows must
+    // plateau at the key count like funnel/scd2/retention
+    drive("rfm", graft.streaming.StreamRfm(
+      stream.select(col("user_id"), col("ts_us"),
+          (col("event_id") % 1000L).as("cents"))
+        .as[graft.streaming.StreamRfm.RfmEvent]))
 
     // ---- watermark/TTL-horizon fleet (r16): state must track the horizon,
     // not total input ----
@@ -282,6 +288,8 @@ object StateStress {
         println(s"[state-stress] $op OK: final state rows ${last.stateRows}" +
           s" <= $bound ($desc); batch time flat ($early -> $late ms median)")
       }
+    assertHorizon("rfm", 2L * keys,
+      "one sufficient-statistic value per key")
     assertHorizon("ttldedup", batches.toLong * keys * perKey / 3,
       "TTL horizon << total distinct ids")
     assertHorizon("sjoin", 6L * keys * perKey,
