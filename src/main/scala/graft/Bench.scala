@@ -39,6 +39,22 @@ object Bench {
   private val SKIP = Set("text_ngram_jaccard", "text_simhash_pairs",
     "vec_cosine_pairs", "vec_ann_recall", "text_ssjoin")
 
+  /** Queries whose warm min-of-N time reads a JVM-lifetime memoized
+    * artifact built on first touch (the gram/LM frames of CorpusQueries,
+    * the IVF coarse codebook of VectorQueries) — declared in the bench
+    * JSON (round 19, ADVICE r18) so cross-engine totals stay
+    * interpretable: a DuckDB oracle retrains these artifacts every run,
+    * the Spark side deliberately does not (build-once pipeline-artifact
+    * semantics). The artifact build cost IS paid inside the same chunk's
+    * warm-up pass, so chunk wall-clock still contains it exactly once. */
+  private val MEMOIZED = Set("text_lm_score", "text_ppl_buckets",
+    "text_dsir_weights", "vec_ann_ivf", "vec_ann_ivfpq",
+    "text_hybrid_search", "vec_hard_negatives")
+
+  private def memoizedJson(names: Seq[String]): String =
+    names.filter(MEMOIZED).sorted
+      .map("\"" + _ + "\"").mkString("\"memoized\":[", ",", "],")
+
   private def orderedQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
     SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => SKIP(q._1))
 
@@ -205,7 +221,7 @@ object Bench {
         val calibJson =
           if (calibs.isEmpty) ""
           else s""""calib":${num(median(calibs))},"calib_min":${num(calibs.min)},"calib_max":${num(calibs.max)},"""
-        Some(s"""{"metric":"total","value":${num(expected.map(merged).sum)},"unit":"sec","runs":$runs,"agg":"min",${calibJson}"mode":"fork-per-group","queries":$qs,"sf":"$sfDir"}""")
+        Some(s"""{"metric":"total","value":${num(expected.map(merged).sum)},"unit":"sec","runs":$runs,"agg":"min",${calibJson}${memoizedJson(expected)}"mode":"fork-per-group","queries":$qs,"sf":"$sfDir"}""")
       }
     }
   }
@@ -287,7 +303,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val calibJson = calib.fold("")(c => s""""calib":${num(c)},""")
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min",$calibJson"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min",$calibJson${memoizedJson(results.map(_._1))}"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     if (chunk.isEmpty) writeFullLine(line) // whole-surface mode only, not per-chunk children
     spark.stop()

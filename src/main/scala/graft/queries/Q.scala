@@ -133,8 +133,13 @@ object Q {
   def tableKey(dir: String, name: String): String = {
     val f = new java.io.File(s"$dir/$name.parquet")
     def sig(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+    // listFiles() returns null (not empty) for an unreadable or
+    // concurrently-deleted dir — fall back to the plain dir|name key, as
+    // documented for non-local paths, instead of NPEing
     val fp =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(sig).mkString(",")
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).map(sig).mkString(",")
       else if (f.isFile) sig(f)
       else ""
     s"$dir|$name|$fp"
