@@ -186,10 +186,24 @@ object GraphQueries {
     * large graphs run each round as one edge-sized hash join + one
     * node-keyed argmax window — O(rounds) shuffles, no per-node neighbor
     * lists collected, spec-asserted equal to the local path. */
-  def communities(s: SparkSession, dir: String): DataFrame = {
-    val g = VectorQueries.knnGraph(s, dir)
+  def communities(s: SparkSession, dir: String): DataFrame =
+    communitiesFrom(s, dir, VectorQueries.knnGraph(s, dir))
+
+  /** The LPA + structural-report stage on an ALREADY-BUILT kNN edge frame
+    * `(node_id, nbr_id, cosine)` — factored out (round 19, VERDICT r18 #2)
+    * so the stage can also run against a MATERIALIZED edge table: in a
+    * deployed pipeline the kNN graph is a stored artifact every community/
+    * sampling consumer reads, and decoupling it is what lets the 100×-tier
+    * oracle cover this stage (DuckDB re-embedding the knn construction in
+    * the `communitiesSql` CTE takes >1 h at 100×; reading the same edge
+    * parquet takes minutes — tools/lpa_parity.sh). */
+  def communitiesFrom(s: SparkSession, dir: String, knn: DataFrame): DataFrame = {
+    // knn is consumed twice below (both union branches) — persist, or the
+    // whole upstream construction (the bench's most expensive component)
+    // runs twice (round 19: this halved graph_communities' bench time)
+    val g = graft.util.CacheBin.persist(knn
       .select(col("node_id").as("u"), col("nbr_id").as("v"),
-        greatest(floor(col("cosine") * 1000000).cast("long"), lit(1L)).as("w"))
+        greatest(floor(col("cosine") * 1000000).cast("long"), lit(1L)).as("w")))
     val sym = graft.util.CacheBin.persist(
       g.unionAll(g.select(col("v").as("u"), col("u").as("v"), col("w")))
         .groupBy("u", "v").agg(max("w").as("w")))
@@ -211,9 +225,18 @@ object GraphQueries {
       .orderBy(col("n_members").desc, col("community"))
   }
 
-  val communitiesSql: String = {
+  val communitiesSql: String =
+    communitiesSqlOn(s"SELECT node_id, nbr_id, cosine FROM (${VectorQueries.knnGraphSql})")
+
+  /** The LPA-stage oracle over a `knn_edges` view of the materialized edge
+    * parquet — the SQL twin of [[communitiesFrom]] for the decoupled
+    * 100×-tier parity run (tools/lpa_parity.py creates the view). */
+  val communitiesFromEdgesSql: String =
+    communitiesSqlOn("SELECT node_id, nbr_id, cosine FROM knn_edges")
+
+  private def communitiesSqlOn(gBody: String): String = {
     val pre =
-      s"""WITH g AS (SELECT node_id, nbr_id, cosine FROM (${VectorQueries.knnGraphSql})),
+      s"""WITH g AS ($gBody),
          |e AS (SELECT node_id u, nbr_id v,
          |             greatest(CAST(floor(cosine * 1000000) AS BIGINT), 1) w
          |      FROM g),
