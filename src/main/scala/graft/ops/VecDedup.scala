@@ -31,6 +31,17 @@ object VecDedup {
 
   private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** The hyperplane-sign bucket of a (double-cast) vector column — the
+    * deterministic quantizer shared by the batch remover and its streaming
+    * twin ([[graft.streaming.StreamVecDedup]]): the planes are a pure
+    * function of (plane, dim), so batch and stream agree with no trained
+    * artifact to ship. */
+  def bucketExpr(v: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { j =>
+      val w = array((0 until dim).map(d => lit(planeWeight(j, d, dim))): _*)
+      when(dot(v, w) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Ids dropped by near-dup removal: the LARGER id of every candidate pair
     * with cosine ≥ `cosT`. */
   def dropped(df: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -38,10 +49,7 @@ object VecDedup {
     val v = transform(col(vecCol), e => e.cast("double"))
     // bucket computed over the selected "v" column (not the input column,
     // which the projection below renames away)
-    val bucket = (0 until numPlanes).map { j =>
-      val w = array((0 until dim).map(d => lit(planeWeight(j, d, dim))): _*)
-      when(dot(col("v"), w) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bucket = bucketExpr(col("v"), dim, numPlanes)
     val e = graft.util.CacheBin.persist(
       df.select(col(idCol).as("vid"), v.as("v"))
         .withColumn("n2", dot(col("v"), col("v")))

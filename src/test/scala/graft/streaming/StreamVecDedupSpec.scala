@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming embedding near-dup front door == batch VecDedup survivors
+  * when ids arrive in nondecreasing order across ≥3 micro-batches, on the
+  * real sf0.001 embeddings with planted duplicates (the corpus itself is
+  * near-orthogonal — max pairwise cosine ≈ 0.51 — so every keep/dup
+  * decision is exercised by the plants, none by chance); retention
+  * eviction lets an aged-out duplicate back in. */
+class StreamVecDedupSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val DIM = 64
+  private val COS_T = 0.999
+
+  private def corpus(): Array[(Long, Array[Double])] = {
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+  }
+
+  private def runStream(all: Seq[(Long, Array[Double])], nParts: Int,
+      retain: Int): Seq[(Long, String, Long)] = {
+    graft.functions.GraftFunctions.register(spark)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Array[Double])]
+    val out = ArrayBuffer.empty[(Long, String, Long)]
+    val batches = ArrayBuffer.empty[Long]
+    val q = StreamVecDedup.frontDoor(
+        input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", DIM, COS_T,
+        graft.SparkSpec.tempDir("svd_state"), retainBatches = retain) {
+      (res, id) =>
+        val rows = res.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        out.synchronized { batches += id; out ++= rows }
+    }.option("checkpointLocation", graft.SparkSpec.tempDir("svd_ck")).start()
+    all.grouped((all.size + nParts - 1) / nParts)
+      .foreach { p => input.addData(p: _*); q.processAllAvailable() }
+    q.stop()
+    withClue(s"micro-batches seen: ${batches.mkString(",")} — ") {
+      batches.distinct.size should be >= nParts
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  behavior of "StreamVecDedup"
+
+  it should "equal the batch remover across 3 in-order micro-batches" in {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    import spark.implicits._
+    val base = corpus()
+    val off = base.map(_._1).max + 1
+    // plants: copies of the 10 smallest-id vectors land (by id order) two
+    // micro-batches after their sources — the cross-batch state tier —
+    // plus a SECOND copy of the first source in the same final batch as
+    // the first copy — the in-batch smaller-id tier
+    val planted = base.take(10).map { case (id, v) => (id + off, v) }
+    val extra = (base.head._1 + 2 * off, base.head._2)
+    val all = (base ++ planted :+ extra).sortBy(_._1).toSeq
+
+    val streamed = runStream(all, 3, Int.MaxValue)
+    streamed.map(_._1) shouldBe all.map(_._1) // one classification per vector
+
+    val batchKeep = graft.util.CacheBin.withScope {
+      graft.ops.VecDedup.survivors(
+          all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          DIM, COS_T, numPlanes = 6)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    batchKeep.size shouldBe base.length // exactly the plants are dropped
+
+    streamed.filter(_._2 == "keep").map(_._1).toSet shouldBe batchKeep
+    // partners: each planted copy names its source; the in-batch second
+    // copy of source 0 names the FIRST copy (smallest qualifying id ≥ its
+    // own batch's smaller ids and the state tier's earlier registrants —
+    // here the state tier wins with the original source id)
+    val partners = streamed.filter(_._2 == "dup").map(t => t._1 -> t._3).toMap
+    planted.foreach { case (pid, _) => partners(pid) shouldBe (pid - off) }
+    partners(extra._1) shouldBe base.head._1
+  }
+
+  it should "let a duplicate back in once its source ages out of retention" in {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val base = corpus()
+    val off = base.map(_._1).max + 1
+    // source in batch 0 of 3, copy in batch 2; retain only 1 partition →
+    // by the time the copy arrives, the source's state is evicted
+    val planted = base.take(5).map { case (id, v) => (id + off, v) }
+    val all = (base ++ planted).sortBy(_._1).toSeq
+    val streamed = runStream(all, 3, 1)
+    planted.foreach { case (pid, _) =>
+      streamed.find(_._1 == pid).get._2 shouldBe "keep"
+    }
+  }
+}
