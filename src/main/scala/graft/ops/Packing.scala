@@ -63,12 +63,15 @@ object Packing {
     * to `row_number() over (ORDER BY cols)` — the oracle SQL keeps the
     * plain window — but no stage ever holds more than a partition.
     *
-    * `orderCols` must form a TOTAL order (include a unique key last);
-    * equal-key rows would otherwise land in sampling-dependent order. */
-  def globalRank(df: DataFrame, orderCols: Seq[String],
+    * The order must be TOTAL or ranks would land in sampling-dependent
+    * (nondeterministic) partition order — so the unique tie-break key is
+    * an EXPLICIT parameter appended after `orderCols`, not a doc-comment
+    * obligation a future call site could silently drop (round 19,
+    * ADVICE r18). */
+  def globalRank(df: DataFrame, orderCols: Seq[String], uniqueCol: String,
       rankCol: String): DataFrame = {
     val spark = df.sparkSession
-    val cols = orderCols.map(col)
+    val cols = (orderCols :+ uniqueCol).map(col)
     // both passes must see the same partition layout — persist the
     // range-partitioned sort (released by the caller's CacheBin scope)
     val parts = graft.util.CacheBin.persist(

@@ -485,7 +485,7 @@ object EventAnalytics {
       .agg(sum(cents(col("value"))).as("c"))
       .withColumn("negc", -col("c")) // rank asc by (-c, user) == (c desc, user)
     val tot = u.agg(count(lit(1)).as("n"), sum("c").as("tot"))
-    graft.ops.Packing.globalRank(u, Seq("negc", "user_id"), "rn")
+    graft.ops.Packing.globalRank(u, Seq("negc"), "user_id", "rn")
       .crossJoin(broadcast(tot))
       .agg(min("n").as("n_users"),
         expr("(min(n)+9) div 10").as("top_decile_users"),
@@ -635,9 +635,9 @@ object EventAnalytics {
     val ranked =
       globalRank(
         globalRank(
-          globalRank(u, Seq("last_ts", "user_id"), "p_r"),
-          Seq("freq", "user_id"), "p_f"),
-        Seq("monetary_c", "user_id"), "p_m")
+          globalRank(u, Seq("last_ts"), "user_id", "p_r"),
+          Seq("freq"), "user_id", "p_f"),
+        Seq("monetary_c"), "user_id", "p_m")
     // exact ntile(5) from 1-based position p and row count n
     def quint(p: String) = expr(
       s"CASE WHEN $p <= (n % 5) * (n div 5 + 1)" +
