@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** State-scale stress for the round-19 StreamVecDedup front door (the
+  * StateStress discipline applied to its parquet-partitioned vector
+  * state): N micro-batches × M synthetic vectors, 5% of each batch b>0
+  * planted as EXACT copies of batch b−1 vectors (the cross-batch dup
+  * tier), every batch's classification counts asserted exactly.
+  *
+  * What to read from the output: per-batch time should grow at most
+  * LINEARLY in accumulated state (the lookup is broadcast(new batch) into
+  * ONE scan of the state table — the corpus-scan-never-shuffle ingest
+  * contract; a real deployment prunes the scan by bucket partitioning),
+  * state rows must equal ALL processed vectors (kept AND dropped
+  * register — the batch operator's pair semantics), and dup counts must
+  * be exactly the planted 5% with the planted partners.
+  *
+  * Usage: VecDedupStress [nBatches] [rowsPerBatch] [dim]
+  */
+object VecDedupStress {
+  def main(args: Array[String]): Unit = {
+    val nBatches = args.headOption.map(_.toInt).getOrElse(16)
+    val perBatch = if (args.length > 1) args(1).toInt else 20000
+    val dim = if (args.length > 2) args(2).toInt else 32
+    val planted = perBatch / 20 // 5%
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val state = java.nio.file.Files.createTempDirectory("vds_state").toString
+    println(s"[vds] state=$state batches=$nBatches rows/batch=$perBatch dim=$dim")
+
+    // deterministic centered components from a content id: batch b>0 rows
+    // i < planted carry the CONTENT of row i of batch b-1 (exact copies)
+    def batchDf(b: Int) = {
+      val base = b.toLong * perBatch
+      spark.range(base, base + perBatch)
+        // planted range [0, p) copies the PREVIOUS batch's rows [p, 2p) —
+        // that source range is original content in EVERY batch (the
+        // planted range is always [0, p)), so no copy-of-a-copy chains
+        // whose content would drift two batches back
+        .withColumn("content_id",
+          when(col("id") % perBatch < planted && lit(b) > 0,
+            col("id") - perBatch + planted).otherwise(col("id")))
+        .select(col("id").as("vec_id"),
+          // xxhash64-mixed components: a linear-congruence form collides
+          // whole vectors on id ≡ id' (mod modulus) — a mixed hash makes
+          // accidental 0.999-cosine pairs effectively impossible
+          transform(sequence(lit(1), lit(dim)),
+            d => pmod(xxhash64(col("content_id"), d), lit(2048L))
+              .cast("double") / lit(2048.0) - lit(0.5)).as("embedding"))
+    }
+
+    (0 until nBatches).foreach { b =>
+      val t0 = System.nanoTime()
+      val out = graft.streaming.StreamVecDedup.processBatch(
+        batchDf(b), "vec_id", "embedding", dim, 0.999, state, batchId = b.toLong)
+      val byStatus = out.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val durMs = (System.nanoTime() - t0) / 1e6
+      val dups = byStatus.getOrElse("dup", 0L)
+      val keeps = byStatus.getOrElse("keep", 0L)
+      val expDups = if (b == 0) 0L else planted.toLong
+      val stateRows = spark.read.parquet(state).count()
+      // partner correctness on the planted tier: the source is the
+      // previous batch's original row at index + planted
+      val badPartners = if (b == 0) 0L else out
+        .filter(col("status") === "dup" &&
+          col("partner") =!= col("vec_id") - perBatch + planted).count()
+      println(f"[vds] batch=$b%2d dur_ms=$durMs%7.0f keep=$keeps%6d " +
+        f"dup=$dups%5d state_rows=$stateRows%8d bad_partners=$badPartners")
+      require(dups == expDups, s"batch $b: expected $expDups dups, got $dups")
+      require(keeps == perBatch - expDups, s"batch $b: keep count off")
+      require(stateRows == (b + 1).toLong * perBatch,
+        s"batch $b: state must hold every processed vector")
+      require(badPartners == 0L, s"batch $b: $badPartners wrong partners")
+    }
+    println("[vds] ALL BATCHES GREEN")
+    spark.stop()
+  }
+}
