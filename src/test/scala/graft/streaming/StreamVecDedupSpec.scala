@@ -87,6 +87,30 @@ class StreamVecDedupSpec extends SparkSpec {
     partners(extra._1) shouldBe base.head._1
   }
 
+  it should "be replay-idempotent: reprocessing a batchId changes nothing" in {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = corpus().take(60)
+    val off = base.map(_._1).max + 1
+    val planted = base.take(5).map { case (id, v) => (id + off, v) }
+    val (b0, b1raw) = base.splitAt(30)
+    val b1 = (b1raw ++ planted).sortBy(_._1)
+    val statePath = graft.SparkSpec.tempDir("svd_replay")
+    def run(rows: Seq[(Long, Array[Double])], id: Long) =
+      graft.streaming.StreamVecDedup.processBatch(
+          rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          DIM, COS_T, statePath, batchId = id)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    run(b0.toSeq, 0L)
+    val first = run(b1, 1L)
+    val replay = run(b1, 1L) // crash-recovery re-delivery of batch 1
+    replay shouldBe first // own partition is excluded from the lookup
+    // and the overwrite left exactly one copy of the batch's state
+    spark.read.parquet(statePath).count() shouldBe (b0.size + b1.size).toLong
+  }
+
   it should "let a duplicate back in once its source ages out of retention" in {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val base = corpus()
