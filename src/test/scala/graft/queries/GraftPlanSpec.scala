@@ -133,6 +133,21 @@ class GraftPlanSpec extends SparkSpec {
     "SortMergeJoin|BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
   }
 
+  it should "keep incremental dedup broadcast-driven from the batch side" in {
+    graft.functions.GraftFunctions.register(spark)
+    val plan = planOf(graft.util.CacheBin.withScope {
+      val q = TextQueries.incrDedup(spark, dir)
+      q.count() // AQE final plan
+      q
+    })
+    plan should not include "CartesianProduct"
+    // round-19 topology: marks/probe-bands/cand/near all broadcast; the
+    // only shuffled join is the candidate-sized xa⋈xb verify join — the
+    // corpus-sized frames (bands, hs) must never be on a shuffle side
+    "BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).length should be >= 4
+    "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length should be <= 1
+  }
+
   it should "keep the split assignment a narrow map until its rollup groupBy" in {
     val plan = planOf(PipelineQueries.splitAssign(spark, dir))
     // exactly the rollup's exchange plus the final orderBy's range exchange
