@@ -28,7 +28,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * serialization is free in practice.
   */
 object ArtifactMemo {
-  private val MAX_ENTRIES = 6
+  // 2 full tiers' worth (4 artifact kinds per tier: gram counts, LM
+  // scores, kNN edges, BM25 inverted index) before LRU displacement
+  private val MAX_ENTRIES = 8
 
   private val entries =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
