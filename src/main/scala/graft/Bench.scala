@@ -49,7 +49,7 @@ object Bench {
     * warm-up pass, so chunk wall-clock still contains it exactly once. */
   private val MEMOIZED = Set("text_lm_score", "text_ppl_buckets",
     "text_dsir_weights", "vec_ann_ivf", "vec_ann_ivfpq",
-    "text_hybrid_search", "vec_hard_negatives",
+    "text_hybrid_search", "text_retrieval_eval", "vec_hard_negatives",
     "vec_knn_graph", "graph_communities")
 
   private def memoizedJson(names: Seq[String]): String =

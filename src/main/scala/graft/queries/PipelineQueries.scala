@@ -540,7 +540,73 @@ object PipelineQueries {
        |FROM r GROUP BY 1 ORDER BY seq_id""".stripMargin
   }
 
+  /** CROSS-SPLIT NEAR-DUP LEAKAGE AUDIT — the eval-integrity gate of a
+    * training pipeline: a near-duplicate pair straddling train and
+    * val/test leaks the held-out answer into training, silently inflating
+    * eval scores. One row per unordered split pair: how many near-dup
+    * pairs (exact-integer Jaccard ≥ 0.7, `inter·10 ≥ union·7`) land in it,
+    * with exact shingle-set intersection/union sums and a `leaky` flag on
+    * the off-diagonal cells. A clean 90/5/5 corpus release requires every
+    * leaky row to be 0 — or the pipeline reassigns whole dup CLUSTERS to
+    * one split (text_dup_clusters + [[graft.ops.SplitAssign]] on the
+    * cluster id).
+    *
+    * Scale shape: the pair frame is the banding-bounded [[graft.ops
+    * .NearDup]] candidate set — never all-pairs; and because the split is
+    * a PURE FUNCTION of the doc key ([[graft.ops.SplitAssign.assign]],
+    * md5-bucket thresholding), both splits are computed as narrow codegen
+    * expressions ON the pair rows — ZERO joins back to the corpus (the
+    * oracle, engine-agnostic by design, re-derives the same assignment via
+    * joins; the hash match proves the no-join form equal). The rollup is
+    * one tiny groupBy over pair rows. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val near = graft.ops.NearDup.pairsWithJaccard(
+        tPar(s, dir, "documents"), "doc_id", "text",
+        TextQueries.minhashParams)
+      .filter(col("inter_cnt") * 10L >= col("union_cnt") * 7L)
+    val sa = graft.ops.SplitAssign.assign(col("doc_a"),
+      graft.ops.SplitAssign.Default905)
+    val sb = graft.ops.SplitAssign.assign(col("doc_b"),
+      graft.ops.SplitAssign.Default905)
+    near.select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"),
+        col("inter_cnt"), col("union_cnt"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("inter_cnt").as("sum_inter"),
+        sum("union_cnt").as("sum_union"))
+      .withColumn("leaky", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val splitLeakageSql: String = {
+    val mp = TextQueries.minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH mp AS ($mp),
+       |near AS (SELECT doc_a, doc_b, inter_cnt, union_cnt FROM mp
+       |         WHERE inter_cnt * 10 >= union_cnt * 7),
+       |hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) h FROM documents),
+       |bk AS (SELECT doc_id,
+       |         ((strpos('0123456789abcdef', h[1:1]) - 1) * 16
+       |          + (strpos('0123456789abcdef', h[2:2]) - 1)) * 256
+       |         + ((strpos('0123456789abcdef', h[3:3]) - 1) * 16
+       |            + (strpos('0123456789abcdef', h[4:4]) - 1)) bucket
+       |       FROM hx),
+       |sp AS (SELECT doc_id, CASE WHEN bucket < 58982 THEN 'train'
+       |                           WHEN bucket < 62259 THEN 'val'
+       |                           ELSE 'test' END split FROM bk),
+       |j AS (SELECT least(spa.split, spb.split) split_a,
+       |             greatest(spa.split, spb.split) split_b,
+       |             inter_cnt, union_cnt
+       |      FROM near JOIN sp spa ON near.doc_a = spa.doc_id
+       |                JOIN sp spb ON near.doc_b = spb.doc_id)
+       |SELECT split_a, split_b, count(*)::BIGINT n_pairs,
+       |       CAST(sum(inter_cnt) AS BIGINT) sum_inter,
+       |       CAST(sum(union_cnt) AS BIGINT) sum_union,
+       |       split_a <> split_b leaky
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "pipe_split_leakage" -> (splitLeakage _),
     "pipe_chunk_pack" -> (chunkPack _),
     "pipe_quarantine" -> (quarantineRoute _),
     "pipe_profile" -> (profile _),
@@ -555,6 +621,7 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_split_leakage" -> splitLeakageSql,
     "pipe_chunk_pack" -> chunkPackSql,
     "pipe_quarantine" -> quarantineRouteSql,
     "pipe_profile" -> profileSql,
