@@ -605,8 +605,75 @@ object PipelineQueries {
        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** CLUSTER-CONSISTENT SPLIT ASSIGNMENT — the FIX the leakage audit
+    * ([[splitLeakage]]) points to: a doc's split is keyed by its near-dup
+    * COMPONENT's canonical id (min member; singletons key by their own
+    * id), so every near-dup cluster lands whole in one split and
+    * cross-split leakage at the audit threshold is ZERO by construction
+    * (re-proven, not assumed, by EvalAuditSpec's plain-Scala re-audit).
+    * Output: per-split doc/clustered-doc/cluster/char rollup — the
+    * release-manifest row a corpus card reports.
+    *
+    * Scale shape: the component table is O(duplicated docs) — orders of
+    * magnitude smaller than the corpus on any real dedup rate — so it
+    * BROADCASTS into one narrow pass over the corpus scan (no corpus
+    * shuffle); components come from the banding-bounded pair frame via
+    * [[graft.ops.DupGroups.connectedComponentsAuto]] (lineage-cut loop,
+    * usually 1 round on LSH near-cliques); the split is the same pure key
+    * function as [[splitAssign]], applied to the canonical key. */
+  def splitClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val near = graft.ops.NearDup.pairsWithJaccard(
+        docs, "doc_id", "text", TextQueries.minhashParams)
+      .filter(col("inter_cnt") * 10L >= col("union_cnt") * 7L)
+    val members = graft.ops.DupGroups
+      .connectedComponentsAuto(near, "doc_a", "doc_b") // (id, comp)
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(members), col("doc_id") === col("id"), "left")
+      .withColumn("split", graft.ops.SplitAssign.assign(
+        coalesce(col("comp"), col("doc_id")),
+        graft.ops.SplitAssign.Default905))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("comp").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"),
+        countDistinct(col("comp")).as("n_clusters"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("split")
+  }
+
+  val splitClustersSql: String = {
+    val mp = TextQueries.minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE mp AS ($mp),
+       |near AS (SELECT doc_a, doc_b FROM mp WHERE inter_cnt * 10 >= union_cnt * 7),
+       |e AS (SELECT doc_a a, doc_b b FROM near
+       |      UNION SELECT doc_b a, doc_a b FROM near),
+       |r AS (SELECT a, a b FROM (SELECT DISTINCT a FROM e)
+       |      UNION
+       |      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+       |c AS (SELECT a id, min(b) comp FROM r GROUP BY a),
+       |k AS (SELECT d.doc_id, d.n_chars, c.comp,
+       |             md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)) h
+       |      FROM documents d LEFT JOIN c ON d.doc_id = c.id),
+       |bk AS (SELECT doc_id, n_chars, comp,
+       |         ((strpos('0123456789abcdef', h[1:1]) - 1) * 16
+       |          + (strpos('0123456789abcdef', h[2:2]) - 1)) * 256
+       |         + ((strpos('0123456789abcdef', h[3:3]) - 1) * 16
+       |            + (strpos('0123456789abcdef', h[4:4]) - 1)) bucket
+       |       FROM k),
+       |sp AS (SELECT doc_id, n_chars, comp,
+       |              CASE WHEN bucket < 58982 THEN 'train'
+       |                   WHEN bucket < 62259 THEN 'val'
+       |                   ELSE 'test' END split FROM bk)
+       |SELECT split, count(*)::BIGINT n_docs,
+       |       CAST(sum(CASE WHEN comp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n_clustered_docs,
+       |       CAST(count(DISTINCT comp) AS BIGINT) n_clusters,
+       |       CAST(sum(n_chars) AS BIGINT) sum_chars
+       |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "pipe_split_leakage" -> (splitLeakage _),
+    "pipe_split_clusters" -> (splitClusters _),
     "pipe_chunk_pack" -> (chunkPack _),
     "pipe_quarantine" -> (quarantineRoute _),
     "pipe_profile" -> (profile _),
@@ -622,6 +689,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "pipe_split_leakage" -> splitLeakageSql,
+    "pipe_split_clusters" -> splitClustersSql,
     "pipe_chunk_pack" -> chunkPackSql,
     "pipe_quarantine" -> quarantineRouteSql,
     "pipe_profile" -> profileSql,

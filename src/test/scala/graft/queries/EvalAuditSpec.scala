@@ -80,6 +80,61 @@ class EvalAuditSpec extends SparkSpec {
     joins(PipelineQueries.splitLeakage(spark, dir)) shouldBe joins(base)
   }
 
+  behavior of "pipe_split_clusters"
+
+  /** Plain-Scala union-find over the proven pair frame at the audit
+    * threshold — component canonical = min member id. */
+  private def components(near: Vector[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    near.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    near.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+  }
+
+  it should "equal a plain-Scala union-find + MD5-split rollup" in {
+    val near = pairs.filter { case (_, _, i, u) => i * 10 >= u * 7 }
+      .map(p => (p._1, p._2))
+    val comp = components(near)
+    val docRows = rows(spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars"))
+      .map(r => (r.getLong(0), r.getLong(1))).toVector
+    val expected = docRows
+      .map { case (id, nc) =>
+        val c = comp.get(id)
+        (splitOf(c.getOrElse(id)), c, nc)
+      }
+      .groupBy(_._1).view.map { case (split, g) =>
+        (split, g.size.toLong, g.count(_._2.isDefined).toLong,
+          g.flatMap(_._2).distinct.size.toLong, g.map(_._3).sum)
+      }.toVector.sortBy(_._1)
+    val got = rows(PipelineQueries.splitClusters(spark, dir))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toVector
+    got shouldBe expected
+    got.map(_._2).sum shouldBe docRows.size.toLong // every doc assigned
+  }
+
+  it should "yield ZERO cross-split near-dup pairs (the audit's fix, re-proven)" in {
+    val near = pairs.filter { case (_, _, i, u) => i * 10 >= u * 7 }
+      .map(p => (p._1, p._2))
+    near should not be empty
+    val comp = components(near)
+    val leaky = near.filter { case (a, b) =>
+      splitOf(comp.getOrElse(a, a)) != splitOf(comp.getOrElse(b, b))
+    }
+    leaky shouldBe empty
+    // while the id-keyed assignment (what the audit measures) DOES leak
+    val idLeaky = near.filter { case (a, b) => splitOf(a) != splitOf(b) }
+    idLeaky should not be empty
+  }
+
   behavior of "text_retrieval_eval"
 
   it should "equal a from-scratch plain-Scala BM25 partner-retrieval evaluation" in {
