@@ -50,7 +50,10 @@ object Bench {
   private val MEMOIZED = Set("text_lm_score", "text_ppl_buckets",
     "text_dsir_weights", "vec_ann_ivf", "vec_ann_ivfpq",
     "text_hybrid_search", "text_retrieval_eval", "vec_hard_negatives",
-    "vec_knn_graph", "graph_communities")
+    "vec_knn_graph", "graph_communities",
+    // consumers of the near-dup candidate-pair artifact (round 19)
+    "text_minhash_pairs", "text_dup_clusters", "text_cluster_best",
+    "text_lsh_eval", "pipe_split_leakage", "pipe_split_clusters")
 
   private def memoizedJson(names: Seq[String]): String =
     names.filter(MEMOIZED).sorted

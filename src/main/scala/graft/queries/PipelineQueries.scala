@@ -560,9 +560,7 @@ object PipelineQueries {
     * joins; the hash match proves the no-join form equal). The rollup is
     * one tiny groupBy over pair rows. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val near = graft.ops.NearDup.pairsWithJaccard(
-        tPar(s, dir, "documents"), "doc_id", "text",
-        TextQueries.minhashParams)
+    val near = TextQueries.nearDupPairs(s, dir)
       .filter(col("inter_cnt") * 10L >= col("union_cnt") * 7L)
     val sa = graft.ops.SplitAssign.assign(col("doc_a"),
       graft.ops.SplitAssign.Default905)
@@ -623,8 +621,7 @@ object PipelineQueries {
     * function as [[splitAssign]], applied to the canonical key. */
   def splitClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
-    val near = graft.ops.NearDup.pairsWithJaccard(
-        docs, "doc_id", "text", TextQueries.minhashParams)
+    val near = TextQueries.nearDupPairs(s, dir)
       .filter(col("inter_cnt") * 10L >= col("union_cnt") * 7L)
     val members = graft.ops.DupGroups
       .connectedComponentsAuto(near, "doc_a", "doc_b") // (id, comp)

@@ -366,14 +366,31 @@ object TextQueries {
     graft.ops.NearDup.Params(shingleK = 3, numSigs = NUM_SIGS,
       bands = NUM_SIGS / BAND_ROWS, hashBase = 31L, hashP = P1, sigP = MH_P)
 
+  /** The near-dup CANDIDATE-PAIR frame over the documents table with the
+    * default [[minhashParams]] — THE stored artifact of a dedup stage: a
+    * production pipeline materializes the (doc_a, doc_b, inter, union,
+    * jaccard) table once per corpus snapshot and every downstream consumer
+    * (cluster closure, best-of-cluster, split audit/fix, retrieval-eval
+    * qrels) reads it. Memoized per (session, data fingerprint) like the
+    * gram/LM/kNN/BM25 artifacts and declared in Bench's `memoized` field;
+    * built via [[graft.ops.NearDup.pairsWithJaccard]] (one (band, key)
+    * equi-join, O(dups) candidates, no O(n²) scan). */
+  private[queries] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.util.ArtifactMemo.getOrBuild(s,
+      "neardup_pairs|" + graft.queries.Q.tableKey(dir, "documents")) {
+      val p0 = graft.ops.NearDup.pairsWithJaccard(
+        tPar(s, dir, "documents"), "doc_id", "text", minhashParams)
+      p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p0.count()
+      p0
+    }
+
   /** MinHash signatures + LSH banding → candidate pairs → exact shingle
-    * Jaccard on the candidates — [[graft.ops.NearDup.pairsWithJaccard]] with
-    * the default 9-sig/3-band configuration. One shuffle on (band, key); no
+    * Jaccard on the candidates — the [[nearDupPairs]] artifact with the
+    * default 9-sig/3-band configuration. One shuffle on (band, key); no
     * O(n²) scan; signatures in the explode → groupBy-min shape. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    graft.ops.NearDup.pairsWithJaccard(
-        tPar(s, dir, "documents"), "doc_id", "text", minhashParams)
-      .orderBy("doc_a", "doc_b")
+    nearDupPairs(s, dir).orderBy("doc_a", "doc_b")
 
   val minhashPairsSql: String = {
     val sigExprs = (0 until NUM_SIGS).map { i =>
@@ -687,8 +704,7 @@ object TextQueries {
     * a recursive transitive closure — identical by construction, so the
     * iterative distributed algorithm is hash-checked end to end. */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.ops.NearDup.pairsWithJaccard(
-        tPar(s, dir, "documents"), "doc_id", "text", minhashParams)
+    val pairs = nearDupPairs(s, dir)
       .filter(col("inter_cnt") * 2 >= col("union_cnt"))
     graft.ops.DupGroups.clusters(pairs, "doc_a", "doc_b").orderBy("cluster")
   }
@@ -924,7 +940,7 @@ object TextQueries {
     * the corpus, so the ranking shuffle is on the small side. */
   def clusterBest(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
-    val pairs = graft.ops.NearDup.pairsWithJaccard(docs, "doc_id", "text", minhashParams)
+    val pairs = nearDupPairs(s, dir)
       .filter(col("inter_cnt") * 2 >= col("union_cnt"))
     val members = graft.ops.DupGroups.connectedComponentsAuto(pairs, "doc_a", "doc_b")
     val scores = docs.select(col("doc_id"),
@@ -1181,8 +1197,7 @@ object TextQueries {
     * explicit about which side is the audit. */
   def lshEval(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
-    val cand = graft.ops.NearDup.pairsWithJaccard(
-      docs, "doc_id", "text", minhashParams)
+    val cand = nearDupPairs(s, dir)
     val hs = docs.select(col("doc_id"), col("lang"),
       sort_array(call_function("graft_shingle_hashes", col("text"),
         lit(3), lit(31L), lit(P1))).as("hs"))
@@ -1559,8 +1574,7 @@ object TextQueries {
   def retrievalEval(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = tPar(s, dir, "documents")
-    val mp = graft.ops.NearDup.pairsWithJaccard(
-        docs, "doc_id", "text", minhashParams)
+    val mp = nearDupPairs(s, dir)
       .orderBy("doc_a", "doc_b").limit(QE_QN) // bounded qrel sample
       .select(col("doc_a"), col("doc_b"),
         expr("inter_cnt * 10 div union_cnt").as("j_bucket"))
