@@ -28,9 +28,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * serialization is free in practice.
   */
 object ArtifactMemo {
-  // 2 full tiers' worth (4 artifact kinds per tier: gram counts, LM
-  // scores, kNN edges, BM25 inverted index) before LRU displacement
-  private val MAX_ENTRIES = 8
+  // 2 full tiers' worth (5 artifact kinds per tier: gram counts, LM
+  // scores, kNN edges, BM25 inverted index, near-dup candidate pairs)
+  // before LRU displacement
+  private val MAX_ENTRIES = 10
 
   private val entries =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
