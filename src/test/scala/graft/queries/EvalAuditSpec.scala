@@ -121,6 +121,13 @@ class EvalAuditSpec extends SparkSpec {
     got.map(_._2).sum shouldBe docRows.size.toLong // every doc assigned
   }
 
+  it should "broadcast the component table into the corpus pass (never shuffle the corpus)" in {
+    val plan = PipelineQueries.splitClusters(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   it should "yield ZERO cross-split near-dup pairs (the audit's fix, re-proven)" in {
     val near = pairs.filter { case (_, _, i, u) => i * 10 >= u * 7 }
       .map(p => (p._1, p._2))
