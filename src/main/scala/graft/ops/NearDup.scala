@@ -140,6 +140,27 @@ object NearDup {
     * materializing the per-pair union array — on skewed corpora the
     * candidate set is the big side and this halves the per-pair work. */
   def pairsWithJaccard(docs: DataFrame, idCol: String, textCol: String,
+      p: Params = Params()): DataFrame =
+    // persist the (tiny: one row per candidate pair) result: callers filter
+    // and join on inter_cnt/union_cnt, and without the materialization
+    // barrier Catalyst pushes those filters into the join condition and
+    // re-evaluates the per-pair intersection two or three times
+    graft.util.CacheBin.persist(pairsPlan(docs, idCol, textCol, p))
+
+  /** [[pairsWithJaccard]]'s plan WITHOUT the final CacheBin registration —
+    * for callers that OWN the result's lifecycle. The one such caller is
+    * the [[graft.util.ArtifactMemo]] builder (TextQueries.nearDupPairs),
+    * which must persist a frame CacheBin never registered: the memo's
+    * build contract is a self-contained frame that OUTLIVES the building
+    * query, but `CacheBin.persist` registers into the building query's
+    * active scope, whose release would unpersist the artifact right after
+    * the first consumer finishes (round 20, ADVICE r19 — the `p0.persist`
+    * on an already-registered frame was a no-op, so every later consumer
+    * silently recomputed the full MinHash-LSH pipeline). The shingle-hash
+    * INTERMEDIATE is still scope-registered as before; memo builders wrap
+    * the build + materializing count in an inner `CacheBin.withScope` so
+    * it is released once the artifact's blocks exist. */
+  def pairsPlan(docs: DataFrame, idCol: String, textCol: String,
       p: Params = Params()): DataFrame = {
     val hs = graft.util.CacheBin.persist(shingleHashes(docs, idCol, textCol, p))
     // both sides of the band-bucket self-join read the signatures, but since
@@ -168,11 +189,7 @@ object NearDup {
         (col("nab") - col("inter_cnt")).as("union_cnt"))
       .withColumn("jaccard",
         col("inter_cnt").cast("double") / col("union_cnt").cast("double"))
-    // persist the (tiny: one row per candidate pair) result: callers filter
-    // and join on inter_cnt/union_cnt, and without the materialization
-    // barrier Catalyst pushes those filters into the join condition and
-    // re-evaluates the per-pair intersection two or three times
-    graft.util.CacheBin.persist(pairs)
+    pairs
   }
 
   /** Near-dup removal with the keep-smallest-id policy: docs whose id never

@@ -612,21 +612,44 @@ object PipelineQueries {
     * Output: per-split doc/clustered-doc/cluster/char rollup — the
     * release-manifest row a corpus card reports.
     *
-    * Scale shape: the component table is O(duplicated docs) — orders of
-    * magnitude smaller than the corpus on any real dedup rate — so it
-    * BROADCASTS into one narrow pass over the corpus scan (no corpus
-    * shuffle); components come from the banding-bounded pair frame via
-    * [[graft.ops.DupGroups.connectedComponentsAuto]] (lineage-cut loop,
-    * usually 1 round on LSH near-cliques); the split is the same pure key
-    * function as [[splitAssign]], applied to the canonical key. */
-  def splitClusters(s: SparkSession, dir: String): DataFrame = {
+    * Scale shape: the component table is O(duplicated docs). On a LIGHTLY
+    * duplicated corpus that is orders of magnitude smaller than the corpus
+    * and BROADCASTS into one narrow pass over the corpus scan (no corpus
+    * shuffle) — but at crawl-typical dup rates (30–50% of documents sit in
+    * near-dup clusters) it is corpus-order, hundreds of GB at 100 TB, and
+    * a forced broadcast dies at Spark's 8 GB cap. The join is therefore
+    * SIZE-GATED (round 20, VERDICT r19 #1): the component frame is already
+    * materialized (lineage-cut loop inside connectedComponentsAuto), so
+    * one cheap cached count decides — ≤ [[clusterBroadcastMaxRows]] rows
+    * broadcasts, above it the hint is omitted and the left join shuffles
+    * both sides on `doc_id` (sort-merge/AQE — the right plan when the dup
+    * table is corpus-order anyway). Both paths are bit-identical
+    * (EvalAuditSpec proves it); components come from the banding-bounded
+    * pair frame via [[graft.ops.DupGroups.connectedComponentsAuto]]; the
+    * split is the same pure key function as [[splitAssign]], applied to
+    * the canonical key. */
+  def splitClusters(s: SparkSession, dir: String): DataFrame =
+    splitClustersGated(s, dir, clusterBroadcastMaxRows)
+
+  /** Broadcast gate for [[splitClusters]]'s component table: (id, comp) is
+    * two longs ≈ 16 B/row plus row overhead, so 50 M rows is ~1–2 GB
+    * broadcast-encoded — comfortably inside the 8 GB hard cap and typical
+    * executor headroom, while anything bigger is better shuffled. */
+  private[queries] val clusterBroadcastMaxRows = 50000000L
+
+  private[queries] def splitClustersGated(s: SparkSession, dir: String,
+      broadcastMaxRows: Long): DataFrame = {
     val docs = tPar(s, dir, "documents")
     val near = TextQueries.nearDupPairs(s, dir)
       .filter(col("inter_cnt") * 10L >= col("union_cnt") * 7L)
     val members = graft.ops.DupGroups
       .connectedComponentsAuto(near, "doc_a", "doc_b") // (id, comp)
+    // the components frame is checkpoint-materialized: this count reads
+    // cached blocks, never recomputes the fixpoint loop
+    val m = if (members.count() <= broadcastMaxRows) broadcast(members)
+            else members
     docs.select(col("doc_id"), col("n_chars"))
-      .join(broadcast(members), col("doc_id") === col("id"), "left")
+      .join(m, col("doc_id") === col("id"), "left")
       .withColumn("split", graft.ops.SplitAssign.assign(
         coalesce(col("comp"), col("doc_id")),
         graft.ops.SplitAssign.Default905))

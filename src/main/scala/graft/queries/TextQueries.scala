@@ -378,10 +378,21 @@ object TextQueries {
   private[queries] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     graft.util.ArtifactMemo.getOrBuild(s,
       "neardup_pairs|" + graft.queries.Q.tableKey(dir, "documents")) {
-      val p0 = graft.ops.NearDup.pairsWithJaccard(
-        tPar(s, dir, "documents"), "doc_id", "text", minhashParams)
-      p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p0.count()
+      // build via pairsPlan (NOT pairsWithJaccard): the memo must own the
+      // artifact's persist, so the frame is one CacheBin never registered —
+      // pairsWithJaccard's final CacheBin.persist would register it into
+      // the BUILDING query's scope, whose release (Bench/Verify wrap every
+      // query in withScope) unpersisted the artifact after its first
+      // consumer, silently demoting every later hit to a full recompute
+      // (round 20, ADVICE r19). The shingle-hash intermediate goes into an
+      // inner scope released only after count() materializes the blocks.
+      var p0: DataFrame = null
+      graft.util.CacheBin.withScope {
+        p0 = graft.ops.NearDup.pairsPlan(
+          tPar(s, dir, "documents"), "doc_id", "text", minhashParams)
+        p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p0.count()
+      }
       p0
     }
 

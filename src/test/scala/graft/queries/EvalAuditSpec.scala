@@ -74,10 +74,33 @@ class EvalAuditSpec extends SparkSpec {
       df.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }.size
-    val base = graft.ops.NearDup.pairsWithJaccard(
-      Q.tPar(spark, dir, "documents"), "doc_id", "text",
-      TextQueries.minhashParams)
-    joins(PipelineQueries.splitLeakage(spark, dir)) shouldBe joins(base)
+    // scoped: pairsWithJaccard registers its persisted frames into the
+    // active CacheBin scope — without one they'd land in the session-global
+    // bin and pin block-manager storage for the rest of the test JVM
+    // (round 20, ADVICE r19)
+    graft.util.CacheBin.withScope {
+      val base = graft.ops.NearDup.pairsWithJaccard(
+        Q.tPar(spark, dir, "documents"), "doc_id", "text",
+        TextQueries.minhashParams)
+      joins(PipelineQueries.splitLeakage(spark, dir)) shouldBe joins(base)
+    }
+  }
+
+  it should "leave the memoized pair artifact PERSISTED after a scoped consumer releases" in {
+    // regression for the round-19 lifecycle bug (ADVICE r19): the builder
+    // used to return a frame registered in the building query's CacheBin
+    // scope, so the first consumer's release unpersisted the artifact and
+    // every later memo hit recomputed the full MinHash-LSH pipeline. The
+    // memo contract is a SELF-CONTAINED persisted frame: after a scoped
+    // consumer runs (Bench/Verify wrap every query in withScope), the hit
+    // must still carry its storage level.
+    graft.util.ArtifactMemo.invalidate(spark)
+    graft.util.CacheBin.withScope {
+      PipelineQueries.splitLeakage(spark, dir).count()
+    }
+    val art = TextQueries.nearDupPairs(spark, dir)
+    art.storageLevel should not be org.apache.spark.storage.StorageLevel.NONE
+    graft.util.ArtifactMemo.invalidate(spark)
   }
 
   behavior of "pipe_split_clusters"
@@ -126,6 +149,33 @@ class EvalAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
     plan should not include "CartesianProduct"
+  }
+
+  it should "fall back to a shuffled join above the broadcast gate, bit-identically" in {
+    // the size gate (round 20, VERDICT r19 #1): at crawl-typical dup rates
+    // the component table is corpus-order and a forced broadcast dies at
+    // the 8 GB cap — a zero-row gate forces the sort-merge path here, which
+    // must produce the exact same rollup AND a plan with no broadcast of
+    // the members frame (the one remaining broadcast is allowed to be the
+    // ≤125-row grid/totals side, so assert on the join ABOVE the corpus)
+    // auto-broadcast off for the plan assert: the gate only withholds the
+    // FORCED hint — the planner is still free to broadcast from stats when
+    // the frame is genuinely tiny (as it is at sf0.001), which is the
+    // point; at corpus-order stats it plans the shuffle this test pins
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val (plan, gotGated) = try {
+      spark.conf.set(key, "-1")
+      val gated = PipelineQueries.splitClustersGated(spark, dir, 0L)
+      (gated.queryExecution.executedPlan.toString,
+        rows(gated).map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toVector)
+    } finally spark.conf.set(key, saved)
+    plan should include("SortMergeJoin")
+    gotGated shouldBe
+      rows(PipelineQueries.splitClusters(spark, dir))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toVector
   }
 
   it should "yield ZERO cross-split near-dup pairs (the audit's fix, re-proven)" in {
