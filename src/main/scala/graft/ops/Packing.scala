@@ -69,7 +69,17 @@ object Packing {
     * obligation a future call site could silently drop (round 19,
     * ADVICE r18). */
   def globalRank(df: DataFrame, orderCols: Seq[String], uniqueCol: String,
-      rankCol: String): DataFrame = {
+      rankCol: String): DataFrame =
+    globalRankWithTotal(df, orderCols, uniqueCol, rankCol, None)
+
+  /** [[globalRank]], optionally appending the TOTAL row count as a literal
+    * column `totalCol` — free for the caller: the per-partition counts are
+    * already on the driver (pass 2 of the two-pass discipline), so their
+    * sum replaces what would otherwise be a separate count aggregate plus
+    * a broadcast exchange in the consuming plan (round 20: ev_rfm's
+    * ntile(5) needs n beside every rank). */
+  def globalRankWithTotal(df: DataFrame, orderCols: Seq[String],
+      uniqueCol: String, rankCol: String, totalCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
     val cols = (orderCols :+ uniqueCol).map(col)
     // both passes must see the same partition layout — persist the
@@ -87,6 +97,7 @@ object Packing {
       var p = offsets(pid)
       it.map { r => p += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ p) }
     }
-    spark.createDataFrame(rdd, schema)
+    val ranked = spark.createDataFrame(rdd, schema)
+    totalCol.fold(ranked)(n => ranked.withColumn(n, lit(counts.sum)))
   }
 }
