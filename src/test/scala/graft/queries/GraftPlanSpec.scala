@@ -49,6 +49,25 @@ class GraftPlanSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(plan).length should be >= 2
   }
 
+  behavior of "vocabulary-sized broadcast gates (round 20)"
+
+  it should "shuffle the df table above the vocab gate, bit-identically to the broadcast path" in {
+    // Heaps' law makes the per-term df table corpus-growing; above the
+    // gate tfidf must fall back to a term-shuffled join with unchanged
+    // output (the splitClusters gate discipline)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val (plan, gated) = try {
+      spark.conf.set(key, "-1")
+      val df = CorpusQueries.tfidfGated(spark, dir, 0L)
+      (planOf(df), graft.util.CacheBin.withScope { df.collect().toSeq })
+    } finally spark.conf.set(key, saved)
+    plan should include("SortMergeJoin")
+    gated shouldBe graft.util.CacheBin.withScope {
+      CorpusQueries.tfidf(spark, dir).collect().toSeq
+    }
+  }
+
   behavior of "near-dup / ANN scale paths"
 
   it should "generate MinHash candidates via an equi-join, not a cross join" in {
@@ -403,15 +422,18 @@ class GraftPlanSpec extends SparkSpec {
     "hashpartitioning\\(user_id".r.findAllIn(plan).length should be >= 1
   }
 
-  it should "score RFM quintiles with no window operator at all (r18)" in {
-    // the quintile positions come from Packing.globalRank (range shuffle +
-    // broadcast offsets + narrow local index) and the score from a
-    // closed-form (position, n) expression — the executed plan must carry
-    // ZERO Window nodes (the old form's three empty-partition ntile windows
-    // were the repo's last single-partition sort)
+  it should "score RFM quintiles with no window operator and no join at all (r18/r20)" in {
+    // the quintile positions come from ONE unpivoted Packing.globalRank
+    // pass (range shuffle + broadcast offsets + narrow local index) and
+    // the score from a closed-form (position, n) expression with n a
+    // driver-side literal out of the rank pass — the executed plan must
+    // carry ZERO Window nodes (the old form's three empty-partition ntile
+    // windows were the repo's last single-partition sort) and, since
+    // round 20, no 1-row crossJoin either (the total folds into the plan
+    // as a literal)
     val plan = planOf(EventAnalytics.rfm(spark, dir))
     plan should not include "Window"
-    plan should include("BroadcastNestedLoopJoin") // the deliberate 1-row total
+    plan should not include "Join" // n is a literal; nothing left to join
   }
 
   it should "route the hybrid dense ranker through the IVF cell equi-join (r18)" in {
