@@ -51,7 +51,11 @@ object Bench {
     "text_dsir_weights", "vec_ann_ivf", "vec_ann_ivfpq",
     "text_hybrid_search", "text_retrieval_eval", "vec_hard_negatives",
     "vec_knn_graph", "graph_communities",
-    // consumers of the near-dup candidate-pair artifact (round 19)
+    // consumers of the near-dup candidate-pair artifact (round 19; round
+    // 20 fixed the artifact's lifecycle — the builder's frame used to be
+    // scope-registered and died with its first consumer's CacheBin
+    // release, so these declarations only became TRUE of the timed runs
+    // once the memo owned the persist, ADVICE r19)
     "text_minhash_pairs", "text_dup_clusters", "text_cluster_best",
     "text_lsh_eval", "pipe_split_leakage", "pipe_split_clusters")
 
