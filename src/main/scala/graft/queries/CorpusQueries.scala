@@ -38,6 +38,13 @@ object CorpusQueries {
     * table is no longer broadcastable). */
   private[queries] val vocabBroadcastMaxRows = 10000000L
 
+  /** Below this many documents the vocabulary cannot approach the row
+    * gate (a corpus this small tops out at a few million distinct terms),
+    * so the gate short-circuits on the metadata-cheap doc count and skips
+    * the exact vocabulary-count job entirely — the gate then costs ~0.1 s
+    * at bench scale instead of a full vocab aggregation pass. */
+  private val vocabGateMaxDocs = 100000L
+
   private[queries] def tfidfGated(s: SparkSession, dir: String,
       broadcastMaxRows: Long): DataFrame = {
     val docs = tPar(s, dir, "documents")
@@ -51,15 +58,28 @@ object CorpusQueries {
     // feeds both the df aggregation and the scoring join
     val tf = graft.util.CacheBin.persist(
       words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    // metadata-cheap doc count, reused twice: as the gate's first level
+    // and as the idf's N literal (replacing a 1-row crossJoin exchange)
+    val nd0 = t(s, dir, "documents").count()
     // df table = one row per DISTINCT term — vocabulary-sized: broadcast
-    // it (scoring never re-shuffles tf) only under the size gate; the
-    // count reads the just-persisted tf cache, one map-side-combined job
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dfr = if (dfreq.count() <= broadcastMaxRows) broadcast(dfreq) else dfreq
-    val nd = docs.agg(count(lit(1)).as("nd"))
+    // it (scoring never re-shuffles tf) only under the TWO-LEVEL gate:
+    // tiny corpora (docs ≤ vocabGateMaxDocs) broadcast without counting
+    // the vocabulary at all; past that, the df frame is persisted and
+    // counted exactly (the count materializes the same aggregation the
+    // scoring join reads — unpersisted, the gate paid the vocab
+    // aggregation twice: measured 1.6 → 2.8 s at sf0.1 on the first
+    // cut). broadcastMaxRows = 0 disables BOTH levels (the fallback-path
+    // spec's hook).
+    val dfreqPlan = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfr =
+      if (broadcastMaxRows > 0L && nd0 <= vocabGateMaxDocs) broadcast(dfreqPlan)
+      else {
+        val dfreq = graft.util.CacheBin.persist(dfreqPlan)
+        if (dfreq.count() <= broadcastMaxRows) broadcast(dfreq) else dfreq
+      }
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(dfr, "term").crossJoin(broadcast(nd))
-      .withColumn("score", col("tf") * expr("(nd * 1000000) div df"))
+    tf.join(dfr, "term")
+      .withColumn("score", col("tf") * expr(s"(${nd0}L * 1000000) div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))

@@ -1415,13 +1415,17 @@ object TextQueries {
     // the renumbered seedcheck tier is exactly this) → an EMPTY result,
     // mirroring the oracle's empty probes CTE; throwing here would diverge
     // the engines on a legal input (caught by tools/seedcheck.sh, r18)
-    // per-probe lexical query = its top-HS_TERMS terms by (tf desc, term)
-    val qt = tf.filter(col("doc_id").isin(probeIds: _*))
-      .withColumn("q_id", col("doc_id"))
-      .withColumn("tr", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("tf").desc, col("term"))))
-      .filter(col("tr") <= HS_TERMS)
-      .select(col("q_id"), col("term").as("qterm"))
+    // per-probe lexical query = its top-HS_TERMS terms by (tf desc, term);
+    // persisted: the tiny frame backs TWO broadcasts below (the postings
+    // join and the query-term df restriction), and each unpersisted
+    // evaluation would pay the probe filter + window over the full index
+    val qt = graft.util.CacheBin.persist(
+      tf.filter(col("doc_id").isin(probeIds: _*))
+        .withColumn("q_id", col("doc_id"))
+        .withColumn("tr", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("tf").desc, col("term"))))
+        .filter(col("tr") <= HS_TERMS)
+        .select(col("q_id"), col("term").as("qterm")))
     // per-QUERY-TERM df only (the retrievalEval pattern): the full df
     // table is vocabulary-sized — unbroadcastable at crawl scale (Heaps'
     // law; round 20, VERDICT r19 #1 sweep) — so restrict the postings by
