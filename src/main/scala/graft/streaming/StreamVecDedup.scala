@@ -166,6 +166,57 @@ object StreamVecDedup {
     out
   }
 
+  /** Compact every state dir with batch id < `upToBatch` into ONE
+    * bucket-partitioned snapshot dir carrying the span's highest batch id
+    * — the maintenance pass that bounds the per-micro-batch driver
+    * metadata cost (one listStatus per retained batch dir) for long
+    * streams, closing the growth caveat documented on the path-pruned
+    * read (round 20). Semantics-preserving by construction: the snapshot
+    * holds exactly the union of the compacted dirs' rows under the same
+    * bucket partitioning, and dedup decisions depend only on the row SET
+    * (min(sid) per qualifying match), not on which batch dir a row lives
+    * in — StreamVecDedupSpec proves batch outputs identical against an
+    * uncompacted copy. Retention note: `retainBatches` eviction sees the
+    * snapshot as one dir under the span's max id, so compaction coarsens
+    * retention granularity over the compacted span (evict first, then
+    * compact, if fine-grained retention matters).
+    *
+    * Single-writer contract (same as processBatch): the snapshot is fully
+    * written to a temp dir BEFORE any source dir is deleted; a crash
+    * between the deletes and the final rename leaves `_compact_tmp`
+    * beside a missing target — recovery is renaming it to
+    * `batch=<returned id>` (a production deployment runs compact inside
+    * its checkpoint-commit hook). Returns the snapshot's batch id, or -1
+    * if fewer than two dirs were compactable (no-op). */
+  def compact(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      upToBatch: Long): Long = {
+    val stateRoot = new org.apache.hadoop.fs.Path(statePath)
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stateRoot)) return -1L
+    val old = fs.listStatus(stateRoot).toIndexedSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch="))
+          n.stripPrefix("batch=").toLongOption
+            .filter(_ < upToBatch).map(_ -> st.getPath)
+        else None
+      }.sortBy(_._1)
+    if (old.size < 2) return -1L
+    val snapId = old.last._1
+    val tmp = new org.apache.hadoop.fs.Path(stateRoot, "_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.option("basePath", statePath)
+      .parquet(old.map(_._2.toString): _*)
+      .select("bucket", "vec_id", "v", "n2")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    old.foreach { case (_, p) => fs.delete(p, true) }
+    val target = new org.apache.hadoop.fs.Path(stateRoot, s"batch=$snapId")
+    require(fs.rename(tmp, target),
+      s"compact: rename ${tmp} -> ${target} failed; recover manually")
+    snapId
+  }
+
   /** The front door as a ready writeStream: each micro-batch's
     * classifications are handed to `emit`. */
   def frontDoor(stream: DataFrame, idCol: String, vecCol: String,

@@ -111,6 +111,48 @@ class StreamVecDedupSpec extends SparkSpec {
     spark.read.parquet(statePath).count() shouldBe (b0.size + b1.size).toLong
   }
 
+  it should "classify identically against compacted and uncompacted state" in {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = corpus().take(90)
+    val off = base.map(_._1).max + 1
+    // probe batch: copies of vectors from EVERY compacted span batch plus
+    // fresh rows — exercises both dedup tiers over the snapshot
+    val planted = base.grouped(30).flatMap(_.take(3)).toSeq
+      .map { case (id, v) => (id + off, v) }
+    val fresh = corpus().slice(90, 110).map { case (id, v) => (id + 2 * off, v) }
+    val probe = (planted ++ fresh).sortBy(_._1)
+    val (pA, pB) = (graft.SparkSpec.tempDir("svd_cmpA"),
+      graft.SparkSpec.tempDir("svd_cmpB"))
+    def feed(statePath: String): Unit =
+      base.grouped(30).zipWithIndex.foreach { case (rows, i) =>
+        StreamVecDedup.processBatch(rows.toSeq.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", DIM, COS_T, statePath, batchId = i.toLong)
+          .count()
+      }
+    feed(pA); feed(pB)
+    val snapId = StreamVecDedup.compact(spark, pB, upToBatch = 3L)
+    snapId shouldBe 2L
+    // one snapshot dir left, same row SET under the same bucket keys
+    val fs = new org.apache.hadoop.fs.Path(pB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(pB))
+      .count(_.getPath.getName.startsWith("batch=")) shouldBe 1
+    def stateSet(p: String) = spark.read.parquet(p)
+      .selectExpr("vec_id", "cast(bucket as long) as bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    stateSet(pB) shouldBe stateSet(pA)
+    def classify(p: String) = StreamVecDedup.processBatch(
+        probe.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        DIM, COS_T, p, batchId = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val (a, b) = (classify(pA), classify(pB))
+    b shouldBe a
+    a.count(_._2 == "dup") shouldBe planted.size // every plant found
+  }
+
   it should "let a duplicate back in once its source ages out of retention" in {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val base = corpus()
