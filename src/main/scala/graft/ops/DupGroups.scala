@@ -212,18 +212,79 @@ object DupGroups {
       .distinct()
   }
 
-  /** Diameter-bound propagation with automatic fallback: runs
-    * [[connectedComponents]] (optimal for the dense near-clique graphs
-    * dedup thresholds produce — 2-4 rounds) and, if a legitimate long-chain
-    * component exhausts the round cap, retries with the O(log n)
-    * [[connectedComponentsLogN]] instead of failing. Both compute the same
-    * fixpoint, so the output is identical either way. */
+  /** Diameter-bound propagation with automatic fallback and a gated LOCAL
+    * path: pair graphs at or under `localEdgeMax` edges collect to the
+    * driver and run a union-find (the [[LabelProp]]/[[PageRank]] two-path
+    * discipline — distributed fixpoint rounds over a few thousand pairs
+    * pay per-round scheduler latency plus a localCheckpoint job each to
+    * move microseconds of pointer-chasing; measured 2.3 s → ~1 s on
+    * pipe_split_clusters at sf0.1). 2^20 edges is 16 MB collected — the
+    * same gate constant LabelProp carries, conservative by ~2× against
+    * its measured crossover (SCALE.md §4). Pass `localEdgeMax = 0` to
+    * force the distributed rounds.
+    *
+    * Above the gate: runs [[connectedComponents]] (optimal for the dense
+    * near-clique graphs dedup thresholds produce — 2-4 rounds) and, if a
+    * legitimate long-chain component exhausts the round cap, retries with
+    * the O(log n) [[connectedComponentsLogN]] instead of failing. All
+    * three paths compute the same fixpoint (id → min reachable id over
+    * non-self-loop edges — DupGroupsSpec pins local == distributed), so
+    * the output is identical whichever runs. */
   def connectedComponentsAuto(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25, reliable: Boolean = false): DataFrame =
-    try connectedComponents(edges, aCol, bCol, maxIter, reliable)
-    catch { case _: ConvergenceCapException =>
-      connectedComponentsLogN(edges, aCol, bCol, reliable = reliable)
+      maxIter: Int = 25, reliable: Boolean = false,
+      localEdgeMax: Long = 1L << 20): DataFrame = {
+    require(localEdgeMax < Int.MaxValue,
+      s"localEdgeMax=$localEdgeMax must stay below Int.MaxValue (limit cap)")
+    val fwd = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // GATE AND FETCH IN ONE JOB: limit(max+1).collect() is an incremental
+    // executeTake — if it returns ≤ max rows it returned the WHOLE edge
+    // set (which subset arrives when there are more is irrelevant: the
+    // overflow row alone routes to the distributed path). No count pass,
+    // no persist, no extra scheduler round-trips on the small path.
+    val took =
+      if (localEdgeMax > 0) fwd.limit(localEdgeMax.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localEdgeMax > 0 && took.length <= localEdgeMax) localComponents(edges.sparkSession, took)
+    else
+      try connectedComponents(fwd, "src", "dst", maxIter, reliable)
+      catch { case _: ConvergenceCapException =>
+        connectedComponentsLogN(fwd, "src", "dst", reliable = reliable)
+      }
+  }
+
+  /** Driver-side union-find over collected (src, dst) edge rows —
+    * union-by-min-root, so every root IS its component's minimum id (the
+    * exact fixpoint the distributed paths compute, order-independent).
+    * Output rows sorted by id, one partition: bit-deterministic. */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
+    edgeRows.foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keysIterator.toArray.sorted
+      .map(id => org.apache.spark.sql.Row(id, find(id)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 
   /** Cluster summary of a near-dup pair list: one row per duplicate cluster
     * with its representative (min doc id), member count and the full sorted

@@ -56,9 +56,13 @@ object SimilarityJoin {
       den: Int): DataFrame = {
     require(num > 0 && num <= den, s"threshold $num/$den not in (0,1]")
 
-    val toks = sets
+    // toks feeds both the df aggregate and the canonical-order groupBy —
+    // persisted so the caller's token derivation (typically a full-corpus
+    // shingle-hash pass, sometimes plus a dedup groupBy) runs once, not
+    // once per consumer.
+    val toks = graft.util.CacheBin.persist(sets
       .select(col(idCol).as("id"), array_distinct(col(setCol)).as("toks"))
-      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+      .filter(col("toks").isNotNull && size(col("toks")) > 0))
 
     // Global token document frequency — vocabulary-bounded; drives the
     // canonical rare-first ordering that makes the prefix filter selective.
@@ -182,9 +186,10 @@ object SimilarityJoin {
       den: Int): DataFrame = {
     require(num > 0 && num <= den, s"threshold $num/$den not in (0,1]")
 
-    val toks = sets
+    // persisted for the same two-consumer reason as [[jaccardSelfJoin]]
+    val toks = graft.util.CacheBin.persist(sets
       .select(col(idCol).as("id"), array_distinct(col(setCol)).as("toks"))
-      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+      .filter(col("toks").isNotNull && size(col("toks")) > 0))
     val dfreq = toks
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok")

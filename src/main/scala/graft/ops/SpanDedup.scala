@@ -41,6 +41,11 @@ object SpanDedup {
     // NULL text stays NULL (n_tokens 0, kept_text NULL) instead of leaking
     // through concat_ws as the empty-string document and deduping against
     // genuinely empty docs — the normFused discipline.
+    // w backs both the window-instance explode and the final
+    // reconstruction join. Measured (r21): persisting it LOSES — the
+    // columnar cache build + cached scan of the token-array frame costs
+    // more than re-running the narrow codegen tokenize (isolated pair
+    // 0.83 s → 1.47 s at sf0.1) — so the second derivation is kept.
     val w = docs.select(col(idCol).as("__id"),
       call_function("graft_words", col(textCol)).as("__words"))
     // window instances with 0-based start positions; docs shorter than k
@@ -99,6 +104,9 @@ object SpanDedup {
   def rewriteBytes(docs: DataFrame, idCol: String, textCol: String, L: Int,
       base: Long = 31L, p: Long = 1000000007L): DataFrame = {
     require(L >= 2, s"byte spans of L=$L: need L >= 2")
+    // two consumers, deliberately NOT persisted — same measured tradeoff
+    // as [[rewrite]]'s w (cache build of the normalized-text frame costs
+    // more than the narrow normFused recompute)
     val w = docs.select(col(idCol).as("__id"),
       NearDup.normFused(col(textCol)).as("__norm"))
     val win = graft.util.CacheBin.persist(w

@@ -436,9 +436,13 @@ object CoreQueries {
         col("rev_c4"))
     val g = rev.groupBy("region", "yr", "supp_nation")
       .agg(sum("rev_c4").as("nat_c4"))
-    val tot = g.groupBy(col("region").as("tr"), col("yr").as("ty"))
-      .agg(sum("nat_c4").as("tot_c4"))
-    g.join(tot, col("region") === col("tr") && col("yr") === col("ty"))
+    // regional total as a window sum over the already-aggregated g (tiny:
+    // regions × years × nations) — the groupBy-then-join-back form
+    // re-evaluated the whole 6-way rev join for BOTH branches (14 scans in
+    // the r20 plan); the window reads g once and costs one exchange of the
+    // aggregate rows. Same exact integer sum, same share division.
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("region", "yr")
+    g.withColumn("tot_c4", sum("nat_c4").over(wTot))
       .select(col("region"), col("yr"), col("supp_nation"), col("nat_c4"),
         (col("nat_c4").cast("double") / col("tot_c4").cast("double"))
           .as("mkt_share"))

@@ -117,19 +117,25 @@ object GraphQueries {
     * joins are broadcastable here and shuffle equi-joins at scale — never
     * a cartesian. */
   def triangles(s: SparkSession, dir: String): DataFrame = {
-    val und = tradeEdges(s, dir)
+    // und backs both the totals aggregate and the sparsification filter,
+    // and strong backs all three triangle-join arms — unpersisted, the
+    // whole 6-way lineitem trade-edge pipeline re-ran for every consumer
+    // (4 full evaluations, 36 scans in the r20 plan). Both frames are
+    // nation-pair-bounded (≤ |nations|² rows), so persisting is free.
+    val und = graft.util.CacheBin.persist(tradeEdges(s, dir)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w")))
     // scalar totals attach as the repo's standard 1-row broadcast
     // crossJoin (plans as a BroadcastNestedLoopJoin with a single-row
     // build side — constant work per probe row, not a pair blowup)
     val tot = und.agg(sum("w").cast("long").as("sw"),
       count(lit(1)).as("ne"))
-    val strong = und.crossJoin(broadcast(tot))
-      .filter(col("w") * col("ne") > col("sw"))
-      .select("u", "v")
+    val strong = graft.util.CacheBin.persist(
+      und.crossJoin(broadcast(tot))
+        .filter(col("w") * col("ne") > col("sw"))
+        .select("u", "v"))
     val e1 = strong.select(col("u").as("a"), col("v").as("b"))
     val e2 = strong.select(col("u").as("b2"), col("v").as("c2"))
     val e3 = strong.select(col("u").as("a3"), col("v").as("c3"))

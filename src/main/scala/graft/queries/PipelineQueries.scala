@@ -239,6 +239,10 @@ object PipelineQueries {
     * state: 10 rows. */
   def skewAudit(s: SparkSession, dir: String): DataFrame = {
     val P = 32
+    // counts backs both the totals aggregate and the top-10; measured
+    // (r21), persisting it LOSES (isolated pair 0.13 s → 0.37 s at
+    // sf0.1 — the cache materialization stage dwarfs the map-side-combined
+    // re-aggregate) — left as-is
     val counts = events(s, dir)
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum("cnt").as("total"),

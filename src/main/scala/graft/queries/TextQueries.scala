@@ -1139,6 +1139,10 @@ object TextQueries {
     * whose per-group payload is bounded by document length — no pair
     * explosion anywhere, same discipline as the exact-dedup family. */
   def passageScrub(s: SparkSession, dir: String): DataFrame = {
+    // ch feeds both the first-occurrence election and the verdict
+    // join-back. Measured (r21): persisting the span frame LOSES (cache
+    // build of full-text spans > the narrow chunk+md5 recompute; isolated
+    // pair 0.70 s → 1.25 s at sf0.1) — double derivation kept.
     val ch = graft.ops.Chunking.spans(
         tPar(s, dir, "documents").select("doc_id", "text"), 32, 32)
       .withColumn("chunk_md5", md5(col("span")))
@@ -1209,19 +1213,26 @@ object TextQueries {
   def lshEval(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
     val cand = nearDupPairs(s, dir)
-    val hs = docs.select(col("doc_id"), col("lang"),
-      sort_array(call_function("graft_shingle_hashes", col("text"),
-        lit(3), lit(31L), lit(P1))).as("hs"))
+    // hs backs both sides of the truth self-join and truth backs two
+    // consumers (the n_truth aggregate and the candidate intersection) —
+    // unpersisted, the shingle hashing ran 4× and the within-language
+    // O(n²) audit scan TWICE per execution. Persist both: hs is one row
+    // per doc, truth is the (tiny) true-pair set.
+    val hs = graft.util.CacheBin.persist(
+      docs.select(col("doc_id"), col("lang"),
+        sort_array(call_function("graft_shingle_hashes", col("text"),
+          lit(3), lit(31L), lit(P1))).as("hs")))
     val a = hs.select(col("lang"), col("doc_id").as("ta"),
       col("hs").as("ha"), size(col("hs")).cast("long").as("na"))
     val b = hs.select(col("lang").as("lb"), col("doc_id").as("tb"),
       col("hs").as("hb"), size(col("hs")).cast("long").as("nb"))
-    val truth = a.join(b, col("lang") === col("lb") && col("ta") < col("tb"))
-      .select(col("ta"), col("tb"),
-        call_function("graft_intersect_size", col("ha"), col("hb"))
-          .as("ic"), (col("na") + col("nb")).as("nab"))
-      .filter(col("ic") * 2 >= col("nab") - col("ic"))
-      .select("ta", "tb")
+    val truth = graft.util.CacheBin.persist(
+      a.join(b, col("lang") === col("lb") && col("ta") < col("tb"))
+        .select(col("ta"), col("tb"),
+          call_function("graft_intersect_size", col("ha"), col("hb"))
+            .as("ic"), (col("na") + col("nb")).as("nab"))
+        .filter(col("ic") * 2 >= col("nab") - col("ic"))
+        .select("ta", "tb"))
     val m = cand.agg(count(lit(1)).as("n_cand"),
       sum(when(col("inter_cnt") * 2 >= col("union_cnt"), 1L).otherwise(0L))
         .as("tp"))
@@ -1284,6 +1295,11 @@ object TextQueries {
     // regex + HOF + per-gram-hash chain measured 24-31 s at sf0.1; this
     // form ~1 s). Hash collisions are deterministic and mirrored
     // bit-for-bit by the oracle's polyHash over the same shingles.
+    // grams feeds both the global-first aggregate and the join-back probe
+    // side. Measured (r21): persisting the exploded gram frame LOSES —
+    // the columnar cache build costs more than re-running the narrow
+    // fused shingle-hash pass (isolated pair 0.55 s → 1.23 s at sf0.1) —
+    // so the double derivation is kept deliberately.
     val grams = tPar(s, dir, "documents")
       .select(col("doc_id"), explode(call_function("graft_shingle_hashes",
         col("text"), lit(3), lit(31L), lit(P1))).as("gh"))
@@ -1732,11 +1748,18 @@ object TextQueries {
     * (the same guard-rail family as the LSH band joins; no all-pairs
     * scan). */
   def winnow(s: SparkSession, dir: String): DataFrame = {
-    val fp = graft.ops.Winnow.fingerprints(
-      tPar(s, dir, "documents"), "doc_id", "text", WIN_K, WIN_W, 31L, P1)
+    // fp feeds BOTH the df aggregate and the df join-back, and kept feeds
+    // three consumers (perDoc + both pair-join sides) — unpersisted, the
+    // whole normalize + rolling-hash fingerprint pipeline re-ran for every
+    // consumer (8 parquet scans of documents in the r20 plan; one full
+    // corpus re-hash per scan at 100 TB). Persist each once: fingerprints
+    // are ~2/(W+1) of positions, far smaller than the text they index.
+    val fp = graft.util.CacheBin.persist(graft.ops.Winnow.fingerprints(
+      tPar(s, dir, "documents"), "doc_id", "text", WIN_K, WIN_W, 31L, P1))
     val df = fp.groupBy("h").agg(count(lit(1)).as("dfc"))
-    val kept = fp.join(df, "h").filter(col("dfc") <= WIN_DF)
-      .select("doc_id", "h")
+    val kept = graft.util.CacheBin.persist(
+      fp.join(df, "h").filter(col("dfc") <= WIN_DF)
+        .select("doc_id", "h"))
     val perDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     val b = kept.select(col("doc_id").as("doc_b"), col("h"))
     kept.select(col("doc_id").as("doc_a"), col("h"))
