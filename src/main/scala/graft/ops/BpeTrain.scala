@@ -91,8 +91,77 @@ object BpeTrain {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
-  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  /** Learn `k` merges with a gated LOCAL loop (round 21 — the
+    * LabelProp/DupGroups two-path discipline): the corpus-sized work is
+    * the ONE wordFreqs groupBy either way; when the resulting vocabulary
+    * is codebook-small (≤ `localVocabMax` rows, fetched by the same
+    * one-job `limit(max+1).collect()` gate as DupGroups), the k merge
+    * rounds run on the driver over the collected (freq, syms) table —
+    * the distributed delta-counted loop paid ~3 scheduler round-trips
+    * per round (top-1 collect + two eager checkpoints) to move
+    * microseconds of counting. Above the gate the delta-counted
+    * distributed loop runs unchanged (a web-scale vocab is millions of
+    * rows). Same greedy algorithm, same (cnt desc, lhs, rhs) tie-break,
+    * same left-to-right non-overlapping fold — symbols are [a-z0-9]
+    * ASCII so driver string order == Spark UTF8 binary order —
+    * BpeTrainSpec pins local == distributed rank-for-rank. */
+  def merges(docs: DataFrame, textCol: String, k: Int,
+      localVocabMax: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"BpeTrain.merges: k=$k — need at least one merge")
+    require(localVocabMax < Int.MaxValue,
+      s"localVocabMax=$localVocabMax must stay below Int.MaxValue (limit cap)")
+    val spark = docs.sparkSession
+    if (localVocabMax > 0) {
+      val took = wordFreqs(docs, textCol)
+        .limit(localVocabMax.toInt + 1).collect()
+      if (took.length <= localVocabMax) {
+        val vocab = took.map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+        return localMerges(spark, vocab, k)
+      }
+    }
+    mergesDistributed(docs, textCol, k)
+  }
+
+  /** Driver-side BPE loop over the collected word-frequency table — the
+    * naive per-round recount (exact; the vocab is gate-bounded). */
+  private def localMerges(spark: SparkSession,
+      vocab0: Array[(Long, Array[String])], k: Int): DataFrame = {
+    var vocab = vocab0
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to k) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (freq, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + freq)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"BpeTrain.merges: no adjacent pairs left at round $r (k=$k too large)")
+      val ((l, rr), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      out += ((r.toLong, l, rr, c))
+      // exact left-to-right non-overlapping merge (the applyMerge fold)
+      vocab = vocab.map { case (freq, syms) =>
+        val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == rr)
+            acc(acc.length - 1) = l + rr
+          else acc += x
+        }
+        (freq, acc.toArray)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result().map(Row.fromTuple), 1),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+
+  private def mergesDistributed(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     // eager localCheckpoint per round, NOT persist: both frames are rebuilt
     // from themselves every round, so a persist chain nests k

@@ -81,9 +81,15 @@ class BpeTrainSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
           .toSeq.sortBy(_._1)
       }
-    val incremental = run(BpeTrain.merges)
+    // all three paths must agree rank-for-rank: the gated driver-local
+    // loop (default — this corpus is far under the vocab gate), the
+    // delta-counted distributed loop (forced with localVocabMax = 0), and
+    // the naive full-recount twin
+    val local = run(BpeTrain.merges(_, _, _))
+    val incremental = run(BpeTrain.merges(_, _, _, localVocabMax = 0L))
     val naive = run(BpeTrain.mergesNaive)
-    incremental should have size k.toLong
+    local should have size k.toLong
     incremental shouldBe naive
+    local shouldBe naive
   }
 }
