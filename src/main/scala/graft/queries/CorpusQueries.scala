@@ -69,10 +69,14 @@ object CorpusQueries {
     // scoring join reads — unpersisted, the gate paid the vocab
     // aggregation twice: measured 1.6 → 2.8 s at sf0.1 on the first
     // cut). broadcastMaxRows = 0 disables BOTH levels (the fallback-path
-    // spec's hook).
+    // spec's hook), and the doc-count short-circuit applies only at the
+    // DEFAULT row gate or looser — a caller passing a tighter cap
+    // (broadcastMaxRows < vocabBroadcastMaxRows) asked for an exact
+    // count, not a heuristic (ADVICE r20).
     val dfreqPlan = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dfr =
-      if (broadcastMaxRows > 0L && nd0 <= vocabGateMaxDocs) broadcast(dfreqPlan)
+      if (broadcastMaxRows >= vocabBroadcastMaxRows &&
+          nd0 <= vocabGateMaxDocs) broadcast(dfreqPlan)
       else {
         val dfreq = graft.util.CacheBin.persist(dfreqPlan)
         if (dfreq.count() <= broadcastMaxRows) broadcast(dfreq) else dfreq

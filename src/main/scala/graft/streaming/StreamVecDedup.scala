@@ -74,6 +74,16 @@ object StreamVecDedup {
     // nothing
     val stateRoot = new org.apache.hadoop.fs.Path(statePath)
     val stateFs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an interrupted compaction leaves `_compact_tmp` holding the whole
+    // compacted span while its target dir is missing — proceeding would
+    // silently dedup without that span (ADVICE r20). Fail loudly with the
+    // recovery step instead.
+    val tmpMarker = new org.apache.hadoop.fs.Path(stateRoot, "_compact_tmp")
+    if (stateFs.exists(stateRoot))
+      require(!stateFs.exists(tmpMarker),
+        s"StreamVecDedup: $tmpMarker exists — an interrupted compaction " +
+          "left the compacted span there; recover by renaming it to " +
+          "batch=<its max source id> before processing further batches")
     val hasState = stateFs.exists(stateRoot) &&
       stateFs.listStatus(stateRoot).exists(_.getPath.getName.startsWith("batch="))
     // state tier: bucket equi-join, exact cosine verify, smallest partner.
@@ -106,7 +116,19 @@ object StreamVecDedup {
               n.stripPrefix("batch=").toLongOption.exists(_ < batchId)
           }
           .flatMap { bd =>
-            stateFs.listStatus(bd.getPath).toIndexedSeq.filter { bs =>
+            val children = stateFs.listStatus(bd.getPath).toIndexedSeq
+            // legacy (pre-bucket-partitioned) state: data files directly
+            // under batch=N with no bucket= subdirs. The bucket-pruned
+            // reader would collect ZERO paths from it and silently dedup
+            // against nothing (ADVICE r20) — fail loudly per the module's
+            // corrupted-state discipline.
+            require(children.isEmpty ||
+              children.exists(_.getPath.getName.startsWith("bucket=")),
+              s"StreamVecDedup: state dir ${bd.getPath} holds no bucket= " +
+                "subdirs (pre-bucket-partitioned legacy layout?) — rewrite " +
+                "it bucket-partitioned (read it, write with " +
+                "partitionBy(bucket)) before processing further batches")
+            children.filter { bs =>
               val n = bs.getPath.getName
               n.startsWith("bucket=") && (!pruneByBucket ||
                 n.stripPrefix("bucket=").toLongOption.exists(batchBuckets))
@@ -182,10 +204,13 @@ object StreamVecDedup {
     * compact, if fine-grained retention matters).
     *
     * Single-writer contract (same as processBatch): the snapshot is fully
-    * written to a temp dir BEFORE any source dir is deleted; a crash
-    * between the deletes and the final rename leaves `_compact_tmp`
-    * beside a missing target — recovery is renaming it to
-    * `batch=<returned id>` (a production deployment runs compact inside
+    * written to a temp dir BEFORE anything is deleted; then only the
+    * target dir is deleted, the snapshot renamed into place, and the
+    * remaining sources deleted last — so after the rename the state is
+    * never missing a row, and a crash in the one remaining window (between
+    * the target delete and the rename) leaves `_compact_tmp` present,
+    * which processBatch refuses loudly (recovery: rename it to
+    * `batch=<returned id>`; a production deployment runs compact inside
     * its checkpoint-commit hook). Returns the snapshot's batch id, or -1
     * if fewer than two dirs were compactable (no-op). */
   def compact(spark: org.apache.spark.sql.SparkSession, statePath: String,
@@ -210,10 +235,18 @@ object StreamVecDedup {
       .select("bucket", "vec_id", "v", "n2")
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-    old.foreach { case (_, p) => fs.delete(p, true) }
+    // Shrink the lost-state window (ADVICE r20): delete ONLY the target
+    // dir, rename the snapshot into place, then delete the remaining
+    // sources. Between the rename and the trailing deletes the state is a
+    // row-level SUPERSET of the snapshot (sources still present) — dedup
+    // reads min(sid) over duplicates, unchanged; a crash anywhere after
+    // the rename loses nothing, and a crash before it is caught loudly by
+    // processBatch's `_compact_tmp` guard.
     val target = new org.apache.hadoop.fs.Path(stateRoot, s"batch=$snapId")
+    fs.delete(target, true)
     require(fs.rename(tmp, target),
       s"compact: rename ${tmp} -> ${target} failed; recover manually")
+    old.foreach { case (id, p) => if (id != snapId) fs.delete(p, true) }
     snapId
   }
 

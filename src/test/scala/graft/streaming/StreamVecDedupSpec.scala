@@ -166,4 +166,44 @@ class StreamVecDedupSpec extends SparkSpec {
       streamed.find(_._1 == pid).get._2 shouldBe "keep"
     }
   }
+
+  it should "refuse loudly on legacy (un-bucket-partitioned) state dirs" in {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = corpus().take(20)
+    val statePath = graft.SparkSpec.tempDir("svd_legacy")
+    // simulate pre-r20 state: flat parquet files directly under batch=0,
+    // bucket as a DATA column, no bucket= subdirs
+    base.take(10).toSeq.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .withColumn("n2", org.apache.spark.sql.functions.expr("aggregate(v, 0d, (a, x) -> a + x * x)"))
+      .withColumn("bucket", org.apache.spark.sql.functions.lit(3L))
+      .write.parquet(s"$statePath/batch=0")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamVecDedup.processBatch(
+          base.drop(10).toSeq.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", DIM, COS_T, statePath, batchId = 1L)
+        .collect()
+    }
+    e.getMessage should include("bucket=")
+  }
+
+  it should "refuse loudly when an interrupted compaction left _compact_tmp" in {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = corpus().take(20)
+    val statePath = graft.SparkSpec.tempDir("svd_tmpmark")
+    def run(rows: Seq[(Long, Array[Double])], id: Long) =
+      graft.streaming.StreamVecDedup.processBatch(
+          rows.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          DIM, COS_T, statePath, batchId = id).collect()
+    run(base.take(10), 0L)
+    // simulate a compaction that died between writing the snapshot and
+    // renaming it into place
+    new java.io.File(s"$statePath/_compact_tmp").mkdirs()
+    val e = intercept[IllegalArgumentException] { run(base.drop(10), 1L) }
+    e.getMessage should include("_compact_tmp")
+  }
 }

@@ -110,8 +110,16 @@ object VecDedupStress {
       }
       val fs = new org.apache.hadoop.fs.Path(state)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // exclude batch >= b: the pruned read only opens dirs with
+      // batch id < batchId, and processBatch has already registered this
+      // batch's own bucket dirs — counting them would overstate what the
+      // lookup opened by one batch's bucket count (ADVICE r20)
       val nPaths = fs.listStatus(new org.apache.hadoop.fs.Path(state))
-        .filter(_.getPath.getName.startsWith("batch="))
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("batch=") &&
+            n.stripPrefix("batch=").toLongOption.exists(_ < b)
+        }
         .map { bd =>
           fs.listStatus(bd.getPath).count { bs =>
             val n = bs.getPath.getName
