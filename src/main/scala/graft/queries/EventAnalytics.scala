@@ -432,10 +432,14 @@ object EventAnalytics {
     * size = days × |types|, bounded by calendar × type-vocabulary, not
     * data. */
   def typeShareDrift(s: SparkSession, dir: String): DataFrame = {
-    val d = events(s, dir)
+    // four consumers read this aggregate (days, types, per-day totals,
+    // the dense-domain join) and their projections all differ, so nothing
+    // reuses the exchange — unpersisted, the full events scan + groupBy
+    // re-ran four times (r21; the frame itself is days × types, tiny)
+    val d = graft.util.CacheBin.persist(events(s, dir)
       .groupBy(epochS(date_trunc("day", col("ts"))).as("day_s"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val days = d.select("day_s").distinct()
     val types = d.select("event_type").distinct()
     val t = d.groupBy(col("day_s").as("td")).agg(sum("cnt").as("tot"))

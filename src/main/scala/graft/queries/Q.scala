@@ -125,6 +125,19 @@ object Q {
     * mirror in DuckDB with CAST(floor(epoch(ts)) AS BIGINT). */
   def epochS(c: Column): Column = unix_timestamp(c).cast("long")
 
+  /** Memoized per-tier table row count (one bounded metadata-cheap job per
+    * JVM per data fingerprint) — the embCount/bm25Totals discipline for
+    * count scalars that parameterize a query plan (gate levels, idf N
+    * literals): identical across executions against one tier in one JVM,
+    * so the job runs once, not once per bench pass. Keyed on [[tableKey]]
+    * so a tier regenerated at the same path re-counts. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def tableCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent(tableKey(dir, name),
+      { _: String => t(spark, dir, name).count() })
+
   /** Cache key for per-JVM memos over a tier's table: dir plus a cheap
     * file fingerprint (names + sizes + mtimes of the parquet file set), so
     * data regenerated AT THE SAME PATH within one JVM invalidates the memo

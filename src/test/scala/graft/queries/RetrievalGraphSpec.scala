@@ -141,6 +141,11 @@ class RetrievalGraphSpec extends SparkSpec {
     // coverage radii non-increasing after the seed — the greedy invariant
     val radii = got.drop(1).map(_._2)
     radii.zip(radii.drop(1)).foreach { case (a, b) => a should be >= b }
+    // the gated driver-local path (r21) and the forced-distributed k-round
+    // loop must select identical rows — localMax = 0 forces the old path
+    val dist = rows(VectorQueries.kcenterSample(spark, dir, 0))
+      .map(r => (r.getLong(1), r.getLong(2))).toVector
+    dist shouldBe got
   }
 
   behavior of "text_hybrid_search"
