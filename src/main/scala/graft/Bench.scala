@@ -57,7 +57,14 @@ object Bench {
     // release, so these declarations only became TRUE of the timed runs
     // once the memo owned the persist, ADVICE r19)
     "text_minhash_pairs", "text_dup_clusters", "text_cluster_best",
-    "text_lsh_eval", "pipe_split_leakage", "pipe_split_clusters")
+    "text_lsh_eval", "pipe_split_leakage", "pipe_split_clusters",
+    // round-21 memo readers the r21 declaration missed (VERDICT r21 #2):
+    // text_tfidf reads Q.tableCount, vec_dedup_removal the maxId memo
+    "text_tfidf", "vec_dedup_removal",
+    // round 22: pipe_clean_corpus now consumes the shared near-dup pair
+    // artifact (same artifact as text_minhash_pairs et al.) instead of
+    // rebuilding the LSH pipeline per execution
+    "pipe_clean_corpus")
 
   private def memoizedJson(names: Seq[String]): String =
     names.filter(MEMOIZED).sorted
@@ -111,7 +118,7 @@ object Bench {
     if (chunk.isDefined) runInProcess(sfDir, chunk) // child: one chunk, one JSON line
     else if (fork) {
       forked(sfDir) match {
-        case Some(json) => println(json); writeFullLine(json)
+        case Some(json) => println(json); writeFullLine(json); printSummaryLine(json)
         case None =>
           System.err.println("[bench] fork-per-group failed; single-JVM fallback")
           runInProcess(sfDir, None)
@@ -119,16 +126,47 @@ object Bench {
     } else runInProcess(sfDir, None)
   }
 
+  private def benchCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors.toString)
+
   /** The r13 verdict found the driver's captured bench line TRUNCATED mid-
     * tail (~15 per-query numbers lost from the auditable set). The full
     * line is therefore also written to BENCH_FULL.json in the working
     * directory — same content, file-backed, immune to any pipe/log
-    * truncation downstream. Best-effort: bench numbers must never fail
-    * because the cwd is read-only. */
-  private def writeFullLine(json: String): Unit =
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}") }
+    * truncation downstream. The r21 verdict then found THAT file clobbered
+    * by the driver's subsequent 8-core scaling run, losing the round's
+    * 32-core record — so the line is additionally written to a per-core-
+    * count file, BENCH_FULL_c<cpus>.json, which a run at a different cpu
+    * setting can never overwrite (VERDICT r21 #1). Best-effort: bench
+    * numbers must never fail because the cwd is read-only. */
+  private def writeFullLine(json: String): Unit = {
+    def put(name: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(name), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $name: ${e.getMessage}") }
+    put("BENCH_FULL.json") // legacy name, kept for existing tooling
+    put(s"BENCH_FULL_c$benchCpus.json")
+  }
+
+  /** The driver captures only a ~2 KB tail of bench output; the full line
+    * (~4.8 KB at 159 queries) never survives it whole, so the driver's
+    * round-over-round PERF comparison parsed null for two straight rounds
+    * (VERDICT r21 #1). Print a second, guaranteed-short summary line AFTER
+    * the full line: total + calib + a pointer to the per-cpus full file.
+    * Deliberately NO "queries" key — a parser that takes this line gets an
+    * honest total rather than an empty per-query map it could misread as
+    * every query having been dropped. Parent/whole-surface mode only; a
+    * chunk child must print exactly one line for parseChunkLine. */
+  private def printSummaryLine(json: String): Unit = {
+    def grab(k: String): Option[String] =
+      ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(json).map(_.group(1))
+    val v = grab("value").getOrElse("null")
+    val calib = grab("calib").fold("")(c => s""""calib":$c,""")
+    val qIdx = json.indexOf("\"queries\":{")
+    val n = if (qIdx < 0) 0
+      else "\"[a-z0-9_]+\":[0-9.]+".r.findAllIn(json.drop(qIdx)).size
+    println(s"""{"metric":"total","value":$v,"unit":"sec",$calib"cpus":$benchCpus,"n_queries":$n,"mode":"summary","full":"BENCH_FULL_c$benchCpus.json"}""")
+  }
 
   /** Max queries per child JVM. The round-8 measurement: a 24-query group
     * in one JVM re-creates the accumulated-heap-state inflation on its own
@@ -313,7 +351,10 @@ object Bench {
     val calibJson = calib.fold("")(c => s""""calib":${num(c)},""")
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$RUNS,"agg":"min",$calibJson${memoizedJson(results.map(_._1))}"queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    if (chunk.isEmpty) writeFullLine(line) // whole-surface mode only, not per-chunk children
+    if (chunk.isEmpty) { // whole-surface mode only, not per-chunk children
+      writeFullLine(line)
+      printSummaryLine(line)
+    }
     spark.stop()
   }
 }

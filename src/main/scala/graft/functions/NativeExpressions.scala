@@ -1007,6 +1007,96 @@ object PhrasesOf {
   }
 }
 
+/** quality_signals(text, stopCsv): the four integer document-quality
+  * signals of [[graft.ops.Quality.withSignals]] in ONE byte pass —
+  * struct(n_words, stop_cnt, n_punct, n_chars_t) — replacing two
+  * tokenize-with-array-materialization passes (`size(graft_words)`,
+  * `size(filter(graft_words, isin(stop...)))`) plus a `regexp_replace`
+  * length-diff per row. Bit-identical by construction:
+  *   - n_words counts maximal [a-z0-9] runs of the lowercased bytes, with
+  *     the token-free input counting 1 (WordsOf's `split("", " ") == [""]`
+  *     contract);
+  *   - stop_cnt counts tokens equal to a stopword ("" is never one);
+  *   - n_punct counts [.,;:!?] BYTES of the raw text — ASCII bytes never
+  *     occur inside a multi-byte UTF-8 sequence, so the byte count equals
+  *     the `length(text) - length(regexp_replace(text, "[.,;:!?]", ""))`
+  *     character count;
+  *   - n_chars_t = numChars, exactly `length(text)`.
+  * QualitySignalsSpec pins all four against the composed legacy chain on
+  * adversarial inputs; every quality-gated oracle re-proves it end-to-end. */
+case class QualitySignals(child: Expression, stopCsv: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("stop_cnt", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_chars_t", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    QualitySignals.compute(input.asInstanceOf[UTF8String], stopCsv)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csvRef = ctx.addReferenceObj("stopCsv", stopCsv, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QualitySignals.compute($c, $csvRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualitySignals =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_quality_signals"
+}
+
+object QualitySignals {
+
+  private val stopCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.HashSet[UTF8String]]()
+
+  private def stopsOf(csv: String): java.util.HashSet[UTF8String] =
+    stopCache.computeIfAbsent(csv, { s: String =>
+      val set = new java.util.HashSet[UTF8String]()
+      s.split(",").foreach(w => if (w.nonEmpty) set.add(UTF8String.fromString(w)))
+      set
+    })
+
+  private def isTokenByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, stopCsv: String):
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val stops = stopsOf(stopCsv)
+    val bytes = s.toLowerCase.getBytes
+    var nWords = 0L
+    var stopCnt = 0L
+    var i = 0
+    while (i < bytes.length) {
+      if (isTokenByte(bytes(i))) {
+        val st = i
+        while (i < bytes.length && isTokenByte(bytes(i))) i += 1
+        nWords += 1
+        // fromBytes(array, offset, len) wraps without copying
+        if (stops.contains(UTF8String.fromBytes(bytes, st, i - st))) stopCnt += 1
+      } else i += 1
+    }
+    if (nWords == 0L) nWords = 1L // split("", " ") == [""] — one empty token
+    // punct counts RAW bytes: the class is pure ASCII and ASCII bytes never
+    // appear as continuation bytes of a multi-byte UTF-8 character
+    var punct = 0L
+    var j = 0
+    val nb = s.numBytes()
+    while (j < nb) {
+      val b = s.getByte(j)
+      if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?')
+        punct += 1
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, stopCnt, punct, s.numChars().toLong))
+  }
+}
+
 object GraftFunctions {
 
   private def longLit(e: Expression, what: String): Long = e match {
@@ -1098,6 +1188,17 @@ object GraftFunctions {
         WinnowHashes(Cast(args.head, StringType),
           longLit(args(1), "k").toInt, longLit(args(2), "w").toInt,
           longLit(args(3), "base"), longLit(args(4), "p"))
+      }),
+    (FunctionIdentifier("graft_quality_signals"),
+      new ExpressionInfo(classOf[QualitySignals].getName, "graft_quality_signals"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_quality_signals(text, stopCsv)")
+        val csv = args(1) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_quality_signals: stopCsv must be a string literal, got $other")
+        }
+        QualitySignals(Cast(args.head, StringType), csv)
       }),
     (FunctionIdentifier("graft_phrases"),
       new ExpressionInfo(classOf[PhrasesOf].getName, "graft_phrases"),

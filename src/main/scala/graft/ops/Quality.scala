@@ -19,8 +19,30 @@ object Quality {
 
   /** Append the integer quality-signal columns
     * (n_words, stop_cnt, n_punct, n_chars_t) for `textCol`. Narrow map;
-    * tokenization is the native [[graft.functions.WordsOf]] expression. */
+    * all four signals come from ONE byte pass over the text — the fused
+    * native [[graft.functions.QualitySignals]] expression (round 22; the
+    * previous chain tokenized twice via graft_words — once for n_words,
+    * once for the stopword filter, each materializing the token array —
+    * and ran a regexp_replace for n_punct, and the keepFlag filter plus
+    * the project each paid the whole set again). Bit-identical to
+    * [[withSignalsLegacy]] — QualitySignalsSpec pins it on adversarial
+    * inputs, every quality-gated oracle re-proves it end to end. */
   def withSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val sig = call_function("graft_quality_signals", col(textCol),
+      lit(stopwords.mkString(",")))
+    df.withColumn("__qsig", sig)
+      .withColumn("n_words", col("__qsig.n_words"))
+      .withColumn("stop_cnt", col("__qsig.stop_cnt"))
+      .withColumn("n_punct", col("__qsig.n_punct"))
+      .withColumn("n_chars_t", col("__qsig.n_chars_t"))
+      .drop("__qsig")
+  }
+
+  /** The pre-round-22 composed-expression form of [[withSignals]] — kept
+    * as the parity oracle for QualitySignalsSpec (fused == composed on
+    * adversarial inputs) and for A/B measurement. */
+  private[graft] def withSignalsLegacy(df: DataFrame,
+      textCol: String = "text"): DataFrame = {
     val words = call_function("graft_words", col(textCol))
     df.withColumn("n_words", size(words).cast("long"))
       .withColumn("stop_cnt",

@@ -85,24 +85,40 @@ object RangeScan {
       else (hotKeys.toArray, r.getLong(0),
         math.max(1L, (r.getLong(1) - r.getLong(0)) / b + 1))
     } else {
+      // ONE job, no persist (round 22; this used to be persist + a totals
+      // job + a filter/collect job — two scheduler round-trips per spread
+      // operator execution): the top-2b sampled keys by count (every key
+      // at or above a fair share is among them up to floor-threshold ties;
+      // the hot set is a pure partitioning hint, so a tie slipping out
+      // changes WHERE rows land, never the emitted values) union'd with
+      // the grand-total row, collected together and resolved driver-side.
       val smp = df.sample(withReplacement = false, 0.01, seed = 42L)
         .groupBy(col(keyCol).as("__k"))
         .agg(count(lit(1)).as("__c"), min(col(tsCol).cast("long")).as("__mn"),
           max(col(tsCol).cast("long")).as("__mx"))
-        .persist()
-      val t = smp.agg(sum("__c"), min("__mn"), max("__mx")).head()
-      val out =
-        if (t.isNullAt(0)) (Array.empty[Any], 0L, 1L)
-        else {
-          val tot = t.getLong(0)
-          val mn0 = t.getLong(1)
-          val keys: Array[Any] = smp
-            .filter(col("__c") >= lit(math.max(tot / (2L * b), 1L)))
-            .select("__k").collect().map(_.get(0))
-          (keys, mn0, math.max(1L, (t.getLong(2) - mn0) / b + 1))
-        }
-      smp.unpersist()
-      out
+      // deterministic top selection: ties on __c break on the stringified
+      // key (works for any cast-to-string key type; the hot SET is a hint,
+      // but a pinned selection keeps plans reproducible run to run)
+      val top = smp.orderBy(col("__c").desc, col("__k").cast("string"))
+        .limit(2 * b)
+        .select(lit(1).as("__t"), col("__k"), col("__c"), col("__mn"), col("__mx"))
+      val tot = smp
+        .agg(sum("__c").as("__c"), min("__mn").as("__mn"), max("__mx").as("__mx"))
+        .select(lit(0).as("__t"),
+          lit(null).cast(df.schema(keyCol).dataType).as("__k"),
+          col("__c"), col("__mn"), col("__mx"))
+      val rows = top.unionByName(tot).collect()
+      val totRow = rows.find(_.getInt(0) == 0).get
+      if (totRow.isNullAt(2)) (Array.empty[Any], 0L, 1L)
+      else {
+        val totC = totRow.getLong(2)
+        val mn0 = totRow.getLong(3)
+        val thr = math.max(totC / (2L * b), 1L)
+        val keys: Array[Any] = rows
+          .filter(r => r.getInt(0) == 1 && r.getLong(2) >= thr)
+          .map(_.get(1))
+        (keys, mn0, math.max(1L, (totRow.getLong(4) - mn0) / b + 1))
+      }
     }
 
   /** Append `run_no` — the 1-based per-key count of value-changes up to and

@@ -18,6 +18,12 @@ object GraphQueries {
   private val DampPct = 85L
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {
+    // Deliberately t(), NOT tPar (measured, round 22): spreading the
+    // single-row-group scan with a round-robin repartition costs a local
+    // sort of the full 16-column lineitem rows before the exchange
+    // (spark.sql.execution.sortBeforeRepartition, guide §2.5) — measured
+    // 1.27 → 1.71 s isolated. The broadcast-join + partial-agg pipeline
+    // over the narrow scan is cheaper single-threaded than that sort.
     val edges = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -71,7 +77,7 @@ object GraphQueries {
     * order counts) — the same 6-way join pagerank uses, factored so the
     * triangle query provably runs on the identical graph. */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    t(s, dir, "lineitem") // NOT tPar — measured slower, see pagerank
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))

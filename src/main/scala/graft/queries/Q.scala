@@ -135,8 +135,29 @@ object Q {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def tableCount(spark: SparkSession, dir: String, name: String): Long =
-    countCache.computeIfAbsent(tableKey(dir, name),
-      { _: String => t(spark, dir, name).count() })
+    memo(countCache, tableKey(dir, name)) {
+      java.lang.Long.valueOf(t(spark, dir, name).count())
+    }.longValue
+
+  /** get-then-putIfAbsent memo (ADVICE r21): a Spark job must not run
+    * INSIDE ConcurrentHashMap.computeIfAbsent — the bin lock is held for
+    * the job's whole duration (distinct keys hashing to the same bin
+    * serialize behind it, and a recursive same-key call throws
+    * IllegalStateException). Computing outside the lock can race two
+    * identical jobs, which is harmless: every memoized value here is a
+    * deterministic function of the key's data fingerprint, and putIfAbsent
+    * keeps the first. */
+  def memo[K, V <: AnyRef](
+      map: java.util.concurrent.ConcurrentHashMap[K, V], k: K)(
+      compute: => V): V = {
+    val cached = map.get(k)
+    if (cached != null) cached
+    else {
+      val v = compute
+      val prev = map.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
 
   /** Cache key for per-JVM memos over a tier's table: dir plus a cheap
     * file fingerprint (names + sizes + mtimes of the parquet file set), so

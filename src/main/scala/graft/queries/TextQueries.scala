@@ -1408,15 +1408,15 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   private def bm25Totals(s: SparkSession, dir: String): (Long, Long) =
-    bm25TotCache.computeIfAbsent(graft.queries.Q.tableKey(dir, "documents"),
-      { _: String =>
-        val nd = t(s, dir, "documents").count()
-        val row = bm25TfIndex(s, dir).agg(sum("tf").cast("long")).head()
-        // an all-null-text corpus has an empty index: 0 keeps the probe
-        // frames empty-safe (the score expr never evaluates on zero rows)
-        val ltot = if (row.isNullAt(0)) 0L else row.getLong(0)
-        (nd, ltot)
-      })
+    graft.queries.Q.memo(bm25TotCache,
+      graft.queries.Q.tableKey(dir, "documents")) {
+      val nd = t(s, dir, "documents").count()
+      val row = bm25TfIndex(s, dir).agg(sum("tf").cast("long")).head()
+      // an all-null-text corpus has an empty index: 0 keeps the probe
+      // frames empty-safe (the score expr never evaluates on zero rows)
+      val ltot = if (row.isNullAt(0)) 0L else row.getLong(0)
+      (nd, ltot)
+    }
 
   /** Memoized probe-query ids (smallest doc_ids that have a dense vector)
     * — the [[graft.queries.VectorQueries]] idAtRank discipline: the
@@ -1451,15 +1451,14 @@ object TextQueries {
     // inlined as literals so neither ranking branch re-derives the probe
     // subtree. Reads the raw id columns (t, not tPar): the probe job must
     // not shuffle the text column it never touches
-    val probeIds = hsProbeCache.computeIfAbsent(
+    val probeIds = graft.queries.Q.memo(hsProbeCache,
       graft.queries.Q.tableKey(dir, "documents") + "|" +
-        graft.queries.Q.tableKey(dir, "embeddings"),
-      { _: String =>
-        t(s, dir, "documents").select(col("doc_id"))
-          .join(t(s, dir, "embeddings").select(col("vec_id")),
-            col("doc_id") === col("vec_id"))
-          .orderBy("doc_id").limit(HS_QN).collect().map(_.getLong(0)).toSeq
-      })
+        graft.queries.Q.tableKey(dir, "embeddings")) {
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(t(s, dir, "embeddings").select(col("vec_id")),
+          col("doc_id") === col("vec_id"))
+        .orderBy("doc_id").limit(HS_QN).collect().map(_.getLong(0)).toSeq
+    }
     // zero docs with an embedding (a tier whose id spaces don't overlap —
     // the renumbered seedcheck tier is exactly this) → an EMPTY result,
     // mirroring the oracle's empty probes CTE; throwing here would diverge
