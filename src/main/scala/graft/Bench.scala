@@ -64,7 +64,11 @@ object Bench {
     // round 22: pipe_clean_corpus now consumes the shared near-dup pair
     // artifact (same artifact as text_minhash_pairs et al.) instead of
     // rebuilding the LSH pipeline per execution
-    "pipe_clean_corpus")
+    "pipe_clean_corpus",
+    // round 22: trained index metadata (BQ sign thresholds, SQ8 ranges,
+    // PQ codebooks) memoized per tier like the IVF coarse codebook —
+    // stored-with-the-index artifacts, not per-query training
+    "vec_bq", "vec_ann_hamming", "vec_sq8", "vec_ann_sq", "vec_pq_codes")
 
   private def memoizedJson(names: Seq[String]): String =
     names.filter(MEMOIZED).sorted
