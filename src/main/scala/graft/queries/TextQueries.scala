@@ -1793,16 +1793,22 @@ object TextQueries {
         .select("doc_id", "h"))
     val perDoc = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     val b = kept.select(col("doc_id").as("doc_b"), col("h"))
+    // top-25 FIRST: the ranking key is (shared_fp desc, doc_a, doc_b) —
+    // independent of the per-doc fingerprint counts — so the two perDoc
+    // joins run on 25 rows below the limit instead of on the whole pair
+    // set above it (round 22; they were full pair-set joins before).
+    // Every kept doc has a perDoc row, so the inner joins drop nothing.
     kept.select(col("doc_id").as("doc_a"), col("h"))
       .join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fp"))
+      .orderBy(col("shared_fp").desc, col("doc_a"), col("doc_b"))
+      .limit(25)
       .join(perDoc.select(col("doc_id").as("doc_a"), col("nfp").as("fp_a")), "doc_a")
       .join(perDoc.select(col("doc_id").as("doc_b"), col("nfp").as("fp_b")), "doc_b")
       .withColumn("overlap_ppm",
         expr("shared_fp * 1000000L div least(fp_a, fp_b)"))
       .orderBy(col("shared_fp").desc, col("doc_a"), col("doc_b"))
-      .limit(25)
       .select("doc_a", "doc_b", "shared_fp", "fp_a", "fp_b", "overlap_ppm")
   }
 
